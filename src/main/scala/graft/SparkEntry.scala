@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2.3 (query inventory) and §7.
+  *
+  * Every declared operator has BOTH a `queries` entry (the Spark plan) and —
+  * when SQL-expressible — an `oracleSql` entry (the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01). Determinism conventions are in
+  * [[Determinism]] and FIXTURES.md §3.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All declared queries, tier by tier (SURVEY.md §2.3). */
+  def declared: Seq[Q] =
+    operators.TierOne.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q07 exercises the spine of the reference: scan, projection, event-time
+    * windowing, hash agg, analytic arg-max, deterministic output.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.TierOne.q07.run(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    declared.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
