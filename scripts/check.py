@@ -31,6 +31,10 @@ n_pass = n_fail = 0
 names = sorted(d for d in os.listdir(out) if os.path.isdir(f"{out}/{d}"))
 for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:  # Verify died mid-write: report this query, keep going
+        print(f"  ✗ {name}: no parquet part files in {out}/{name}")
+        n_fail += 1
+        continue
     got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
     if name not in oracle:
         print(f"  ~ {name}: no oracle ({len(got)} rows)")

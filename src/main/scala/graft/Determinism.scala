@@ -22,7 +22,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Determinism {
 
-  /** Two-decimal money/quantity column as exact decimal. */
+  /** Two-decimal money/quantity column as exact decimal.
+    *
+    * PRECONDITION (load-bearing): the input doubles carry EXACTLY two decimal
+    * digits (true of every money/quantity column in the corpus; verified at
+    * sf0.001/0.01/0.1). Under that precondition the cast is lossless and the
+    * rounding-mode difference between engines (Spark HALF_UP vs DuckDB
+    * half-to-even on double→decimal) never fires, because nothing is
+    * rounded. Do NOT apply dec2 to columns with >2 fractional digits —
+    * round explicitly with a pinned mode on both sides first.
+    */
   def dec2(c: Column, precision: Int = 18): Column =
     c.cast(DecimalType(precision, 2))
 

@@ -109,7 +109,15 @@ object Tables {
     * hash compare sees the same logical values on both sides.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-wide conf, set only on the one table that needs it (events
+    // stores ts as INT64 TIMESTAMP(NANOS)). It is idempotent and ALSO set in
+    // the Verify/Bench/test session builders; kept here as well because the
+    // driver smoke-checks SparkEntry.entry(spark) with a session it builds
+    // itself, where this is the only place the conf can come from. Global
+    // effect documented: any other nanos-parquet read in the same session
+    // will see LongType instead of an error.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

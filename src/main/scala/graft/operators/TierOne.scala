@@ -41,7 +41,7 @@ object TierOne {
     * Main.java:213-217 — SURVEY.md §1.2 documents the upgrade).
     */
   val q02 = Q("q02_json_extract",
-    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    """SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events")
       .select(col("event_id"),
