@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 3 — LLM-training-data pipeline ops over `documents`/`embeddings`
+  * (SURVEY.md §2.3 q22-q25; north-star addendum). The reference has none of
+  * these; they are what makes the engine useful on a 100 TB text corpus.
+  * Further variants (MinHash+LSH, SimHash, hyperplane-LSH ANN, language-ID,
+  * quality scoring, fingerprinting) live in [[TierFour]].
+  */
+object TierThree {
+
+  /** Exact deduplication: one surviving row per distinct `text`, min doc_id
+    * wins, with the duplicate count. Spark groups on `sha2(text, 256)` — at
+    * 100 TB the shuffle key is a fixed 64-char digest, not a multi-KB
+    * document body, and the aggregate is partial+final. The oracle groups on
+    * the raw text (identical result absent a SHA-256 collision).
+    */
+  val q22 = Q("q22_dedup_exact",
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate pairs by exact token-set Jaccard ≥ 0.6 (doc_a < doc_b).
+    * Algorithm (both sides): distinct tokens per doc → self-join on token
+    * (the shared-token prefilter: pairs sharing NO token never materialize)
+    * → per-pair intersection count → J = |∩| / (|A|+|B|−|∩|).
+    *
+    * Scale: the token self-join shuffles on token, so hot tokens dominate
+    * cost — the production path for 100 TB is [[TierFour.q26]] (MinHash+LSH,
+    * candidate generation without the full token join); this exact variant
+    * is the correctness anchor the sketch is validated against. The pair
+    * aggregation is partial+final on (doc_a, doc_b).
+    */
+  val q23 = Q("q23_near_dup_jaccard",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+      |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b)
+      |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = tok.select(col("doc_id").as("doc_a"), col("token"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("token"))
+    val inter = a.join(b, a("token") === b("token") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("j") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Brute-force cosine top-k: the 10 nearest neighbors of vec_id=0 over
+    * `embeddings.embedding` (ARRAY<FLOAT>, dim 64). Math in DOUBLE
+    * (`zip_with` product + `aggregate` sum — element-order-deterministic),
+    * rounded to 6 dp; ties break on vec_id ASC.
+    *
+    * Plan shape: the query vector is a broadcast 1-row join (no shuffle);
+    * the scan side computes one fused codegen'd projection per row; the
+    * top-10 is TakeOrderedAndProject (per-partition heaps, O(k) memory).
+    * This is the exact baseline; the bucketed-LSH variant that prunes the
+    * scan at 100 TB is [[TierFour.q29]].
+    */
+  val q24 = Q("q24_knn_cosine",
+    """WITH q AS (
+      |  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |    list_dot_product(embedding::DOUBLE[], qv) /
+      |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    def dot(x: String, y: String) =
+      aggregate(zip_with(col(x), col(y), (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .withColumn("cos", dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Per-language corpus statistics: document count, mean length, distinct
+    * vocabulary. Two aggregation granularities (per-doc and per-token)
+    * joined on lang — both partial+final; `n_chars` is integral so the avg
+    * is an exact-int sum divided once (deterministic across engines).
+    */
+  val q25 = Q("q25_text_stats",
+    """WITH docs AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+      |  FROM documents GROUP BY lang),
+      |vocab AS (
+      |  SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_tokens FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY lang)
+      |SELECT docs.lang, n_docs, avg_chars, n_tokens
+      |FROM docs JOIN vocab ON docs.lang = vocab.lang
+      |ORDER BY docs.lang""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+    val docs = d.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+    val vocab = d.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang").agg(countDistinct(col("token")).as("n_tokens"))
+    docs.join(vocab, "lang").orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q22, q23, q24, q25)
+}
