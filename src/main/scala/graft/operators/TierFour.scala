@@ -1,0 +1,458 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier 4 — the extended training-data-pipeline operators (north-star
+  * addendum, SURVEY.md §2.2 "LLM-pipeline ops"): sketch-based dedup
+  * (MinHash+LSH, SimHash), n-gram near-dup, bucketed ANN, language-ID,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * Cross-engine determinism strategy (every query here is oracle-checked):
+  * all hashing is affine-modular integer arithmetic `(a·x + b) mod p` over a
+  * token id assigned by dense rank of the vocabulary — both Spark and DuckDB
+  * compute identical BIGINTs, no engine-native hash function (whose
+  * implementations differ) ever reaches a result. Products stay < 2^63
+  * (a,b < p = 2^31−1; tid ≤ |vocab| < 2^31).
+  *
+  * Scale posture: the vocabulary rank is a global sort over DISTINCT tokens —
+  * O(|vocab|), not O(corpus); at 100 TB the vocabulary is still orders of
+  * magnitude smaller than the data and broadcast back. Everything downstream
+  * is hash-partitioned: signatures shuffle on (doc, hash-index), LSH buckets
+  * on band key, verification joins only candidate pairs.
+  */
+object TierFour {
+
+  /** 2^31−1, prime: modulus for all affine hash families. */
+  private val P = 2147483647L
+  /** Knuth's multiplicative constant / a second odd constant: seeds for the
+    * i-th hash `a_i=(A0·(i+1)) mod P`, `b_i=(B0·(i+1)) mod P`. */
+  private val A0 = 2654435761L
+  private val B0 = 40503L
+
+  /** Distinct (doc_id, token) pairs. */
+  private def tok(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+
+  /** Vocabulary with dense integer ids (rank by token — deterministic in both
+    * engines; ties impossible on DISTINCT input). */
+  private def vocab(t: DataFrame): DataFrame =
+    t.select("token").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("token")).cast("long"))
+
+  private val tokSql =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT token FROM tok)),
+      |tokid AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token))""".stripMargin
+
+  /** MinHash + LSH near-duplicate detection — the 100 TB path for what
+    * [[TierThree.q23]] computes exactly. 32-permutation signature, banded
+    * 8×4: docs agreeing on all 4 minhashes of any band become candidates,
+    * then ONLY candidates are verified with exact Jaccard ≥ 0.6. The full
+    * token self-join never happens: candidate generation is a groupBy on
+    * (band, band-signature) — shuffle O(docs·bands), and verification cost
+    * is O(candidates·tokens-per-doc).
+    */
+  val q26 = Q("q26_minhash_lsh",
+    s"""WITH $tokSql,
+       |perm AS (
+       |  SELECT i, ($A0*(i+1)) % $P AS a, ($B0*(i+1)) % $P AS b
+       |  FROM (SELECT unnest(range(32)) AS i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a*tid + b) % $P) AS mh
+       |  FROM tokid CROSS JOIN perm GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM band x JOIN band y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tokid GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN tokid x ON x.doc_id = c.doc_a
+       |  JOIN tokid y ON y.doc_id = c.doc_b AND y.tid = x.tid
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val t = tok(s, dir)
+    val v = vocab(t)
+    val tokid = t.join(v, "token").select("doc_id", "tid")
+    val perm = s.range(32).select(col("id").as("i"))
+      .withColumn("a", (lit(A0) * (col("i") + 1)) % P)
+      .withColumn("b", (lit(B0) * (col("i") + 1)) % P)
+    val sig = tokid.crossJoin(broadcast(perm))
+      .groupBy("doc_id", "i")
+      .agg(min((col("a") * col("tid") + col("b")) % P).as("mh"))
+    val band = sig
+      .groupBy(col("doc_id"), (col("i") / 4).cast("long").as("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), ",").as("bkey"))
+    val cand = band.as("x").join(band.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sz = tokid.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tokid.select(col("doc_id").as("doc_a"), col("tid")), "doc_a")
+      .join(tokid.select(col("doc_id").as("doc_b"), col("tid")), Seq("doc_b", "tid"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("j") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 63-bit SimHash signature per document (bit 63 unused: the signature
+    * stays a non-negative BIGINT in both engines). Bit j of a token is bit 0
+    * of the j-th affine hash of its tid; each bit position accumulates
+    * ±token-frequency and the signature takes the sign. Near-dup use: equal
+    * or low-Hamming signatures (`bit_count(xor)`) — the signature itself is
+    * the oracle-checked artifact.
+    */
+  val q27 = Q("q27_simhash",
+    s"""WITH $tokSql,
+       |cnts AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> '' GROUP BY 1, 2),
+       |cntid AS (SELECT doc_id, tid, cnt FROM cnts JOIN vocab USING (token)),
+       |bits AS (SELECT unnest(range(63)) AS j),
+       |s AS (
+       |  SELECT doc_id, j,
+       |         sum(cnt * (2 * ((($A0*(j+1)) % $P * tid + ($B0*(j+1)) % $P) % $P % 2) - 1)) AS acc
+       |  FROM cntid CROSS JOIN bits GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN acc > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+    val cnts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val v = vocab(cnts.select("doc_id", "token").distinct()
+      .select(col("doc_id"), col("token")))
+    val cntid = cnts.join(v, "token").select("doc_id", "tid", "cnt")
+    val bits = s.range(63).select(col("id").as("j"))
+    val acc = cntid.crossJoin(broadcast(bits))
+      .withColumn("bit",
+        ((lit(A0) * (col("j") + 1)) % P * col("tid") + (lit(B0) * (col("j") + 1)) % P) % P % 2)
+      .groupBy("doc_id", "j")
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("acc"))
+    acc.groupBy("doc_id")
+      .agg(sum(when(col("acc") > 0, expr("shiftleft(cast(1 as bigint), j)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-bigram (2-shingle) Jaccard near-dup at ≥ 0.8 — n-gram variant of
+    * q23: shingling discriminates ordering that bag-of-tokens misses, so the
+    * threshold can sit higher and the candidate space is far sparser.
+    * Shingles are built positionally from the split array (list_transform /
+    * `transform` over the index range — no window function, no per-row
+    * state), so shingling is embarrassingly parallel at any scale.
+    */
+  val q28 = Q("q28_ngram_jaccard",
+    """WITH arr AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(l) - 1),
+      |      k -> l[k+1] || ' ' || l[k+2])) AS shingle FROM arr)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+      |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+      |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+      |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val arr = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("l"))
+    val sh = arr
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("l")) - 2),
+          k => concat_ws(" ", element_at(col("l"), k + 1), element_at(col("l"), k + 2))))
+          .as("shingle"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Hyperplane-LSH bucketed ANN — the scale path for [[TierThree.q24]]:
+    * 4 deterministic pseudo-random hyperplanes → 16 sign buckets; the query
+    * only scans its own bucket (expected 1/16 of the table; at 100 TB the
+    * bucket id is the partition/cluster key so a probe touches one
+    * partition). Exactness traded for pruning: recall vs q24 is what the
+    * ScalaTest asserts.
+    */
+  val q29 = Q("q29_ann_lsh",
+    """WITH planes AS (
+      |  SELECT p, list_transform(range(64),
+      |    j -> CAST((((p+1)*2654435761 + (j+1)*40503) % 1009) - 504 AS DOUBLE)) AS r
+      |  FROM (SELECT unnest(range(4)) AS p)),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, p, CASE WHEN list_dot_product(e, r) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM v CROSS JOIN planes),
+      |bkt AS (SELECT vec_id, CAST(sum(bit * (1 << p)) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+      |q AS (SELECT v.e AS qv, bkt.bucket AS qb FROM v JOIN bkt USING (vec_id) WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |    list_dot_product(e, qv) /
+      |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM v JOIN bkt USING (vec_id) CROSS JOIN q
+      |WHERE bkt.bucket = qb AND vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planes = s.range(4).select(col("id").as("p"))
+      .withColumn("r", transform(sequence(lit(0), lit(63)),
+        j => (((col("p") + 1) * lit(2654435761L) + (j + 1) * lit(40503L)) % 1009 - 504)
+          .cast("double")))
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    val bkt = v.crossJoin(broadcast(planes))
+      .withColumn("bit", when(dot(col("e"), col("r")) >= 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), p)")).as("bucket"))
+    val vb = v.join(bkt, "vec_id")
+    val q = vb.filter(col("vec_id") === 0).select(col("e").as("qv"), col("bucket").as("qb"))
+    vb.join(broadcast(q))
+      .filter(col("bucket") === col("qb") && col("vec_id") =!= 0)
+      .withColumn("cos",
+        dot(col("e"), col("qv")) / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Language identification by corpus-derived frequency profiles, all in
+    * integer arithmetic: profile weight = per-language token count scaled by
+    * 10^6 and integer-divided by the language's total token mass (so big
+    * languages don't win on volume); a document's score per candidate
+    * language is Σ tokcnt·weight (BIGINT); argmax with tie → language ASC.
+    * Output: per true language, docs and correctly-identified docs.
+    * (No floats anywhere — log-prob scoring would hash-diverge across
+    * engines' libm.)
+    */
+  val q30 = Q("q30_language_id",
+    """WITH cnts AS (
+      |  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2, 3),
+      |prof AS (
+      |  SELECT lang, token, (sum(cnt) * 1000000) // (sum(sum(cnt)) OVER (PARTITION BY lang)) AS w
+      |  FROM cnts GROUP BY lang, token),
+      |score AS (
+      |  SELECT c.doc_id, c.lang AS true_lang, p.lang AS cand, sum(c.cnt * p.w) AS s
+      |  FROM cnts c JOIN prof p ON c.token = p.token GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, true_lang, cand,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, cand ASC) AS rn
+      |  FROM score)
+      |SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cnts = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("cnt"))
+    val prof = cnts.groupBy("lang", "token").agg(sum("cnt").as("c"))
+      .withColumn("w", expr("(c * 1000000) div sum(c) over (partition by lang)"))
+      .select(col("lang").as("cand"), col("token"), col("w"))
+    val score = cnts.join(prof, "token")
+      .groupBy(col("doc_id"), col("lang").as("true_lang"), col("cand"))
+      .agg(sum(col("cnt") * col("w")).as("s"))
+    val rank = Window.partitionBy("doc_id").orderBy(col("s").desc, col("cand").asc)
+    score.withColumn("rn", row_number().over(rank)).filter(col("rn") === 1)
+      .groupBy(col("true_lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("true_lang"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy("lang")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document quality scoring: token count, stopword ratio, mean token
+    * length, whitespace ratio, and an integer quality score (0-3) from
+    * pinned thresholds — the standard pre-training corpus filters
+    * (length / stopword / punctuation heuristics), all codegen'd scalar
+    * expressions, embarrassingly parallel.
+    */
+  val q31 = Q("q31_quality_score",
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |  round(CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |    / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS stop_ratio,
+       |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |    / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS avg_token_len,
+       |  round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+       |    / length(text), 6) AS space_ratio,
+       |  CAST((CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 400 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |          / len(list_filter(string_split(text, ' '), x -> x <> '')) <= 0.2 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |          / len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(split(col("text"), " "), x => x.isin(stopwords: _*))).cast("double")
+    val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
+    val stopRatio = nStop / nTok
+    val avgLen = noSpace / nTok
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(avgLen, 6).as("avg_token_len"),
+        round((length(col("text")).cast("double") - noSpace) / length(col("text")), 6)
+          .as("space_ratio"),
+        (when(size(toks).between(20, 400), 1).otherwise(0)
+          + when(stopRatio <= 0.2, 1).otherwise(0)
+          + when(avgLen.between(3, 8), 1).otherwise(0)).cast("long").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace tokens, a BPE-ish regex pass
+    * (runs of letters / digits / single other symbols — the pre-tokenizer
+    * shape real BPE vocabularies use), and the chars/4 estimate used for
+    * quick corpus sizing. Pure scalar projections — the 100 TB plan is a
+    * single codegen'd map stage with the projection pushed to the scan.
+    */
+  val q32 = Q("q32_token_count",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting by 3-token rolling hash with mod-16 winnowing:
+    * shingle hash h = (tid1·131² + tid2·131 + tid3) mod P over vocabulary
+    * ids; the fingerprint artifact per doc is (min hash, distinct shingles,
+    * winnowed count — hashes ≡ 0 mod 16, the ~1/16 deterministic sample a
+    * plagiarism/copy detector stores). Shingles built positionally from the
+    * split array (no window functions), then three broadcast-sized
+    * vocabulary joins.
+    */
+  val q33 = Q("q33_fingerprint",
+    s"""WITH $tokSql,
+       |arr AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split_part(sgl, '|', 1) AS t1, split_part(sgl, '|', 2) AS t2,
+       |         split_part(sgl, '|', 3) AS t3
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(l) - 2),
+       |      k -> l[k+1] || '|' || l[k+2] || '|' || l[k+3])) AS sgl FROM arr)),
+       |h AS (
+       |  SELECT doc_id, (v1.tid*131*131 + v2.tid*131 + v3.tid) % $P AS h
+       |  FROM sh JOIN vocab v1 ON v1.token = t1
+       |          JOIN vocab v2 ON v2.token = t2
+       |          JOIN vocab v3 ON v3.token = t3)
+       |SELECT doc_id, CAST(min(h) AS BIGINT) AS fp_min,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_shingles,
+       |       CAST(count(DISTINCT CASE WHEN h % 16 = 0 THEN h END) AS BIGINT) AS n_winnowed
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = tok(s, dir)
+    val v = vocab(t)
+    val arr = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
+    val sh = arr
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("l")) - 3),
+          k => concat_ws("|", element_at(col("l"), k + 1), element_at(col("l"), k + 2),
+            element_at(col("l"), k + 3)))).as("sgl"))
+      .select(col("doc_id"),
+        split_part(col("sgl"), lit("|"), lit(1)).as("t1"),
+        split_part(col("sgl"), lit("|"), lit(2)).as("t2"),
+        split_part(col("sgl"), lit("|"), lit(3)).as("t3"))
+    val h = sh
+      .join(broadcast(v.select(col("token").as("t1"), col("tid").as("tid1"))), "t1")
+      .join(broadcast(v.select(col("token").as("t2"), col("tid").as("tid2"))), "t2")
+      .join(broadcast(v.select(col("token").as("t3"), col("tid").as("tid3"))), "t3")
+      .select(col("doc_id"),
+        ((col("tid1") * 131 * 131 + col("tid2") * 131 + col("tid3")) % P).as("h"))
+    h.groupBy("doc_id")
+      .agg(min("h").as("fp_min"),
+        countDistinct("h").as("n_shingles"),
+        countDistinct(when(col("h") % 16 === 0, col("h"))).as("n_winnowed"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal column plumbing, oracle-checkable slice: treat each
+    * document's UTF-8 bytes as an opaque binary asset (the corpus ships no
+    * real media; `encode(text)` stands in for image bytes — see
+    * [[graft.multimodal.Multimodal]] for the typed decode/feature pipeline
+    * with the stubbed codec). This query proves the binary column path:
+    * byte length, content fingerprint (md5 of the bytes), and deterministic
+    * fake decode metadata derived from the byte stream.
+    */
+  val q34 = Q("q34_multimodal_meta",
+    """SELECT doc_id AS asset_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  substr(md5(text), 1, 8) AS fingerprint,
+      |  CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+      |  CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height,
+      |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY asset_id""".stripMargin) { (s, dir) =>
+    val bytes = col("text").cast("binary")
+    val nBytes = length(bytes).cast("long")
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id").as("asset_id"),
+        nBytes.as("n_bytes"),
+        substring(md5(bytes), 1, 8).as("fingerprint"),
+        (nBytes % 640 + 16).as("width"),
+        (nBytes % 480 + 16).as("height"),
+        (nBytes % 30 + 1).as("n_frames"))
+      .orderBy("asset_id")
+  }
+
+  val all: Seq[Q] = Seq(q26, q27, q28, q29, q30, q31, q32, q33, q34)
+}
