@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{TierFour, TierOne, TierThree, TierTwo}
+import org.apache.spark.sql.functions._
+
+/** Batch operator semantics (SURVEY.md §5.2 item 2): invariants the DuckDB
+  * oracle can't express — cross-query equivalences, sketch-vs-exact
+  * containment, idempotence.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("q07 single-stage ≡ q08 two-stage trending (partial+final equivalence)") {
+    val a = TierOne.q07.run(spark, sf).collect().toSeq
+    val b = TierOne.q08.run(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("every query returns rows and a fixed schema at sf0.001") {
+    SparkEntry.declared.foreach { q =>
+      val df = q.run(spark, sf)
+      assert(df.columns.nonEmpty, q.name)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("dedup is idempotent: re-deduping survivors changes nothing") {
+    val survivors = TierThree.q22.run(spark, sf).select("doc_id")
+    val docs = Tables.load(spark, sf, "documents").join(survivors, "doc_id")
+    val again = docs.groupBy(sha2(col("text"), 256))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n"))
+    assert(again.filter(col("n") > 1).count() == 0)
+    assert(again.count() == survivors.count())
+  }
+
+  test("jaccard output is symmetric-canonical (a<b) and within (0,1]") {
+    val j = TierThree.q23.run(spark, sf).collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val v = r.getDouble(2)
+      assert(v >= 0.6 && v <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates are a subset of exact near-dups (no false positives after verify)") {
+    val exact = TierThree.q23.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TierFour.q26.run(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified LSH pairs must all be exact near-dups")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.8, s"LSH recall too low: $recall")
+  }
+
+  test("ANN-LSH results are true neighbors: cos values match brute-force for shared ids") {
+    val brute = TierThree.q24.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approxAll = TierFour.q29.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(approxAll.nonEmpty)
+    // cosine computed identically: wherever both report an id, values agree
+    approxAll.collect { case (id, c) if brute.contains(id) =>
+      assert(math.abs(brute(id) - c) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("simhash of identical texts is identical") {
+    import spark.implicits._
+    val dupes = Seq(
+      (1L, "alpha beta gamma delta", "en", "s", 22L),
+      (2L, "alpha beta gamma delta", "en", "s", 22L),
+      (3L, "totally different words here", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    dupes.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sh = TierFour.q27.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = TierTwo.q19.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("q01 pushes filter and prunes columns into the parquet scan") {
+    val plan = TierOne.q01.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"), plan.take(800))
+    assert(!plan.contains("props"), "unused column must not be read")
+  }
+
+  test("q15 broadcasts the dimension side") {
+    val plan = TierTwo.q15.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+}
