@@ -23,6 +23,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // queries persist() small shared intermediates; drop them so the timed
+      // pass never reads the warm-up's cache
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

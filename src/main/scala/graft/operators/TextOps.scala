@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared text-operator building blocks for the dedup/similarity tiers.
+  *
+  * The vocabulary id (`tid`, dense rank by token) is the backbone of every
+  * deterministic hash in Tier 3/4 — and also enables a dictionary-encoding
+  * fast path: when the corpus vocabulary fits in 64 bits, a document's
+  * distinct-token SET is one BIGINT bitmask and set intersection is
+  * `bit_count(maskA & maskB)` — a codegen'd O(1) per pair instead of a
+  * token-join row explosion. The dispatch is adaptive (a cheap count on the
+  * DISTINCT-token side decides), mirroring how columnar engines pick
+  * dictionary encodings per column chunk at runtime.
+  */
+object TextOps {
+
+  /** Distinct (doc_id, token) pairs from `documents`. */
+  def tok(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+
+  /** Vocabulary with dense 1-based integer ids (rank by token; ties
+    * impossible on DISTINCT input). O(|vocab|) global sort — at 100 TB the
+    * vocabulary is still tiny relative to the corpus and is broadcast back.
+    */
+  def vocab(t: DataFrame): DataFrame =
+    t.select("token").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("token")).cast("long"))
+
+  /** (doc_id, tid) with the vocabulary join applied. */
+  def tokid(t: DataFrame, v: DataFrame): DataFrame =
+    t.join(broadcast(v), "token").select("doc_id", "tid")
+
+  /** Per-doc distinct-token set as (doc_id, mask BIGINT, n). Only valid when
+    * the vocabulary size is ≤ 64 (caller checks). */
+  def tokenMasks(tokid: DataFrame): DataFrame =
+    tokid.groupBy("doc_id").agg(
+      sum(expr("shiftleft(cast(1 as bigint), cast(tid - 1 as int))")).as("mask"),
+      count(lit(1)).as("n"))
+
+  /** Per-doc sorted distinct tid array as (doc_id, tids, n) — the generic
+    * (any vocabulary size) set representation for candidate verification:
+    * `array_intersect` per candidate pair is O(set size) with zero row
+    * explosion, vs. the naive token-join whose output is
+    * Σ_token df(token)². */
+  def tokenArrays(tokid: DataFrame): DataFrame =
+    tokid.groupBy("doc_id").agg(
+      array_sort(collect_list(col("tid"))).as("tids"),
+      count(lit(1)).as("n"))
+}

@@ -32,18 +32,7 @@ object TierFour {
   private val A0 = 2654435761L
   private val B0 = 40503L
 
-  /** Distinct (doc_id, token) pairs. */
-  private def tok(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .distinct()
-
-  /** Vocabulary with dense integer ids (rank by token — deterministic in both
-    * engines; ties impossible on DISTINCT input). */
-  private def vocab(t: DataFrame): DataFrame =
-    t.select("token").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("token")).cast("long"))
+  import TextOps.{tok, vocab}
 
   private val tokSql =
     """tok AS (
@@ -92,7 +81,7 @@ object TierFour {
        |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val t = tok(s, dir)
     val v = vocab(t)
-    val tokid = t.join(v, "token").select("doc_id", "tid")
+    val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
     val perm = s.range(32).select(col("id").as("i"))
       .withColumn("a", (lit(A0) * (col("i") + 1)) % P)
       .withColumn("b", (lit(B0) * (col("i") + 1)) % P)
@@ -104,19 +93,31 @@ object TierFour {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("mh")))),
           x => x.getField("mh").cast("string")), ",").as("bkey"))
+      .persist() // both sides of the bucket self-join
     val cand = band.as("x").join(band.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sz = tokid.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(tokid.select(col("doc_id").as("doc_a"), col("tid")), "doc_a")
-      .join(tokid.select(col("doc_id").as("doc_b"), col("tid")), Seq("doc_b", "tid"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // Verification: per-candidate set intersection WITHOUT a token-join row
+    // explosion — bitmask `bit_count(ma & mb)` when the vocabulary fits in
+    // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
+    // pair; the naive cand⋈tokens⋈tokens join was the r02 bench hotspot).
+    val verified =
+      if (v.count() <= 64) {
+        val m = TextOps.tokenMasks(tokid).persist()
+        cand
+          .join(m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na")), "doc_a")
+          .join(m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb")), "doc_b")
+          .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)"))
+      } else {
+        val m = TextOps.tokenArrays(tokid).persist()
+        cand
+          .join(m.select(col("doc_id").as("doc_a"), col("tids").as("ta"), col("n").as("na")), "doc_a")
+          .join(m.select(col("doc_id").as("doc_b"), col("tids").as("tb"), col("n").as("nb")), "doc_b")
+          .withColumn("i", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      }
+    verified
       .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("j") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
@@ -149,9 +150,8 @@ object TierFour {
     val cnts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-    val v = vocab(cnts.select("doc_id", "token").distinct()
-      .select(col("doc_id"), col("token")))
-    val cntid = cnts.join(v, "token").select("doc_id", "tid", "cnt")
+    val v = vocab(cnts)
+    val cntid = cnts.join(broadcast(v), "token").select("doc_id", "tid", "cnt")
     val bits = s.range(63).select(col("id").as("j"))
     val acc = cntid.crossJoin(broadcast(bits))
       .withColumn("bit",
@@ -170,6 +170,15 @@ object TierFour {
     * Shingles are built positionally from the split array (list_transform /
     * `transform` over the index range — no window function, no per-row
     * state), so shingling is embarrassingly parallel at any scale.
+    *
+    * Spark plan: PPJoin-style prefix filtering. Shingles get dense ids
+    * ordered rarest-first (document frequency ASC); for J ≥ 4/5 two docs
+    * must share one of their first `n − ⌈4n/5⌉ + 1` rarest shingles, so the
+    * candidate join runs on that ~20% prefix (of the RAREST postings — the
+    * skewed hot shingles never enter the join), then candidates are
+    * verified exactly with one `array_intersect` per pair. Same output as
+    * the oracle's full self-join, at a fraction of the join volume — this
+    * is the standard exact-set-similarity plan at scale.
     */
   val q28 = Q("q28_ngram_jaccard",
     """WITH arr AS (
@@ -197,14 +206,28 @@ object TierFour {
           k => concat_ws(" ", element_at(col("l"), k + 1), element_at(col("l"), k + 2))))
           .as("shingle"))
       .distinct()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // dense shingle ids, rarest-first (global order shared by all docs)
+    val sv = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("sid", row_number()
+        .over(Window.orderBy(col("df").asc, col("shingle").asc)).cast("long"))
+      .select("shingle", "sid")
+    val arrs = sh.join(broadcast(sv), "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("sid"))).as("sids"), count(lit(1)).as("n"))
+      .persist()
+    // prefix-filter candidates: share one of the first n−⌈4n/5⌉+1 rarest sids
+    val prefix = arrs.select(col("doc_id"), col("n"),
+      explode(expr("slice(sids, 1, cast(n - floor((4*n + 4) / 5) + 1 as int))")).as("sid"))
+    // prefix match + length filter: J ≥ 4/5 ⇒ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|)
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id")
+          && col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sids").as("sa"), col("n").as("na")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sids").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
@@ -400,7 +423,7 @@ object TierFour {
        |       CAST(count(DISTINCT CASE WHEN h % 16 = 0 THEN h END) AS BIGINT) AS n_winnowed
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val t = tok(s, dir)
-    val v = vocab(t)
+    val v = vocab(t).persist() // broadcast three times (t1/t2/t3 joins)
     val arr = Tables.load(s, dir, "documents")
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
     val sh = arr

@@ -28,15 +28,22 @@ object TierThree {
   }
 
   /** Near-duplicate pairs by exact token-set Jaccard ≥ 0.6 (doc_a < doc_b).
-    * Algorithm (both sides): distinct tokens per doc → self-join on token
-    * (the shared-token prefilter: pairs sharing NO token never materialize)
-    * → per-pair intersection count → J = |∩| / (|A|+|B|−|∩|).
+    * Semantics (oracle side): distinct tokens per doc → self-join on token
+    * (pairs sharing NO token never materialize) → per-pair intersection
+    * count → J = |∩| / (|A|+|B|−|∩|).
     *
-    * Scale: the token self-join shuffles on token, so hot tokens dominate
-    * cost — the production path for 100 TB is [[TierFour.q26]] (MinHash+LSH,
-    * candidate generation without the full token join); this exact variant
-    * is the correctness anchor the sketch is validated against. The pair
-    * aggregation is partial+final on (doc_a, doc_b).
+    * The Spark plan is ADAPTIVE ([[TextOps]]): when the corpus vocabulary
+    * fits in 64 bits (this corpus: 31 tokens), each doc's token set is a
+    * BIGINT bitmask and the pair loop is a broadcast nested-loop with
+    * codegen'd `bit_count(maskA & maskB)` + a Jaccard length prefilter
+    * (J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t) — no token-join row explosion
+    * (Σ df(token)² ≈ 2·10^8 rows at sf0.1 collapses to the 1.25·10^7
+    * surviving pairs). Large vocabularies fall back to the token join.
+    *
+    * Scale: exact all-pairs is inherently O(n²) in candidate space — the
+    * 100 TB production path is [[TierFour.q26]] (MinHash+LSH pruning);
+    * this exact variant is the correctness anchor the sketch is validated
+    * against.
     */
   val q23 = Q("q23_near_dup_jaccard",
     """WITH tok AS (
@@ -54,22 +61,35 @@ object TierThree {
       |  JOIN sz sa ON sa.doc_id = doc_a
       |  JOIN sz sb ON sb.doc_id = doc_b)
       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val tok = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .distinct()
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = tok.select(col("doc_id").as("doc_a"), col("token"))
-    val b = tok.select(col("doc_id").as("doc_b"), col("token"))
-    val inter = a.join(b, a("token") === b("token") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    val t = TextOps.tok(s, dir)
+    val v = TextOps.vocab(t)
+    val jaccardOut = (df: org.apache.spark.sql.DataFrame) => df
       .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("j") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+    if (v.count() <= 64) {
+      // dictionary fast path: one BIGINT mask per doc, broadcast NLJ pairs
+      val m = TextOps.tokenMasks(TextOps.tokid(t, v)).persist()
+      val a = m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na"))
+      val b = m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb"))
+      jaccardOut(
+        // length prefilter: J ≥ 3/5 ⇒ 5·min(|A|,|B|) ≥ 3·max(|A|,|B|)
+        a.join(b, col("doc_a") < col("doc_b")
+            && col("na") * 5 >= col("nb") * 3 && col("nb") * 5 >= col("na") * 3
+            && (col("ma").bitwiseAND(col("mb")) =!= 0))
+          .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)")))
+    } else {
+      // generic path: shared-token prefilter self-join + pair aggregation
+      val sz = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = t.select(col("doc_id").as("doc_a"), col("token"))
+      val b = t.select(col("doc_id").as("doc_b"), col("token"))
+      val inter = a.join(b, a("token") === b("token") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      jaccardOut(inter
+        .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b"))
+    }
   }
 
   /** Brute-force cosine top-k: the 10 nearest neighbors of vec_id=0 over
