@@ -133,9 +133,9 @@ object TierTwo {
   /** Exact count(DISTINCT user_id) per event_type. Catalyst plans this as
     * expand + two-level aggregate (dedup on (type, user) first, then count)
     * — the same shape that scales; `approx_count_distinct` (HLL) is the
-    * sketch variant, exposed in [[graft.functions]] and tested by tolerance
-    * in ScalaTest (nondeterministic vs DuckDB, so not oracle-declared —
-    * SURVEY.md §2.3).
+    * sketch variant, exposed in [[graft.functions.Sketches]] and tested by
+    * tolerance in ScalaTest (nondeterministic vs DuckDB, so not
+    * oracle-declared — SURVEY.md §2.3).
     */
   val q17 = Q("q17_distinct",
     """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS users
