@@ -14,7 +14,8 @@ object SparkEntry {
   /** All declared queries, tier by tier (SURVEY.md §2.3). */
   def declared: Seq[Q] =
     operators.TierOne.all ++ operators.TierTwo.all ++
-      operators.TierThree.all ++ operators.TierFour.all
+      operators.TierThree.all ++ operators.TierFour.all ++
+      operators.TierFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 5 — remaining breadth: embedding-space dedup, session windows,
+  * interval (range) joins, and the typed-UDAF capability proof
+  * (SURVEY.md §2.2/§4.3).
+  */
+object TierFive {
+
+  /** Embedding-cosine near-duplicate pairs (the vector-space dedup modality;
+    * text-space variants are q23/q26/q28): all pairs with cosine ≥ 0.45,
+    * exact double math identical to q24's. This is the exact anchor —
+    * O(n²) pairs with a fused codegen'd dot product per pair (BNLJ over a
+    * broadcast side, no shuffle); the 100 TB path is bucketed LSH exactly as
+    * [[TierFour.q29]] (bucket id as join/cluster key), validated against
+    * this output.
+    */
+  val q35 = Q("q35_embedding_near_dup",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |SELECT vec_id_a, vec_id_b, round(c, 6) AS cos FROM (
+      |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |         list_dot_product(a.e, b.e) /
+      |         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+      |WHERE c >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin) { (s, dir) =>
+    val v = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    val a = v.select(col("vec_id").as("vec_id_a"), col("e").as("ea"))
+    val b = v.select(col("vec_id").as("vec_id_b"), col("e").as("eb"))
+    a.join(b, col("vec_id_a") < col("vec_id_b"))
+      .withColumn("c", dot(col("ea"), col("eb")) /
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** Session windows (absent from the reference, whose windows are all
+    * fixed-size — SURVEY.md §2.2): per-user sessions with a 6-hour
+    * inactivity gap via Spark's native `session_window`, which merges an
+    * event into the current session while it arrives strictly within gap of
+    * the last one. The oracle reproduces that with the gaps-and-islands
+    * idiom (lag → break flag → running sum). Session state partitions by
+    * user — shuffle on the key, no global ordering anywhere.
+    */
+  val q36 = Q("q36_session_window",
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Interval (range) join: for every error event, how many events did the
+    * same user produce in the preceding 24 hours. Equi-join on user_id
+    * carries the shuffle; the range predicate filters inside the joined
+    * stream — the standard scalable shape (at extreme per-key volumes the
+    * refinement is bucketing ts into day-grain join keys so the range probe
+    * touches only adjacent buckets). The reference has no joins at all.
+    */
+  val q37 = Q("q37_interval_join",
+    """SELECT e.event_id, CAST(count(p.event_id) AS BIGINT) AS prior_events
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      |LEFT JOIN events p
+      |  ON p.user_id = e.user_id
+      | AND p.ts >= e.ts - INTERVAL 24 HOUR AND p.ts < e.ts
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("u"), col("ts").as("t0"))
+    val prior = events.select(col("event_id").as("pid"), col("user_id"), col("ts"))
+    errors.join(prior,
+        col("user_id") === col("u")
+          && col("ts") >= col("t0") - expr("INTERVAL 24 HOURS")
+          && col("ts") < col("t0"),
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("pid")).as("prior_events"))
+      .orderBy("event_id")
+  }
+
+  /** Typed-UDAF capability proof (SURVEY.md §4.3 item 2): the reference's
+    * `CustomSumAggregator` (Main.java:358-383) as a Scala
+    * `Aggregator[Long,Long,Long]` ([[graft.functions.TypedSum]]) registered
+    * through `udaf()`, summing exact integer cents per event_type. The plan
+    * is the same partial+final HashAggregate the built-in `sum` gets —
+    * `merge` runs post-shuffle exactly like Flink's accumulator merge.
+    */
+  val q38 = Q("q38_typed_agg",
+    """SELECT event_type,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val typedSum = udaf(graft.functions.TypedSum)
+    Tables.load(s, dir, "events")
+      .withColumn("cents_in", round(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(typedSum(col("cents_in")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38)
+}
