@@ -25,15 +25,17 @@ object TierFive {
       |         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
       |WHERE c >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin) { (s, dir) =>
+    graft.expressions.GraftFunctions.register(s)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    // norms once per vector (O(n)), one codegen'd dot per pair (O(n²))
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
-    val a = v.select(col("vec_id").as("vec_id_a"), col("e").as("ea"))
-    val b = v.select(col("vec_id").as("vec_id_b"), col("e").as("eb"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    val a = v.select(col("vec_id").as("vec_id_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vec_id_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_id_a") < col("vec_id_b"))
-      .withColumn("c", dot(col("ea"), col("eb")) /
-        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("c") >= 0.45)
       .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos"))
       .orderBy("vec_id_a", "vec_id_b")

@@ -258,14 +258,14 @@ object TierFour {
       |FROM v JOIN bkt USING (vec_id) CROSS JOIN q
       |WHERE bkt.bucket = qb AND vec_id <> 0
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.expressions.GraftFunctions.register(s)
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val planes = s.range(4).select(col("id").as("p"))
       .withColumn("r", transform(sequence(lit(0), lit(63)),
         j => (((col("p") + 1) * lit(2654435761L) + (j + 1) * lit(40503L)) % 1009 - 504)
           .cast("double")))
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
     val bkt = v.crossJoin(broadcast(planes))
       .withColumn("bit", when(dot(col("e"), col("r")) >= 0, 1L).otherwise(0L))
       .groupBy("vec_id")

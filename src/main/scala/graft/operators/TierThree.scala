@@ -112,11 +112,11 @@ object TierThree {
       |     sqrt(list_dot_product(qv, qv))), 6) AS cos
       |FROM embeddings, q WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.expressions.GraftFunctions.register(s)
     val emb = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    def dot(x: String, y: String) =
-      aggregate(zip_with(col(x), col(y), (a, b) => a * b), lit(0.0), (acc, z) => acc + z)
+    def dot(x: String, y: String) = call_function("graft_dot", col(x), col(y))
     emb.filter(col("vec_id") =!= 0)
       .join(broadcast(q))
       .withColumn("cos", dot("v", "qv") / (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))))
