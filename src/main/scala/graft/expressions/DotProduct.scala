@@ -81,3 +81,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
 }
+
+/** `SparkSessionExtensions` entry point — the supported way to get the
+  * engine's native expressions into a session you don't build yourself:
+  * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`.
+  * [[GraftFunctions.register]] is the imperative equivalent for sessions
+  * already running.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+}

@@ -33,6 +33,12 @@ class ExpressionSpec extends SparkSpec {
     assert(rows.head.isNullAt(1))
   }
 
+  test("GraftExtensions injects graft_dot via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.expressions.GraftExtensions().apply(ext) // must not throw
+    // runtime resolution via the registry path is covered by the tests above
+  }
+
   test("graft_dot runs inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val v = Tables.load(spark, sf, "embeddings")
