@@ -36,8 +36,10 @@ object TweetPipelines {
     StructField("lang", StringType)))
 
   /** Kafka source (reference S1, Main.java:57-64): value bytes as UTF-8
-    * strings from the subscribed topic. Not exercised in tests (no broker
-    * in the environment) — MemoryStream provides the same `value` column.
+    * strings from the subscribed topic. Requires the spark-sql-kafka
+    * connector jar on the classpath (not shipped in this build environment,
+    * where no broker exists either) — tests drive the identical `value`
+    * column through MemoryStream instead.
     */
   def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
     spark.readStream

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** The shuffle-management techniques SURVEY.md §2.2 commits to for 100 TB:
+  * bucketed co-located joins (no Exchange at join time) and salted
+  * aggregation for skewed keys (same answer, parallel hot key).
+  */
+class ScaleTechniqueSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no shuffle Exchange in the plan") {
+    // warehouse dir is a temp dir set by SparkSpec (static conf)
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() == orders.count()) // every order has a customer
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val events = Tables.load(spark, sf, "events")
+    val direct = events.groupBy(col("event_type").as("k"))
+      .agg(sum(col("value")).as("total"))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    val salted = Skew.saltedSum(events, col("event_type"), col("value"), salts = 16)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(salted == direct)
+    // and the salted first phase really fans the hot key out
+    val phase1Groups = events
+      .groupBy(col("event_type"), pmod(hash(col("value")), lit(16)))
+      .count().count()
+    assert(phase1Groups > direct.size, "salt must split groups")
+  }
+}
