@@ -106,7 +106,7 @@ object TweetPipelines {
     * + 5 s ContinuousProcessingTimeTrigger.
     */
   def runningTotal(tweets: DataFrame): DataFrame =
-    tweets.agg(count(lit(1)).as("total_tweets"))
+    tweets.agg(count(lit(1)).as("total_tweets"), max(col("ts")).as("as_of"))
 
   /** W5/A6 tweets-per-second (Main.java:159-175): tumbling 1 s event-time
     * count, appended once the watermark passes window end.
