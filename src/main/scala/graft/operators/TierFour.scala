@@ -93,12 +93,30 @@ object TierFour {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("i"), col("mh")))),
           x => x.getField("mh").cast("string")), ",").as("bkey"))
+    // Each doc's 8 band keys as an ordered array; the bucket self-join emits
+    // a pair ONLY from its FIRST matching band ("no earlier band matched",
+    // unrolled to 7 codegen'd comparisons) — exactly-once semantics with NO
+    // distinct afterwards. (A pair matching k bands would otherwise surface
+    // k times; deduping those ~5·10^7 rows was the measured r02 hotspot,
+    // 9 s of the query's 8-16 s.)
+    val bkeys = band.groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
+        x => x.getField("bkey")).as("ks"))
       .persist() // both sides of the bucket self-join
-    val cand = band.as("x").join(band.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val postings = bkeys.select(col("doc_id"), col("ks"),
+      posexplode(col("ks")).as(Seq("band", "bkey")))
+    val x = postings.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
+      col("band"), col("bkey"))
+    val y = postings.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+    val earlierBandMatched = (0 until 7)
+      .map(b => col("band") > b &&
+        element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
+      .reduce(_ || _)
+    val cand = x.join(y,
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b") && !earlierBandMatched)
+      .select(col("doc_a"), col("doc_b"))
     // Verification: per-candidate set intersection WITHOUT a token-join row
     // explosion — bitmask `bit_count(ma & mb)` when the vocabulary fits in
     // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
