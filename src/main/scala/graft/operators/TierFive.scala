@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier 5 — remaining breadth: embedding-space dedup, session windows,
@@ -116,5 +117,65 @@ object TierFive {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38)
+  /** Pivot (cross-tab): hour-of-day × event_type counts. The pivot VALUES
+    * are pinned explicitly — `pivot(col)` without values runs a distinct
+    * discovery job over the data first, which at 100 TB is a full scan
+    * before planning even starts; a declared domain keeps it one pass.
+    * Oracle: FILTERed aggregates producing identical column names.
+    */
+  val q39 = Q("q39_pivot",
+    """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.load(s, dir, "events")
+      .groupBy(hour(col("ts")).cast("long").as("hour"))
+      .pivot("event_type", types)
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L, types)
+      .orderBy("hour")
+  }
+
+  /** Exact percentiles per group: median and p90 of `value`. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both do linear interpolation
+    * over the sorted values — identical doubles, rounded at the boundary.
+    * (The sketch counterpart for 100 TB is approxQuantile —
+    * [[graft.functions.Sketches]].)
+    */
+  val q40 = Q("q40_percentile",
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("event_type")
+  }
+
+  /** Moving aggregate over a row frame: per-user 3-event trailing average.
+    * The frame order is total ((ts, event_id)), so the ≤3-element float sum
+    * happens in the same sequence on both engines. Shuffles once on
+    * user_id; sort is within partitions only.
+    */
+  val q41 = Q("q41_moving_avg",
+    """SELECT event_id, user_id, round(avg(value) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 6).as("mavg"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q41)
 }
