@@ -177,5 +177,37 @@ object TierFive {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q41)
+  /** As-of join — an operator Spark lacks natively, composed from built-ins
+    * per the preference order (SURVEY.md engine rules: compose > custom
+    * plan): for each error event, the most recent SAME-USER purchase
+    * strictly before it in the total order (ts, event_id). One union + one
+    * windowed `last(… IGNORE NULLS)` over a preceding-rows frame — a single
+    * shuffle on user_id, no per-row subquery, no range join blow-up. DuckDB
+    * mirrors the identical window formulation (its native ASOF JOIN has
+    * subtly different tie semantics, so both sides pin this one).
+    */
+  val q42 = Q("q42_asof_join",
+    """WITH u AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         CASE WHEN event_type = 'purchase' THEN event_id END AS pid
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, event_type,
+      |         last_value(pid IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_id
+      |  FROM u)
+      |SELECT event_id, last_purchase_id FROM m WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .withColumn("pid", when(col("event_type") === "purchase", col("event_id")))
+      .withColumn("last_purchase_id", last(col("pid"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select("event_id", "last_purchase_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source-format breadth (SURVEY.md §2.2 scans/sources): the engine's pinned
+  * schemas read the same data through csv and json as through parquet —
+  * schema declared, never inferred, for every format.
+  */
+class SourceFormatSpec extends SparkSpec {
+
+  test("csv and json roundtrips preserve the events slice under pinned schemas") {
+    val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
+    val slice = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(200)
+    slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    slice.write.mode("overwrite").json(s"$tmp/json")
+    val schema = slice.schema
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
+    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+    val base = slice.collect().map(_.toSeq).toSet
+    assert(fromCsv.collect().map(_.toSeq).toSet == base)
+    assert(fromJson.collect().map(_.toSeq).toSet == base)
+  }
+
+  test("malformed csv rows are isolated, not fatal (PERMISSIVE + corrupt-record column)") {
+    val tmp = java.nio.file.Files.createTempDirectory("badcsv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/x.csv"),
+      "1,alpha,2.5\nnot-a-long,beta,3.5\n3,gamma,4.5\n")
+    val df = spark.read
+      .schema("id LONG, name STRING, v DOUBLE, _corrupt_record STRING")
+      .csv(s"$tmp/x.csv")
+      .cache() // corrupt-record column requires materialization before filter
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    df.unpersist()
+  }
+}
