@@ -116,6 +116,19 @@ object TweetPipelines {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.end").as("window_end"), col("cnt"))
 
+  /** Streaming exact deduplication — the streaming face of batch q22 (and
+    * of the Tier-3/4 dedup family): drop repeated payloads across
+    * micro-batches using keyed state, bounded by the watermark so state for
+    * expired event times is reclaimed (unbounded dedup state is the classic
+    * streaming-job OOM at scale). Built-in `dropDuplicatesWithinWatermark`
+    * — the state key is the sha2 digest, not the payload, for the same
+    * shuffle-width reason as q22.
+    */
+  def dedupedTweets(tweets: DataFrame): DataFrame =
+    tweets.withColumn("text_hash", sha2(col("text"), 256))
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash")
+
   /** Pipeline A's two-stage shape (Main.java:85-102) as chained stateful
     * aggregations (Spark ≥3.4 multiple-stateful-operator support, append
     * mode): stage 1 pre-aggregates per (tumbling sub-window, hashtag);

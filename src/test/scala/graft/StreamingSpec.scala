@@ -158,6 +158,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s08: streaming dedup drops repeated payloads across batches, state bounded by watermark") {
+    val in = MemoryStream[String]
+    val deduped = TweetPipelines.dedupedTweets(
+      TweetPipelines.withLateness(TweetPipelines.parse(in.toDF())))
+      .select("text", "createdAt")
+    val (q, table) = startQuery(deduped, "s08_dedup", "append")
+    try {
+      in.addData(tweet("same payload", 1000), tweet("same payload", 2000),
+        tweet("other payload", 3000))
+      q.processAllAvailable()
+      in.addData(tweet("same payload", 4000)) // later batch, still a dup
+      q.processAllAvailable()
+      val texts = table().collect().map(_.getString(0)).toSeq.sorted
+      assert(texts == Seq("other payload", "same payload"), s"got $texts")
+    } finally q.stop()
+  }
+
   test("s06: chained stateful aggregation — two-stage windowed counts, append (pipeline A shape)") {
     val in = MemoryStream[String]
     val two = TweetPipelines.twoStageCounts(
