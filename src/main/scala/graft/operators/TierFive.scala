@@ -209,5 +209,78 @@ object TierFive {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q41, q42)
+  /** IVF-style ANN — the coarse-quantization scale path for q24 (the other
+    * being q29's hyperplane LSH): vectors are partitioned into cells (here
+    * the corpus' `label` plays the inverted-file cell id — a k-means
+    * assignment in a production build), each cell gets a centroid, and a
+    * query probes ONLY the nearest centroid's cell — at 10 cells a probe
+    * scans ~10% of the table, and the cell id doubles as the partition key
+    * at 100 TB. Centroids are per-dimension means ROUNDED to 6 dp (rounding
+    * absorbs cross-engine partial-sum ordering in the mean; magnitudes ≲1,
+    * error ~1e-15 against a 5e-7 boundary).
+    */
+  val q43 = Q("q43_ann_ivf",
+    """WITH pos AS (SELECT unnest(range(1, 65)) AS j),
+      |vals AS (
+      |  SELECT label, j, embedding[j]::DOUBLE AS v FROM embeddings CROSS JOIN pos),
+      |cent AS (
+      |  SELECT label, list(round(av, 6) ORDER BY j) AS c FROM (
+      |    SELECT label, j, avg(v) AS av FROM vals GROUP BY 1, 2) GROUP BY label),
+      |q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |best AS (
+      |  SELECT label FROM cent CROSS JOIN q0
+      |  ORDER BY list_dot_product(c, qv) /
+      |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC, label ASC
+      |  LIMIT 1)
+      |SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], qv) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM embeddings e JOIN best ON e.label = best.label CROSS JOIN q0
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.expressions.GraftFunctions.register(s)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    def cos(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val cent = emb
+      .select(col("label"), posexplode(col("e")).as(Seq("j", "v")))
+      .groupBy("label", "j").agg(round(avg(col("v")), 6).as("av"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("av")))),
+        x => x.getField("av")).as("c"))
+    val q0 = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
+    val best = cent.join(broadcast(q0))
+      .orderBy(cos(col("c"), col("qv")).desc, col("label").asc)
+      .limit(1).select("label")
+    emb.join(broadcast(best), "label")
+      .join(broadcast(q0))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(cos(col("e"), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Edit-distance scalar (text-similarity breadth): Levenshtein over the
+    * event-type vocabulary pairs — both engines ship the identical DP
+    * algorithm as a codegen'd scalar.
+    */
+  val q44 = Q("q44_edit_distance",
+    """WITH t AS (SELECT DISTINCT event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |       CAST(levenshtein(a.event_type, b.event_type) AS BIGINT) AS dist
+      |FROM t a JOIN t b ON a.event_type < b.event_type
+      |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val t = Tables.load(s, dir, "events").select("event_type").distinct()
+    val a = t.select(col("event_type").as("type_a"))
+    val b = t.select(col("event_type").as("type_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        levenshtein(col("type_a"), col("type_b")).cast("long").as("dist"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val all: Seq[Q] = Seq(q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }
