@@ -1,18 +1,19 @@
 package graft.operators
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Distributed cumulative count — the 100 TB path for q09's running total.
+/** Distributed rank/prefix-sum — the 100 TB replacement for partitionless
+  * window functions.
   *
-  * `count(*) OVER (ORDER BY …)` forces every row through ONE task (Spark
-  * warns "No Partition Defined for Window operation"); fine at sf0.1,
-  * impossible at 100 TB. The scalable shape is the classic two-pass prefix
-  * sum:
+  * `row_number()/count(*) OVER (ORDER BY …)` forces every row through ONE
+  * task (Spark warns "No Partition Defined for Window operation"); fine at
+  * sf0.1, impossible at 100 TB. The scalable shape is the classic two-pass
+  * prefix sum:
   *   1. range-partition + sort by the total order (shuffle, parallel);
   *      persist so the sampled range boundaries are pinned across jobs —
   *      re-executing `repartitionByRange` resamples and would misalign the
@@ -22,19 +23,26 @@ import org.apache.spark.sql.types._
   *   3. per-partition scan adds (exclusive prefix offset + local index).
   *
   * Output is identical to the window-function formulation by construction
-  * (the order (ts, event_id) is total); [[graft.CumulativeSpec]] pins
-  * equality row-for-row.
+  * (provided the sort key is a total order); [[graft.CumulativeSpec]] pins
+  * equality row-for-row. [[rowNumber]] is the generic form, used for the
+  * vocabulary / shingle id assignment in [[TextOps.vocab]] and TierFour —
+  * a 100 TB web corpus has 10⁹+ distinct tokens, so even the "small" id
+  * table must never pass through a single-partition sort.
   */
 object Cumulative {
 
-  /** Cumulative count over the total order (ts, event_id); returns
-    * (event_id, ts, running_cnt). */
-  def runningCount(spark: SparkSession, events: DataFrame, partitions: Int = 0): DataFrame = {
+  /** Append `outName` = 1-based BIGINT `row_number()` over the given TOTAL
+    * order (duplicate sort keys would make the assignment within the tie
+    * nondeterministic — callers pass a key that is unique by construction).
+    * No single-partition stage anywhere in the plan.
+    */
+  def rowNumber(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      outName: String, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = events.select(col("event_id"), col("ts"))
-      .repartitionByRange(p, col("ts"), col("event_id"))
-      .sortWithinPartitions("ts", "event_id")
+    val parted = df
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .persist() // pin sampled range boundaries across the two passes
     val perPartition = parted
       .groupBy(spark_partition_id().as("pid")).count()
@@ -42,18 +50,21 @@ object Cumulative {
     val offsets = (0 until p).scanLeft(0L) {
       case (acc, pid) => acc + perPartition.getOrElse(pid, 0L)
     }.toArray // exclusive prefix: offsets(pid) = rows before partition pid
-    val outSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", TimestampNTZType),
-      StructField("running_cnt", LongType)))
+    val outSchema = StructType(df.schema.fields :+ StructField(outName, LongType))
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
     parted.mapPartitions { it =>
       val base = offsets(TaskContext.getPartitionId())
       var i = 0L
       it.map { r =>
         i += 1
-        Row(r.getLong(0), r.getAs[java.time.LocalDateTime](1), base + i)
+        Row.fromSeq(r.toSeq :+ (base + i))
       }
     }
   }
+
+  /** Cumulative count over the total order (ts, event_id); returns
+    * (event_id, ts, running_cnt). */
+  def runningCount(spark: SparkSession, events: DataFrame, partitions: Int = 0): DataFrame =
+    rowNumber(spark, events.select(col("event_id"), col("ts")),
+      Seq(col("ts"), col("event_id")), "running_cnt", partitions)
 }

@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregation: `df.groupBy(key).agg(sum(valueCol))`
-    * with the first phase salted `salts` ways. The salt is derived from a
-    * hash of the whole row's value column (deterministic, no rand() — keeps
-    * retries/speculative tasks consistent).
+    * with the first phase salted `salts` ways. The salt is the input
+    * partition id (mod `salts`): deterministic under task retry/speculation
+    * (a re-run task re-reads the same partition), and — unlike hashing the
+    * VALUE column — it still fans out a hot key whose rows all carry one
+    * constant value (the common skew shape, e.g. a counter). Caveat: a hot
+    * key concentrated in a single INPUT partition stays on one salt;
+    * repartition the input first if the source isn't already spread.
     */
   def saltedSum(df: DataFrame, key: Column, valueCol: Column, salts: Int): DataFrame = {
-    val salted = df.groupBy(key.as("k"), (pmod(hash(valueCol), lit(salts))).as("salt"))
+    val salted = df.groupBy(key.as("k"), pmod(spark_partition_id(), lit(salts)).as("salt"))
       .agg(sum(valueCol).as("partial"))
     salted.groupBy(col("k")).agg(sum(col("partial")).as("total"))
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared text-operator building blocks for the dedup/similarity tiers.
@@ -26,12 +25,16 @@ object TextOps {
       .distinct()
 
   /** Vocabulary with dense 1-based integer ids (rank by token; ties
-    * impossible on DISTINCT input). O(|vocab|) global sort — at 100 TB the
-    * vocabulary is still tiny relative to the corpus and is broadcast back.
+    * impossible on DISTINCT input). Assigned by [[Cumulative.rowNumber]] —
+    * range-partitioned two-pass rank, NOT `row_number() OVER (ORDER BY …)`:
+    * the window form is a single-partition sort of the whole vocabulary,
+    * and a 100 TB web corpus has 10⁹+ distinct tokens. Id assignment is
+    * identical to the window form by construction (total order on distinct
+    * tokens), so every affine hash built on `tid` still oracle-matches.
     */
   def vocab(t: DataFrame): DataFrame =
-    t.select("token").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("token")).cast("long"))
+    Cumulative.rowNumber(t.sparkSession, t.select("token").distinct(),
+      Seq(col("token")), "tid")
 
   /** (doc_id, tid) with the vocabulary join applied. */
   def tokid(t: DataFrame, v: DataFrame): DataFrame =

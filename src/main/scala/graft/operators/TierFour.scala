@@ -51,6 +51,14 @@ object TierFour {
     * token self-join never happens: candidate generation is a groupBy on
     * (band, band-signature) — shuffle O(docs·bands), and verification cost
     * is O(candidates·tokens-per-doc).
+    *
+    * The band signature is ONE BIGINT — the 4 minhashes combined by a
+    * base-131 polynomial mod P (sum(mh·131^(3−pos)) % P, max 4·P·131³ <
+    * 2^63) — not a CSV string: the shuffle key is 8 bytes instead of ~80,
+    * and each doc's 8 band hashes travel the self-join as an
+    * ARRAY<BIGINT>. A polynomial collision would only ADD a candidate pair
+    * (then exact-verified), and the oracle computes the identical BIGINT,
+    * so even collision-born candidates agree across engines.
     */
   val q26 = Q("q26_minhash_lsh",
     s"""WITH $tokSql,
@@ -62,7 +70,8 @@ object TierFour {
        |  FROM tokid CROSS JOIN perm GROUP BY 1, 2),
        |band AS (
        |  SELECT doc_id, i // 4 AS band,
-       |         string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+       |         sum(mh * CASE i % 4 WHEN 0 THEN 2248091 WHEN 1 THEN 17161
+       |                             WHEN 2 THEN 131 ELSE 1 END) % $P AS bkey
        |  FROM sig GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -88,17 +97,21 @@ object TierFour {
     val sig = tokid.crossJoin(broadcast(perm))
       .groupBy("doc_id", "i")
       .agg(min((col("a") * col("tid") + col("b")) % P).as("mh"))
+    // position-in-band weight 131^(3−i%4): order-sensitive polynomial, safe
+    // under the unordered groupBy because each position contributes once
+    val weight = when(col("i") % 4 === 0, lit(2248091L))
+      .when(col("i") % 4 === 1, lit(17161L))
+      .when(col("i") % 4 === 2, lit(131L))
+      .otherwise(lit(1L))
     val band = sig
       .groupBy(col("doc_id"), (col("i") / 4).cast("long").as("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("bkey"))
-    // Each doc's 8 band keys as an ordered array; the bucket self-join emits
-    // a pair ONLY from its FIRST matching band ("no earlier band matched",
-    // unrolled to 7 codegen'd comparisons) — exactly-once semantics with NO
-    // distinct afterwards. (A pair matching k bands would otherwise surface
-    // k times; deduping those ~5·10^7 rows was the measured r02 hotspot,
-    // 9 s of the query's 8-16 s.)
+      .agg((sum(col("mh") * weight) % P).as("bkey"))
+    // Each doc's 8 band hashes as an ordered ARRAY<BIGINT>; the bucket
+    // self-join emits a pair ONLY from its FIRST matching band ("no earlier
+    // band matched", unrolled to 7 codegen'd long comparisons) —
+    // exactly-once semantics with NO distinct afterwards. (A pair matching
+    // k bands would otherwise surface k times; deduping those ~5·10^7 rows
+    // was the measured r02 hotspot.)
     val bkeys = band.groupBy(col("doc_id"))
       .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
         x => x.getField("bkey")).as("ks"))
@@ -122,6 +135,8 @@ object TierFour {
     // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
     // pair; the naive cand⋈tokens⋈tokens join was the r02 bench hotspot).
     val verified =
+      // dispatch count reads vocab's persisted rank intermediate (O(|vocab|)
+      // cached), not the corpus
       if (v.count() <= 64) {
         val m = TextOps.tokenMasks(tokid).persist()
         cand
@@ -218,30 +233,50 @@ object TierFour {
     val arr = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= "").as("l"))
-    val sh = arr
+    // size(l) < 2 ⇒ no bigrams; guard BEFORE sequence() — sequence(0, -1)
+    // descends and element_at(l, 0) throws, where the oracle's range() is
+    // simply empty.
+    val sh = arr.filter(size(col("l")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("l")) - 2),
           k => concat_ws(" ", element_at(col("l"), k + 1), element_at(col("l"), k + 2))))
           .as("shingle"))
       .distinct()
-    // dense shingle ids, rarest-first (global order shared by all docs)
-    val sv = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .withColumn("sid", row_number()
-        .over(Window.orderBy(col("df").asc, col("shingle").asc)).cast("long"))
+    // dense shingle ids, rarest-first (global order shared by all docs) —
+    // distributed two-pass rank (Cumulative.rowNumber): the old
+    // row_number() OVER (ORDER BY df, shingle) was a single-partition sort
+    // of the whole shingle vocabulary
+    val sv = Cumulative.rowNumber(s,
+        sh.groupBy("shingle").agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("shingle")), "sid")
       .select("shingle", "sid")
     val arrs = sh.join(broadcast(sv), "shingle")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("sid"))).as("sids"), count(lit(1)).as("n"))
       .persist()
-    // prefix-filter candidates: share one of the first n−⌈4n/5⌉+1 rarest sids
-    val prefix = arrs.select(col("doc_id"), col("n"),
-      explode(expr("slice(sids, 1, cast(n - floor((4*n + 4) / 5) + 1 as int))")).as("sid"))
+    // prefix-filter candidates: share one of the first n−⌈4n/5⌉+1 rarest
+    // sids. posexplode keeps the position and the prefix slice itself, so
+    // the join predicate can demand "no EARLIER shared prefix element"
+    // (prefixes are sorted ascending; the earlier-elements slices are
+    // disjoint iff this is the first shared sid) — each candidate pair
+    // surfaces exactly once, no .distinct() shuffle on the join output.
+    val prefix = arrs
+      .select(col("doc_id"), col("n"),
+        expr("slice(sids, 1, cast(n - floor((4*n + 4) / 5) + 1 as int))").as("pre"))
+      .select(col("doc_id"), col("n"), col("pre"),
+        posexplode(col("pre")).as(Seq("pos", "sid")))
+    val xp = prefix.select(col("doc_id").as("doc_a"), col("n").as("na0"),
+      col("pre").as("pa"), col("pos").as("pos_a"), col("sid"))
+    val yp = prefix.select(col("doc_id").as("doc_b"), col("n").as("nb0"),
+      col("pre").as("pb"), col("pos").as("pos_b"), col("sid").as("sid_b"))
     // prefix match + length filter: J ≥ 4/5 ⇒ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|)
-    val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.sid") === col("y.sid") && col("x.doc_id") < col("y.doc_id")
-          && col("x.n") * 5 >= col("y.n") * 4 && col("y.n") * 5 >= col("x.n") * 4)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = xp.join(yp,
+        col("sid") === col("sid_b") && col("doc_a") < col("doc_b")
+          && col("na0") * 5 >= col("nb0") * 4 && col("nb0") * 5 >= col("na0") * 4
+          && !arrays_overlap(
+            slice(col("pa"), lit(1), col("pos_a")),
+            slice(col("pb"), lit(1), col("pos_b"))))
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("sids").as("sa"), col("n").as("na")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("sids").as("sb"), col("n").as("nb")), "doc_b")
@@ -333,7 +368,9 @@ object TierFour {
     val prof = cnts.groupBy("lang", "token").agg(sum("cnt").as("c"))
       .withColumn("w", expr("(c * 1000000) div sum(c) over (partition by lang)"))
       .select(col("lang").as("cand"), col("token"), col("w"))
-    val score = cnts.join(prof, "token")
+    // profile is O(|vocab|·langs) — broadcast-sized; without the hint the
+    // planner is free to shuffle BOTH sides on the skewed token key
+    val score = cnts.join(broadcast(prof), "token")
       .groupBy(col("doc_id"), col("lang").as("true_lang"), col("cand"))
       .agg(sum(col("cnt") * col("w")).as("s"))
     val rank = Window.partitionBy("doc_id").orderBy(col("s").desc, col("cand").asc)
@@ -357,21 +394,26 @@ object TierFour {
        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
        |  round(CAST(len(list_filter(string_split(text, ' '),
        |      x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-       |    / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS stop_ratio,
+       |    / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 6) AS stop_ratio,
        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |    / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS avg_token_len,
+       |    / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0), 6) AS avg_token_len,
        |  round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-       |    / length(text), 6) AS space_ratio,
+       |    / nullif(length(text), 0), 6) AS space_ratio,
        |  CAST((CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 400 THEN 1 ELSE 0 END)
        |     + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
        |          x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
-       |          / len(list_filter(string_split(text, ' '), x -> x <> '')) <= 0.2 THEN 1 ELSE 0 END)
+       |          / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) <= 0.2 THEN 1 ELSE 0 END)
        |     + (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
-       |          / len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
+       |          / nullif(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) BETWEEN 3 AND 8 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS quality
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // nullif both divisors on BOTH sides: Spark's non-ANSI x/0 is NULL while
+    // DuckDB's IEEE float division yields inf/NaN — an empty or
+    // all-whitespace doc would hash-diverge without the shared guard (NULL
+    // ratios, and NULL comparisons fall to the CASE's ELSE 0 identically).
+    val nullif0 = (c: Column) => when(c === 0, lit(null)).otherwise(c)
     val toks = filter(split(col("text"), " "), x => x =!= "")
-    val nTok = size(toks).cast("double")
+    val nTok = nullif0(size(toks).cast("double"))
     val nStop = size(filter(split(col("text"), " "), x => x.isin(stopwords: _*))).cast("double")
     val noSpace = length(regexp_replace(col("text"), " ", "")).cast("double")
     val stopRatio = nStop / nTok
@@ -382,7 +424,8 @@ object TierFour {
         size(toks).cast("long").as("n_tokens"),
         round(stopRatio, 6).as("stop_ratio"),
         round(avgLen, 6).as("avg_token_len"),
-        round((length(col("text")).cast("double") - noSpace) / length(col("text")), 6)
+        round((length(col("text")).cast("double") - noSpace)
+          / nullif0(length(col("text")).cast("double")), 6)
           .as("space_ratio"),
         (when(size(toks).between(20, 400), 1).otherwise(0)
           + when(stopRatio <= 0.2, 1).otherwise(0)
@@ -444,7 +487,9 @@ object TierFour {
     val v = vocab(t).persist() // broadcast three times (t1/t2/t3 joins)
     val arr = Tables.load(s, dir, "documents")
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
-    val sh = arr
+    // size(l) < 3 ⇒ no trigrams; same short-doc guard as q28 (sequence()
+    // would descend and element_at(l, 0) throws).
+    val sh = arr.filter(size(col("l")) >= 3)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("l")) - 3),
           k => concat_ws("|", element_at(col("l"), k + 1), element_at(col("l"), k + 2),

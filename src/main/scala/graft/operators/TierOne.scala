@@ -180,23 +180,19 @@ object TierOne {
 
   /** Mirrors W4/A5 running total (Main.java:148-157): global unbounded window
     * + running sum, re-emitted per trigger. Batch analog: cumulative count
-    * over the total (ts, event_id) order. NOTE (scale): a global ordered
-    * window is inherently a single-partition sort at the final stage; the
-    * 100 TB path is two-pass (per-partition counts → broadcast prefix
-    * offsets), kept simple here because the semantics — not the plan — are
-    * the contract, and the streaming form (TweetPipelines.runningCount) is
-    * the production shape.
+    * over the total (ts, event_id) order. The declared plan is the 100 TB
+    * shape — [[graft.operators.Cumulative.runningCount]]'s two-pass prefix
+    * sum (range-partitioned sort, per-partition counts, broadcast offsets);
+    * the single-partition `count(*) OVER (ORDER BY …)` window stays as the
+    * ORACLE definition and [[graft.CumulativeSpec]] pins row-for-row
+    * equality of the two formulations.
     */
   val q09 = Q("q09_running_total",
     """SELECT event_id, ts,
       |       CAST(count(*) OVER (ORDER BY ts, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cnt
       |FROM events ORDER BY ts, event_id""".stripMargin) { (s, dir) =>
-    val w = Window.orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"))
-      .withColumn("running_cnt", count(lit(1)).over(w))
+    Cumulative.runningCount(s, Tables.load(s, dir, "events"))
       .orderBy("ts", "event_id")
   }
 

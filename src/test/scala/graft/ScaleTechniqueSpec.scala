@@ -38,15 +38,18 @@ class ScaleTechniqueSpec extends SparkSpec {
 
   test("salted two-phase aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
+    // partition-id salting needs the input spread over partitions — the
+    // documented caveat: a single-file source must be repartitioned first
+    val spread = events.repartition(8, col("event_id"))
     val direct = events.groupBy(col("event_type").as("k"))
       .agg(sum(col("value")).as("total"))
       .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
-    val salted = Skew.saltedSum(events, col("event_type"), col("value"), salts = 16)
+    val salted = Skew.saltedSum(spread, col("event_type"), col("value"), salts = 16)
       .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100)).toMap
     assert(salted == direct)
     // and the salted first phase really fans the hot key out
-    val phase1Groups = events
-      .groupBy(col("event_type"), pmod(hash(col("value")), lit(16)))
+    val phase1Groups = spread
+      .groupBy(col("event_type"), pmod(spark_partition_id(), lit(16)))
       .count().count()
     assert(phase1Groups > direct.size, "salt must split groups")
   }
