@@ -27,7 +27,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dev-loop filter: SPARK_GRAFT_ONLY=q23,q26 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
     ordered.foreach { case (n, f) => exec(n, f) } // warm-up, untimed
     val results = ordered.map { case (n, f) => n -> exec(n, f) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

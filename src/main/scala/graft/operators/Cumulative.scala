@@ -40,7 +40,11 @@ object Cumulative {
       outName: String, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df
+    // repartitionByRange SAMPLES its input to pick boundaries, then the
+    // shuffle reads it again — persist so an expensive lineage (for the
+    // vocab: corpus tokenize + distinct) executes once, not twice
+    val in = df.persist()
+    val parted = in
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .persist() // pin sampled range boundaries across the two passes

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{ForeachWriter, Row}
+import java.io.OutputStream
+import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPOutputStream
+import scala.collection.mutable.ArrayBuffer
+
+/** Connection + batching config for the HTTP Influx sink — mirror of the
+  * reference's `InfluxDBConfig` (`/root/reference` InfluxDBConfig.java:26-255):
+  * url/username/password/database plus the batch surface (`batchActions`
+  * count trigger, `flushDuration` time trigger, gzip). A Scala case class
+  * with defaults replaces the Java builder; the defaults are the
+  * reference's (2000 points / 100 ms / no gzip,
+  * InfluxDBConfig.java:29-30,113-116).
+  */
+final case class InfluxHttpConfig(
+    url: String,
+    username: String = "root",
+    password: String = "root",
+    database: String = "graft",
+    batchActions: Int = 2000, // ≤ 0 disables count batching → every point posts immediately
+    flushDurationMs: Long = 100,
+    enableGzip: Boolean = false)
+
+/** X1 sink connector, HTTP flavor — the "production delta" over
+  * [[InfluxLineProtocolWriter]]: posts line-protocol batches to InfluxDB's
+  * `/write` endpoint exactly as the reference's influxdb-java client does
+  * under `enableBatch`/`enableGzip` (InfluxDBSink.java:42-61). Pure JDK
+  * `HttpURLConnection` — no client library.
+  *
+  * Lifecycle (RichSinkFunction open/invoke/close ↔ ForeachWriter
+  * open/process/close):
+  *  - `open` pings the server (the reference fails fast on a missing
+  *    database, InfluxDBSink.java:46-49; `/ping` is the serverless-auth
+  *    equivalent reachability gate).
+  *  - `process` buffers formatted lines and flushes when EITHER the batch
+  *    count reaches `batchActions` OR `flushDurationMs` has elapsed since
+  *    the last flush — the two triggers of influxdb-java's BatchProcessor.
+  *  - `close` flushes the remainder (disableBatch semantics,
+  *    InfluxDBSink.java:86-88).
+  *
+  * Scale: one writer per task/epoch, O(batchActions) lines buffered, no
+  * driver involvement; a failed POST throws → Spark retries the task and
+  * the epoch re-posts (at-least-once, same as the reference's sink).
+  */
+final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
+
+  @transient private var buf: ArrayBuffer[String] = _
+  @transient private var lastFlushMs: Long = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    val code = request("GET", s"${cfg.url}/ping", None)
+    if (code / 100 != 2)
+      throw new RuntimeException(s"InfluxDB at ${cfg.url} unreachable: HTTP $code")
+    buf = new ArrayBuffer[String]
+    lastFlushMs = System.currentTimeMillis()
+    true
+  }
+
+  override def process(row: Row): Unit = {
+    buf += InfluxLine.format(InfluxPoint(
+      row.getAs[String]("measurement"),
+      row.getAs[Long]("time_ms"),
+      Map.empty,
+      row.getAs[Map[String, String]]("fields")))
+    val countDue = cfg.batchActions <= 0 || buf.size >= cfg.batchActions
+    val timeDue = System.currentTimeMillis() - lastFlushMs >= cfg.flushDurationMs
+    if (countDue || timeDue) flush()
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null && buf != null && buf.nonEmpty) flush()
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+
+  private def flush(): Unit = {
+    val body = buf.mkString("\n")
+    val url = s"${cfg.url}/write?db=${enc(cfg.database)}" +
+      s"&u=${enc(cfg.username)}&p=${enc(cfg.password)}&precision=ns"
+    val code = request("POST", url, Some(body))
+    if (code / 100 != 2)
+      throw new RuntimeException(s"InfluxDB write failed: HTTP $code")
+    buf.clear()
+    lastFlushMs = System.currentTimeMillis()
+  }
+
+  private def request(method: String, url: String, body: Option[String]): Int = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(10000)
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        if (cfg.enableGzip) conn.setRequestProperty("Content-Encoding", "gzip")
+        val out: OutputStream =
+          if (cfg.enableGzip) new GZIPOutputStream(conn.getOutputStream)
+          else conn.getOutputStream
+        try out.write(b.getBytes(UTF_8)) finally out.close()
+      }
+      conn.getResponseCode
+    } finally conn.disconnect()
+  }
+}

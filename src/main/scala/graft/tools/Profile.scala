@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.{Engine, SparkEntry, Tables}
+import graft.operators.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-loop stage profiler: `runMain graft.tools.Profile <sfDir> <query>`
+  * prints row counts and per-stage times for the heavy similarity queries.
+  * Not part of the driver contract — a diagnosis tool.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val q = if (args.length > 1) args(1) else "q26_minhash_lsh"
+    val spark = Engine.localSession("graft-profile")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    if (q == "q26stages") {
+      val P = 2147483647L
+      val A0 = 2654435761L
+      val B0 = 40503L
+      // replicate q26's stages to time each
+      for (pass <- Seq("warm", "timed")) {
+        spark.catalog.clearCache()
+        println(s"[profile] ---- $pass ----")
+        val t = time("tok") {
+          val d = TextOps.tok(spark, sfDir); noop(d); d
+        }
+        val v = time("vocab") { val d = TextOps.vocab(t); noop(d); d }
+        val tokid = time("tokid+persist") {
+          val d = TextOps.tokid(t, v).persist(); d.count(); d
+        }
+        val perm = spark.range(32).select(col("id").as("i"))
+          .withColumn("a", (lit(A0) * (col("i") + 1)) % P)
+          .withColumn("b", (lit(B0) * (col("i") + 1)) % P)
+        val sig = time("sig (32 minhashes)") {
+          val d = tokid.crossJoin(broadcast(perm))
+            .groupBy("doc_id", "i")
+            .agg(min((col("a") * col("tid") + col("b")) % P).as("mh"))
+          noop(d); d
+        }
+        val weight = when(col("i") % 4 === 0, lit(2248091L))
+          .when(col("i") % 4 === 1, lit(17161L))
+          .when(col("i") % 4 === 2, lit(131L))
+          .otherwise(lit(1L))
+        val band = sig
+          .groupBy(col("doc_id"), (col("i") / 4).cast("long").as("band"))
+          .agg((sum(col("mh") * weight) % P).as("bkey"))
+        val bkeys = time("bkeys+persist") {
+          val d = band.groupBy(col("doc_id"))
+            .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
+              x => x.getField("bkey")).as("ks"))
+            .persist()
+          d.count(); d
+        }
+        val postings = bkeys.select(col("doc_id"), col("ks"),
+          posexplode(col("ks")).as(Seq("band", "bkey")))
+        val x = postings.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
+          col("band"), col("bkey"))
+        val y = postings.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
+          col("band").as("band_b"), col("bkey").as("bkey_b"))
+        val earlierBandMatched = (0 until 7)
+          .map(b => col("band") > b &&
+            element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
+          .reduce(_ || _)
+        val cand = x.join(y,
+            col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+              col("doc_a") < col("doc_b") && !earlierBandMatched)
+          .select(col("doc_a"), col("doc_b"))
+        val nc = time("cand (count)") { cand.count() }
+        println(s"[profile] candidates = $nc")
+        val m = TextOps.tokenMasks(tokid).persist()
+        val verified = cand
+          .join(m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na")), "doc_a")
+          .join(m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb")), "doc_b")
+          .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)"))
+          .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+          .filter(col("j") >= 0.6)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+        time("verify (no sort, noop)") { noop(verified) }
+        time("verify + orderBy (noop)") { noop(verified.orderBy("doc_a", "doc_b")) }
+      }
+    } else {
+      // warm
+      noop(SparkEntry.queries(q)(spark, sfDir))
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      time(s"$q full (noop)") { noop(df) }
+      spark.catalog.clearCache()
+      val df2 = SparkEntry.queries(q)(spark, sfDir)
+      println(s"[profile] rows = ${time(s"$q count") { df2.count() }}")
+    }
+    spark.stop()
+  }
+}

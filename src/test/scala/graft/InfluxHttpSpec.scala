@@ -1,0 +1,128 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.streaming.{InfluxHttpConfig, InfluxHttpWriter}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.types._
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPInputStream
+import scala.collection.mutable.ArrayBuffer
+
+/** X1 (HTTP flavor) — the batching/gzip line-protocol poster against a stub
+  * InfluxDB `/ping` + `/write` server (reference InfluxDBSink.java:42-61
+  * batches via influxdb-java; config surface InfluxDBConfig.java:26-255).
+  * JDK HttpServer, zero dependencies.
+  */
+class InfluxHttpSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType),
+    StructField("time_ms", LongType),
+    StructField("fields", MapType(StringType, StringType))))
+
+  private def row(m: String, t: Long, fields: Map[String, String]): Row =
+    new GenericRowWithSchema(Array[Any](m, t, fields), schema)
+
+  /** (gzip'd?, decoded body, query string) per /write POST. */
+  private final case class Req(gzip: Boolean, body: String, query: String)
+
+  private def withServer(pingStatus: Int = 204)(f: (String, ArrayBuffer[Req]) => Unit): Unit = {
+    val reqs = ArrayBuffer[Req]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ping", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(pingStatus, -1); ex.close()
+      }
+    })
+    server.createContext("/write", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val gz = "gzip" == ex.getRequestHeaders.getFirst("Content-Encoding")
+        val raw = new ByteArrayOutputStream()
+        val in = if (gz) new GZIPInputStream(ex.getRequestBody) else ex.getRequestBody
+        val buf = new Array[Byte](8192)
+        Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => raw.write(buf, 0, n))
+        reqs.synchronized {
+          reqs += Req(gz, new String(raw.toByteArray, UTF_8), ex.getRequestURI.getRawQuery)
+        }
+        ex.sendResponseHeaders(204, -1); ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", reqs)
+    finally server.stop(0)
+  }
+
+  test("x01: count-triggered batching — batchActions points per POST, close flushes the tail") {
+    withServer() { (url, reqs) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, database = "twitter",
+        batchActions = 3, flushDurationMs = 60000)) // time trigger effectively off
+      assert(w.open(0, 0))
+      (1 to 7).foreach(i => w.process(row("m", i.toLong, Map("count" -> i.toString))))
+      w.close(null)
+      val bodies = reqs.synchronized(reqs.toVector)
+      assert(bodies.map(_.body.linesIterator.size) == Vector(3, 3, 1),
+        s"expected 3+3+1 lines, got ${bodies.map(_.body)}")
+      // line protocol shape + ns precision timestamp (ms · 10^6)
+      assert(bodies.head.body.linesIterator.next() == "m count=\"1\" 1000000")
+      // auth + database ride the query string, as influxdb-java sends them
+      assert(bodies.head.query.contains("db=twitter") && bodies.head.query.contains("u=root")
+        && bodies.head.query.contains("p=root") && bodies.head.query.contains("precision=ns"))
+      assert(bodies.forall(!_.gzip))
+    }
+  }
+
+  test("x02: enableGzip compresses the POST body (server round-trips it)") {
+    withServer() { (url, reqs) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1, enableGzip = true))
+      assert(w.open(0, 0))
+      w.process(row("cpu", 5L, Map("v" -> "9"))) // batchActions ≤ 0 → immediate post
+      w.close(null)
+      val bodies = reqs.synchronized(reqs.toVector)
+      assert(bodies.size == 1 && bodies.head.gzip, s"got $bodies")
+      assert(bodies.head.body == "cpu v=\"9\" 5000000")
+    }
+  }
+
+  test("x03: open fails fast when the server is unreachable/unhealthy") {
+    withServer(pingStatus = 500) { (url, _) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url))
+      val e = intercept[RuntimeException](w.open(0, 0))
+      assert(e.getMessage.contains("unreachable"))
+    }
+  }
+
+  test("x04: streaming end-to-end — foreach(InfluxHttpWriter) posts every window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    withServer() { (url, reqs) =>
+      val in = MemoryStream[String]
+      val pts = graft.streaming.TweetPipelines.perSecondCounts(
+          graft.streaming.TweetPipelines.withLateness(
+            graft.streaming.TweetPipelines.parse(in.toDF())))
+        .select(lit("TweetPerSecondCountFlink").as("measurement"),
+          unix_millis(col("window_end")).as("time_ms"),
+          map(lit("count"), col("cnt").cast("string")).as("fields"))
+      val q = pts.writeStream.outputMode("append")
+        .foreach(new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1)))
+        .start()
+      try {
+        in.addData(s"""{"text":"a","createdAt":1100,"lang":"en"}""",
+          s"""{"text":"b","createdAt":1500,"lang":"en"}""")
+        q.processAllAvailable()
+        in.addData(s"""{"text":"adv","createdAt":400000,"lang":"en"}""")
+        q.processAllAvailable()
+        in.addData(s"""{"text":"flush","createdAt":800000,"lang":"en"}""")
+        q.processAllAvailable()
+        val lines = reqs.synchronized(reqs.toVector).flatMap(_.body.linesIterator)
+        assert(lines.contains("TweetPerSecondCountFlink count=\"2\" 2000000000"),
+          s"got $lines")
+      } finally q.stop()
+    }
+  }
+}

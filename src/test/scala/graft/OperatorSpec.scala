@@ -94,4 +94,36 @@ class OperatorSpec extends SparkSpec {
     val plan = TierTwo.q15.run(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
+
+  // ── scale-regression gates for the heavy similarity tier ──────────────
+  // These pin the 100 TB-safe plan shapes so perf fixes can't silently
+  // regress: no all-pairs cartesian, no single-partition shuffle (the
+  // WindowExec-without-partition / global-rank shape), expected broadcasts.
+
+  private def heavyPlan(q: Q): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q26 LSH plan: no CartesianProduct, no single-partition exchange") {
+    val plan = heavyPlan(TierFour.q26)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+  }
+
+  test("q28 PPJoin plan: no CartesianProduct, no single-partition exchange") {
+    val plan = heavyPlan(TierFour.q28)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+  }
+
+  test("q30 language-ID broadcasts the frequency profile") {
+    val plan = heavyPlan(TierFour.q30)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+  }
+
+  test("q09 running total has no partitionless Window (two-pass prefix sum)") {
+    val plan = TierOne.q09.run(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+  }
 }
