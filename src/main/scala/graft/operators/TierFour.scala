@@ -91,45 +91,54 @@ object TierFour {
     val t = tok(s, dir)
     val v = vocab(t)
     val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
-    val perm = s.range(32).select(col("id").as("i"))
-      .withColumn("a", (lit(A0) * (col("i") + 1)) % P)
-      .withColumn("b", (lit(B0) * (col("i") + 1)) % P)
-    val sig = tokid.crossJoin(broadcast(perm))
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("tid") + col("b")) % P).as("mh"))
-    // position-in-band weight 131^(3−i%4): order-sensitive polynomial, safe
-    // under the unordered groupBy because each position contributes once
-    val weight = when(col("i") % 4 === 0, lit(2248091L))
-      .when(col("i") % 4 === 1, lit(17161L))
-      .when(col("i") % 4 === 2, lit(131L))
-      .otherwise(lit(1L))
-    val band = sig
-      .groupBy(col("doc_id"), (col("i") / 4).cast("long").as("band"))
-      .agg((sum(col("mh") * weight) % P).as("bkey"))
+    // All 32 minhashes as 32 min-aggregate COLUMNS in one groupBy — ONE
+    // shuffle of |tokid| rows, vs the crossJoin(32 perms) formulation which
+    // explodes tokid ×32 and shuffles twice more ((doc,i) agg + per-doc
+    // collect). Identical values: mh_i = min((a_i·tid + b_i) mod P).
+    val mhCols = (0 until 32).map { i =>
+      val a = (A0 * (i + 1)) % P
+      val b = (B0 * (i + 1)) % P
+      min((lit(a) * col("tid") + lit(b)) % P).as(s"mh$i")
+    }
+    val sig = tokid.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // 8 band keys as projections over the 32 signature columns: base-131
+    // polynomial with position weight 131^(3−pos) — max 4·P·131³ < 2^63
+    val w = Seq(2248091L, 17161L, 131L, 1L)
+    val bandCols = (0 until 8).map { bnd =>
+      ((0 until 4).map(p => col(s"mh${bnd * 4 + p}") * w(p)).reduce(_ + _) % P)
+        .as(s"bk$bnd")
+    }
     // Each doc's 8 band hashes as an ordered ARRAY<BIGINT>; the bucket
     // self-join emits a pair ONLY from its FIRST matching band ("no earlier
     // band matched", unrolled to 7 codegen'd long comparisons) —
     // exactly-once semantics with NO distinct afterwards. (A pair matching
     // k bands would otherwise surface k times; deduping those ~5·10^7 rows
     // was the measured r02 hotspot.)
-    val bkeys = band.groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
-        x => x.getField("bkey")).as("ks"))
-      .persist() // both sides of the bucket self-join
-    val postings = bkeys.select(col("doc_id"), col("ks"),
-      posexplode(col("ks")).as(Seq("band", "bkey")))
-    val x = postings.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
-      col("band"), col("bkey"))
-    val y = postings.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
-      col("band").as("band_b"), col("bkey").as("bkey_b"))
-    val earlierBandMatched = (0 until 7)
-      .map(b => col("band") > b &&
-        element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
-      .reduce(_ || _)
-    val cand = x.join(y,
+    val bkeys = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        array((0 until 8).map(b => col(s"bk$b")): _*).as("ks"))
+    // Bucket self-join over exploded postings. Pairs are emitted ONLY from
+    // their FIRST matching band ("no earlier band matched", unrolled to 7
+    // codegen'd long comparisons over the ks arrays) — exactly-once with NO
+    // distinct afterwards. The equi-join on (band, bkey) shuffles only the
+    // O(docs·bands) postings; the ~10^7 emitted pairs stream OUT of the
+    // join unshuffled (postings are per-doc, not broadcastable at 100 TB;
+    // the shuffled volume is trivial either way).
+    def selfJoinPairs(postings: DataFrame,
+        extra: Seq[(String, String, String)]): DataFrame = {
+      val x = postings.select(Seq(col("doc_id").as("doc_a"), col("ks").as("ka"),
+        col("band"), col("bkey")) ++ extra.map { case (c, a, _) => col(c).as(a) }: _*)
+      val y = postings.select(Seq(col("doc_id").as("doc_b"), col("ks").as("kb"),
+        col("band").as("band_b"), col("bkey").as("bkey_b"))
+        ++ extra.map { case (c, _, b) => col(c).as(b) }: _*)
+      val earlierBandMatched = (0 until 7)
+        .map(b => col("band") > b &&
+          element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
+        .reduce(_ || _)
+      x.join(y,
         col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
           col("doc_a") < col("doc_b") && !earlierBandMatched)
-      .select(col("doc_a"), col("doc_b"))
+    }
     // Verification: per-candidate set intersection WITHOUT a token-join row
     // explosion — bitmask `bit_count(ma & mb)` when the vocabulary fits in
     // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
@@ -138,12 +147,27 @@ object TierFour {
       // dispatch count reads vocab's persisted rank intermediate (O(|vocab|)
       // cached), not the corpus
       if (v.count() <= 64) {
-        val m = TextOps.tokenMasks(tokid).persist()
-        cand
-          .join(m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na")), "doc_a")
-          .join(m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb")), "doc_b")
+        // small-dictionary fast path: the mask is 16 B/doc, so it rides the
+        // postings THROUGH the bucket self-join — candidate pairs exit the
+        // join already carrying both sides' masks, and verification is a
+        // pure codegen'd projection with ZERO attach joins. (Attaching
+        // masks by joining on doc_a/doc_b afterwards shuffled the
+        // ~10^7-row candidate stream twice — the dominant q26 cost.)
+        val postings = bkeys.join(TextOps.tokenMasks(tokid), "doc_id")
+          .select(col("doc_id"), col("ks"), col("mask"), col("n"),
+            posexplode(col("ks")).as(Seq("band", "bkey")))
+          .persist()
+        selfJoinPairs(postings,
+            Seq(("mask", "ma", "mb"), ("n", "na", "nb")))
           .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)"))
       } else {
+        // generic path: token arrays are per-doc and unbounded — too wide
+        // to ride the ×8-band posting shuffle, so candidates attach them
+        // via shuffle joins on doc id (the correct 100 TB shape; AQE still
+        // converts to broadcast at runtime when the measured size allows)
+        val postings = bkeys.select(col("doc_id"), col("ks"),
+          posexplode(col("ks")).as(Seq("band", "bkey"))).persist()
+        val cand = selfJoinPairs(postings, Nil).select(col("doc_a"), col("doc_b"))
         val m = TextOps.tokenArrays(tokid).persist()
         cand
           .join(m.select(col("doc_id").as("doc_a"), col("tids").as("ta"), col("n").as("na")), "doc_a")
@@ -185,15 +209,18 @@ object TierFour {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
     val v = vocab(cnts)
     val cntid = cnts.join(broadcast(v), "token").select("doc_id", "tid", "cnt")
-    val bits = s.range(63).select(col("id").as("j"))
-    val acc = cntid.crossJoin(broadcast(bits))
-      .withColumn("bit",
-        ((lit(A0) * (col("j") + 1)) % P * col("tid") + (lit(B0) * (col("j") + 1)) % P) % P % 2)
-      .groupBy("doc_id", "j")
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("acc"))
-    acc.groupBy("doc_id")
-      .agg(sum(when(col("acc") > 0, expr("shiftleft(cast(1 as bigint), j)"))
-        .otherwise(0L)).as("simhash"))
+    // 63 bit accumulators as 63 sum-aggregate COLUMNS in one groupBy — one
+    // shuffle of |cntid| rows instead of the crossJoin(63 bits) explosion.
+    // acc_j = Σ cnt·(2·bit_j(tid) − 1), bit_j = (a_j·tid + b_j) mod P mod 2.
+    val accCols = (0 until 63).map { j =>
+      val a = (A0 * (j + 1)) % P
+      val b = (B0 * (j + 1)) % P
+      sum(col("cnt") * (((lit(a) * col("tid") + lit(b)) % P % 2) * 2 - 1)).as(s"acc$j")
+    }
+    cntid.groupBy("doc_id").agg(accCols.head, accCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 63).map(j => when(col(s"acc$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -504,10 +531,13 @@ object TierFour {
       .join(broadcast(v.select(col("token").as("t3"), col("tid").as("tid3"))), "t3")
       .select(col("doc_id"),
         ((col("tid1") * 131 * 131 + col("tid2") * 131 + col("tid3")) % P).as("h"))
-    h.groupBy("doc_id")
+    // distinct-first, then plain aggregates: two countDistinct in one agg
+    // would plan an Expand (row ×3 multiplication) — pre-deduping (doc,h)
+    // keeps a single narrow shuffle and the counts are identical
+    h.distinct().groupBy("doc_id")
       .agg(min("h").as("fp_min"),
-        countDistinct("h").as("n_shingles"),
-        countDistinct(when(col("h") % 16 === 0, col("h"))).as("n_winnowed"))
+        count(lit(1)).as("n_shingles"),
+        count(when(col("h") % 16 === 0, lit(1))).as("n_winnowed"))
       .orderBy("doc_id")
   }
 

@@ -91,13 +91,15 @@ object Profile {
         time("verify + orderBy (noop)") { noop(verified.orderBy("doc_a", "doc_b")) }
       }
     } else {
-      // warm
+      // warm (construction + execution, untimed)
       noop(SparkEntry.queries(q)(spark, sfDir))
+      // timed, cold-cache — split plan construction (driver actions like the
+      // adaptive v.count() and Cumulative's offset collect) from execution
       spark.catalog.clearCache()
-      val df = SparkEntry.queries(q)(spark, sfDir)
-      time(s"$q full (noop)") { noop(df) }
+      val df = time(s"$q construct") { SparkEntry.queries(q)(spark, sfDir) }
+      time(s"$q execute (noop)") { noop(df) }
       spark.catalog.clearCache()
-      val df2 = SparkEntry.queries(q)(spark, sfDir)
+      val df2 = time(s"$q construct (2nd)") { SparkEntry.queries(q)(spark, sfDir) }
       println(s"[profile] rows = ${time(s"$q count") { df2.count() }}")
     }
     spark.stop()

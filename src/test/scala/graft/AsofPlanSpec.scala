@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.TierFive
+import graft.plans.Asof
+import org.apache.spark.sql.functions._
+
+/** The native as-of join (custom LogicalPlan/Strategy/SparkPlan) against
+  * the composed union+window formulation (q42) — row-identical output,
+  * better physical plan.
+  */
+class AsofPlanSpec extends SparkSpec {
+
+  private def native() = {
+    val ev = Tables.load(spark, sf, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    Asof.join(errors, purchases,
+      Seq("user_id"), Seq("p_user"), Seq("ts", "event_id"), Seq("p_ts", "pid"))
+  }
+
+  test("native as-of join ≡ composed union+window (q42) row-for-row") {
+    val nat = native()
+      .select(col("event_id"), col("pid").as("last_purchase_id"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    val composed = TierFive.q42.run(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    assert(nat.nonEmpty)
+    assert(nat.toSeq == composed.toSeq)
+  }
+
+  test("as-of plan: AsOfJoinExec, no Window, no union doubling, no cartesian") {
+    val plan = native().queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Union"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("as-of join is left-outer: rows with no earlier match keep nulls") {
+    import spark.implicits._
+    val l = Seq((1L, "u1", 10L), (2L, "u1", 5L), (3L, "u2", 7L))
+      .toDF("lid", "k", "t")
+    val r = Seq((100L, "u1", 6L), (101L, "u1", 9L), (102L, "u3", 1L))
+      .toDF("rid", "rk", "rt")
+    val out = Asof.join(l, r, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .select("lid", "rid").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(
+      1L -> Some(101L), // t=10: latest earlier purchase rt=9
+      2L -> None,       // t=5: nothing strictly earlier
+      3L -> None))      // u2: no right rows for the key at all
+  }
+
+  test("as-of join tie semantics: equal order tuple is NOT a match (strict <)") {
+    import spark.implicits._
+    val l = Seq((1L, "u", 10L)).toDF("lid", "k", "t")
+    val r = Seq((100L, "u", 10L)).toDF("rid", "rk", "rt")
+    // right (10,100) vs left (10,1): ts tie → compare ids, 100 > 1 → no match
+    val strictLater = Asof.join(l, r, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .select("rid").collect().head
+    assert(strictLater.isNullAt(0))
+    // right (10,0) vs left (10,1): ts tie → 0 < 1 → matches (same as the
+    // window form's (ts, id) total order)
+    val r2 = Seq((0L, "u", 10L)).toDF("rid", "rk", "rt")
+    val tieEarlier = Asof.join(l, r2, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .select("rid").collect().head
+    assert(tieEarlier.getLong(0) == 0L)
+  }
+}
