@@ -269,6 +269,7 @@ object TierFour {
           k => concat_ws(" ", element_at(col("l"), k + 1), element_at(col("l"), k + 2))))
           .as("shingle"))
       .distinct()
+      .persist() // feeds the shingle-df rank AND the sid join — one corpus pass, not two
     // dense shingle ids, rarest-first (global order shared by all docs) —
     // distributed two-pass rank (Cumulative.rowNumber): the old
     // row_number() OVER (ORDER BY df, shingle) was a single-partition sort

@@ -143,6 +143,66 @@ object TweetPipelines {
       .groupBy(window(col("window"), stage2), col("hashtag"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** A completed hashtag burst: `cnt` tweets for `hashtag` whose event
+    * times span [startMs, endMs], closed because no further occurrence
+    * arrived within the gap before the watermark passed. */
+  final case class Burst(hashtag: String, startMs: Long, endMs: Long, cnt: Long)
+
+  /** Internal burst accumulator (public: Catalyst codegen instantiates it). */
+  final case class BurstState(startMs: Long, endMs: Long, cnt: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the escape hatch for
+    * stateful semantics the built-in windows can't express (here: session
+    * bursts that emit a CLOSED summary record with start/end/count, where
+    * `session_window` would only give the aggregate). Per hashtag the state
+    * is one (start, end, cnt) triple; an event-time timeout at
+    * `end + gap` fires once the watermark passes it, emitting the burst
+    * and clearing state — so state size is O(active keys), reclaimed by
+    * watermark progress exactly like the built-in operators.
+    *
+    * Batch counterpart: q36's `session_window` aggregation (oracle-checked)
+    * pins the grouping semantics; this operator's own spec (s11) pins the
+    * burst lifecycle across micro-batches.
+    */
+  def hashtagBursts(tags: DataFrame, gapMs: Long = 60000L): org.apache.spark.sql.Dataset[Burst] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = tags.sparkSession
+    import spark.implicits._
+    // the watermark tag travels WITH the ts column — it must reach the
+    // stateful operator as a timestamp (converting to epoch-millis upstream
+    // strips the tag and EventTimeTimeout refuses to plan)
+    tags.select(col("hashtag"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BurstState, Burst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (tag: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Burst(tag, s.startMs, s.endMs, s.cnt))
+          } else {
+            // micro-batch rows arrive unordered; fold them into the span.
+            // Splitting bursts WITHIN a batch is the timeout's job across
+            // batches — within one batch the span merge is the watermark-
+            // safe approximation (same stance as session_window's merge).
+            var (start, end, cnt) = state.getOption
+              .map(s => (s.startMs, s.endMs, s.cnt))
+              .getOrElse((Long.MaxValue, Long.MinValue, 0L))
+            rows.foreach { case (_, t) =>
+              val at = t.getTime
+              if (at < start) start = at
+              if (at > end) end = at
+              cnt += 1
+            }
+            state.update(BurstState(start, end, cnt))
+            state.setTimeoutTimestamp(end + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** P1-P4 sink projections (Main.java:222-277): decorate with the literal
     * measurement name and the window-end event time. The reference's P3
     * wall-clock-timestamp bug (Main.java:260, author-acknowledged) is fixed

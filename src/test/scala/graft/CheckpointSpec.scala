@@ -76,4 +76,38 @@ class CheckpointSpec extends SparkSpec {
     assert(windows2.contains((801000L, 1L)),
       s"the pending [800s,801s) window should finalize in run 2, got $windows2")
   }
+
+  test("s11: flatMapGroupsWithState burst detector — bursts close on event-time timeout") {
+    val in = MemoryStream[String]
+    val tags = TweetPipelines.hashtags(
+      TweetPipelines.withLateness(TweetPipelines.parse(in.toDF()), "10 seconds"))
+    val bursts = TweetPipelines.hashtagBursts(tags, gapMs = 60000L)
+    val q = bursts.writeStream.format("memory").queryName("s11_bursts")
+      .outputMode("append").start()
+    try {
+      // burst 1: #x three times within 2 s
+      in.addData(tweet("a #x", 1000), tweet("b #x", 2000), tweet("c #x", 3000))
+      q.processAllAvailable()
+      // advance the watermark past 3s + 60s gap → burst 1 times out
+      in.addData(tweet("noise #y", 200000))
+      q.processAllAvailable()
+      in.addData(tweet("noise2 #y", 210000)) // extra batch so the timeout fires
+      q.processAllAvailable()
+      val after1 = spark.table("s11_bursts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(after1.contains(("#x", 1000L, 3000L, 3L)), s"got $after1")
+
+      // burst 2: #x again much later — state was cleared, a NEW burst forms
+      in.addData(tweet("d #x", 300000), tweet("e #x", 301000))
+      q.processAllAvailable()
+      in.addData(tweet("flush #y", 700000))
+      q.processAllAvailable()
+      in.addData(tweet("flush2 #y", 710000))
+      q.processAllAvailable()
+      val after2 = spark.table("s11_bursts").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(after2.contains(("#x", 300000L, 301000L, 2L)), s"got $after2")
+      assert(after2.count(_._1 == "#x") == 2, s"exactly two #x bursts, got $after2")
+    } finally q.stop()
+  }
 }
