@@ -29,7 +29,8 @@ object Profile {
       val P = 2147483647L
       val A0 = 2654435761L
       val B0 = 40503L
-      // replicate q26's stages to time each
+      // replicate q26's CURRENT stages (single-groupBy signature, masks
+      // riding the postings) to time each
       for (pass <- Seq("warm", "timed")) {
         spark.catalog.clearCache()
         println(s"[profile] ---- $pass ----")
@@ -40,49 +41,45 @@ object Profile {
         val tokid = time("tokid+persist") {
           val d = TextOps.tokid(t, v).persist(); d.count(); d
         }
-        val perm = spark.range(32).select(col("id").as("i"))
-          .withColumn("a", (lit(A0) * (col("i") + 1)) % P)
-          .withColumn("b", (lit(B0) * (col("i") + 1)) % P)
-        val sig = time("sig (32 minhashes)") {
-          val d = tokid.crossJoin(broadcast(perm))
-            .groupBy("doc_id", "i")
-            .agg(min((col("a") * col("tid") + col("b")) % P).as("mh"))
+        val mhCols = (0 until 32).map { i =>
+          val a = (A0 * (i + 1)) % P
+          val b = (B0 * (i + 1)) % P
+          min((lit(a) * col("tid") + lit(b)) % P).as(s"mh$i")
+        }
+        val sig = time("sig (32 min-agg cols)") {
+          val d = tokid.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
           noop(d); d
         }
-        val weight = when(col("i") % 4 === 0, lit(2248091L))
-          .when(col("i") % 4 === 1, lit(17161L))
-          .when(col("i") % 4 === 2, lit(131L))
-          .otherwise(lit(1L))
-        val band = sig
-          .groupBy(col("doc_id"), (col("i") / 4).cast("long").as("band"))
-          .agg((sum(col("mh") * weight) % P).as("bkey"))
-        val bkeys = time("bkeys+persist") {
-          val d = band.groupBy(col("doc_id"))
-            .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
-              x => x.getField("bkey")).as("ks"))
+        val w = Seq(2248091L, 17161L, 131L, 1L)
+        val bandCols = (0 until 8).map { bnd =>
+          ((0 until 4).map(p => col(s"mh${bnd * 4 + p}") * w(p)).reduce(_ + _) % P)
+            .as(s"bk$bnd")
+        }
+        val bkeys = sig.select(col("doc_id") +: bandCols: _*)
+          .select(col("doc_id"),
+            array((0 until 8).map(b => col(s"bk$b")): _*).as("ks"))
+        val postings = time("postings (masks attached)+persist") {
+          val d = bkeys.join(TextOps.tokenMasks(tokid), "doc_id")
+            .select(col("doc_id"), col("ks"), col("mask"), col("n"),
+              posexplode(col("ks")).as(Seq("band", "bkey")))
             .persist()
           d.count(); d
         }
-        val postings = bkeys.select(col("doc_id"), col("ks"),
-          posexplode(col("ks")).as(Seq("band", "bkey")))
         val x = postings.select(col("doc_id").as("doc_a"), col("ks").as("ka"),
-          col("band"), col("bkey"))
+          col("band"), col("bkey"), col("mask").as("ma"), col("n").as("na"))
         val y = postings.select(col("doc_id").as("doc_b"), col("ks").as("kb"),
-          col("band").as("band_b"), col("bkey").as("bkey_b"))
+          col("band").as("band_b"), col("bkey").as("bkey_b"),
+          col("mask").as("mb"), col("n").as("nb"))
         val earlierBandMatched = (0 until 7)
           .map(b => col("band") > b &&
             element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
           .reduce(_ || _)
-        val cand = x.join(y,
-            col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-              col("doc_a") < col("doc_b") && !earlierBandMatched)
-          .select(col("doc_a"), col("doc_b"))
-        val nc = time("cand (count)") { cand.count() }
+        val pairs = x.join(y,
+          col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+            col("doc_a") < col("doc_b") && !earlierBandMatched)
+        val nc = time("cand (count)") { pairs.count() }
         println(s"[profile] candidates = $nc")
-        val m = TextOps.tokenMasks(tokid).persist()
-        val verified = cand
-          .join(m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na")), "doc_a")
-          .join(m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb")), "doc_b")
+        val verified = pairs
           .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)"))
           .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
           .filter(col("j") >= 0.6)

@@ -54,6 +54,34 @@ class AsofPlanSpec extends SparkSpec {
       3L -> None))      // u2: no right rows for the key at all
   }
 
+  test("as-of join differential: random datasets match a pure-Scala oracle") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // heavy key collisions + duplicated times force every code path: merge
+    // across key groups, intra-key two-pointer advance, ties, missing keys
+    val rowGen = Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0L, 40L))
+    def rows(seedBase: Long, n: Int): Seq[(Int, Long)] =
+      (0 until n).flatMap(i => rowGen.apply(Gen.Parameters.default, Seed(seedBase + i)))
+    for (seed <- 0 until 5) {
+      val lRows = rows(seed * 1000L, 120).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+      val rRows = rows(seed * 1000L + 500, 150).zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, s"k$k", t) }
+      val expected = lRows.map { case (lid, k, t) =>
+        val m = rRows.filter(r => r._2 == k &&
+          (r._3 < t || (r._3 == t && r._1 < lid))) // (t, id) lexicographic strict <
+        lid -> m.sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      }.toMap
+      val out = Asof.join(
+          lRows.toDF("lid", "k", "t"), rRows.toDF("rid", "rk", "rt"),
+          Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+        .select("lid", "rid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(out == expected, s"seed $seed diverged")
+    }
+  }
+
   test("as-of join tie semantics: equal order tuple is NOT a match (strict <)") {
     import spark.implicits._
     val l = Seq((1L, "u", 10L)).toDF("lid", "k", "t")
