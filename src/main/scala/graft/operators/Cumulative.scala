@@ -51,6 +51,10 @@ object Cumulative {
     val perPartition = parted
       .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // parted's cache is materialized by the count above; the pre-shuffle
+    // lineage cache has served its purpose (sampling + shuffle read) — drop
+    // it so long sessions (Verify runs 50 queries) don't pin both copies
+    in.unpersist()
     val offsets = (0 until p).scanLeft(0L) {
       case (acc, pid) => acc + perPartition.getOrElse(pid, 0L)
     }.toArray // exclusive prefix: offsets(pid) = rows before partition pid

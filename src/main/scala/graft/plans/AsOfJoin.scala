@@ -131,6 +131,12 @@ object Asof {
     * `leftOrd` (lexicographic; right columns null when no such row).
     * Column names must be unambiguous across the two sides — rename before
     * joining, as with any Spark self-join.
+    *
+    * Null semantics (pinned, differs from SQL join equality): keys compare
+    * GROUP-style — a null left key matches a null right key, exactly as
+    * `groupBy` groups nulls together (the natural reading for an as-of
+    * "per key" walk). Null order values sort first (Spark ASC NULLS FIRST),
+    * i.e. a null-time right row counts as earlier than everything.
     */
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -147,8 +153,21 @@ object Asof {
       names.map(n => p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"as-of join: no column '$n' on the $side side (${p.output.map(_.name).mkString(", ")})")))
-    GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp,
-      attrs(lp, leftKeys, "left"), attrs(rp, rightKeys, "right"),
-      attrs(lp, leftOrd, "left"), attrs(rp, rightOrd, "right")))
+    val (lk, rk) = (attrs(lp, leftKeys, "left"), attrs(rp, rightKeys, "right"))
+    val (lo, ro) = (attrs(lp, leftOrd, "left"), attrs(rp, rightOrd, "right"))
+    // the exec compares right-side projections with orderings built from the
+    // LEFT types — a type mismatch would read garbage, not error, so reject
+    // it here
+    def sameTypes(a: Seq[Attribute], b: Seq[Attribute], what: String): Unit =
+      a.zip(b).foreach { case (x, y) =>
+        require(x.dataType == y.dataType,
+          s"as-of join: $what types differ: ${x.name}: ${x.dataType.catalogString} vs " +
+            s"${y.name}: ${y.dataType.catalogString}")
+      }
+    require(lk.size == rk.size && lo.size == ro.size,
+      "as-of join: key/order column lists must have equal lengths on both sides")
+    sameTypes(lk, rk, "key")
+    sameTypes(lo, ro, "order")
+    GraftSqlBridge.ofRows(spark, AsOfJoin(lp, rp, lk, rk, lo, ro))
   }
 }

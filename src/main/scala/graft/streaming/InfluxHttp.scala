@@ -35,9 +35,13 @@ final case class InfluxHttpConfig(
   *  - `open` pings the server (the reference fails fast on a missing
   *    database, InfluxDBSink.java:46-49; `/ping` is the serverless-auth
   *    equivalent reachability gate).
-  *  - `process` buffers formatted lines and flushes when EITHER the batch
-  *    count reaches `batchActions` OR `flushDurationMs` has elapsed since
-  *    the last flush — the two triggers of influxdb-java's BatchProcessor.
+  *  - `process` buffers formatted lines and flushes when the batch count
+  *    reaches `batchActions`, or when `flushDurationMs` has elapsed since
+  *    the last flush — the time trigger is checked AS ROWS ARRIVE (no
+  *    timer thread lives in a ForeachWriter), so a quiet partition's tail
+  *    waits for `close` rather than a background flush; influxdb-java's
+  *    BatchProcessor uses a scheduled timer instead. Same two triggers,
+  *    piggybacked evaluation.
   *  - `close` flushes the remainder (disableBatch semantics,
   *    InfluxDBSink.java:86-88).
   *

@@ -183,22 +183,34 @@ object TweetPipelines {
             state.remove()
             Iterator.single(Burst(tag, s.startMs, s.endMs, s.cnt))
           } else {
-            // micro-batch rows arrive unordered; fold them into the span.
-            // Splitting bursts WITHIN a batch is the timeout's job across
-            // batches — within one batch the span merge is the watermark-
-            // safe approximation (same stance as session_window's merge).
-            var (start, end, cnt) = state.getOption
-              .map(s => (s.startMs, s.endMs, s.cnt))
-              .getOrElse((Long.MaxValue, Long.MinValue, 0L))
+            // micro-batch rows arrive unordered; fold them into a span.
+            // Splitting bursts WITHIN a batch is approximated by the span
+            // merge (same stance as session_window's merge); ACROSS batches
+            // the gap is enforced both by the event-time timeout and — when
+            // new data for the key arrives entirely beyond the gap — by
+            // closing the held burst right here (a key active in every
+            // batch would otherwise never time out and its bursts would
+            // merge unboundedly).
+            var (nStart, nEnd, nCnt) = (Long.MaxValue, Long.MinValue, 0L)
             rows.foreach { case (_, t) =>
               val at = t.getTime
-              if (at < start) start = at
-              if (at > end) end = at
-              cnt += 1
+              if (at < nStart) nStart = at
+              if (at > nEnd) nEnd = at
+              nCnt += 1
             }
-            state.update(BurstState(start, end, cnt))
-            state.setTimeoutTimestamp(end + gapMs)
-            Iterator.empty
+            val closed = state.getOption match {
+              case Some(s) if nStart > s.endMs + gapMs =>
+                Iterator.single(Burst(tag, s.startMs, s.endMs, s.cnt))
+              case Some(s) =>
+                nStart = math.min(nStart, s.startMs)
+                nEnd = math.max(nEnd, s.endMs)
+                nCnt += s.cnt
+                Iterator.empty
+              case None => Iterator.empty
+            }
+            state.update(BurstState(nStart, nEnd, nCnt))
+            state.setTimeoutTimestamp(nEnd + gapMs)
+            closed
           }
       }
   }

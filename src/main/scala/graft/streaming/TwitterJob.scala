@@ -69,11 +69,14 @@ object TwitterJob {
     import TweetPipelines._
     val tweets = withLateness(parse(raw), cfg.watermarkDelay)
     val tags = hashtags(tweets)
-    // per-query checkpoint root (offsets + state store + commit log): queries
-    // must not share a checkpoint dir
+    // per-query checkpoint root (offsets + state store + commit log):
+    // queries must not share a checkpoint dir, and the subdir carries the
+    // FULL query name (incl. namePrefix) so two jobs with different
+    // prefixes can share one checkpointDir without colliding
     def cp[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
         name: String): org.apache.spark.sql.streaming.DataStreamWriter[T] =
-      cfg.checkpointDir.fold(w)(d => w.option("checkpointLocation", s"$d/$name"))
+      cfg.checkpointDir.fold(w)(d =>
+        w.option("checkpointLocation", s"$d/${cfg.namePrefix}-$name"))
 
     // A — two-stage: finalized 30 s windows arrive append-mode; arg-max per
     // window inside the batch is complete by construction.

@@ -82,6 +82,15 @@ class AsofPlanSpec extends SparkSpec {
     }
   }
 
+  test("as-of join rejects mismatched key/order types instead of comparing garbage") {
+    import spark.implicits._
+    val l = Seq((1L, 1, 10L)).toDF("lid", "k", "t")       // k: INT
+    val r = Seq((100L, 1L, 6L)).toDF("rid", "rk", "rt")   // rk: BIGINT
+    val e = intercept[IllegalArgumentException](
+      Asof.join(l, r, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid")))
+    assert(e.getMessage.contains("types differ"))
+  }
+
   test("as-of join tie semantics: equal order tuple is NOT a match (strict <)") {
     import spark.implicits._
     val l = Seq((1L, "u", 10L)).toDF("lid", "k", "t")

@@ -88,18 +88,18 @@ class CheckpointSpec extends SparkSpec {
       // burst 1: #x three times within 2 s
       in.addData(tweet("a #x", 1000), tweet("b #x", 2000), tweet("c #x", 3000))
       q.processAllAvailable()
-      // advance the watermark past 3s + 60s gap → burst 1 times out
-      in.addData(tweet("noise #y", 200000))
-      q.processAllAvailable()
-      in.addData(tweet("noise2 #y", 210000)) // extra batch so the timeout fires
+      // #x again WAY beyond the gap, in the very next batch — the key is
+      // continuously active so no timeout fires; the data-driven close must
+      // emit burst 1 and start burst 2 (a key with data in every batch
+      // would otherwise merge bursts unboundedly)
+      in.addData(tweet("d #x", 300000), tweet("e #x", 301000))
       q.processAllAvailable()
       val after1 = spark.table("s11_bursts").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      assert(after1.contains(("#x", 1000L, 3000L, 3L)), s"got $after1")
+      assert(after1 == Set(("#x", 1000L, 3000L, 3L)), s"got $after1")
 
-      // burst 2: #x again much later — state was cleared, a NEW burst forms
-      in.addData(tweet("d #x", 300000), tweet("e #x", 301000))
-      q.processAllAvailable()
+      // burst 2 closes via the event-time TIMEOUT once the watermark passes
+      // 301s + 60s gap (two flush batches: wm advances, then timeout fires)
       in.addData(tweet("flush #y", 700000))
       q.processAllAvailable()
       in.addData(tweet("flush2 #y", 710000))
