@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Output-side table management — the layout half of the 100 TB story.
+  * Operators decide how data is COMPUTED; these writers decide how it is
+  * LAID OUT so the next job never pays for this job's shuffle again:
+  *
+  *  - [[writePartitioned]]: hive-style directory partitioning. A reader
+  *    filtering on the partition column scans only matching directories
+  *    (partition pruning — `PartitionFilters` in the scan, asserted in
+  *    WarehouseSpec). The right split for low-cardinality columns a corpus
+  *    is always filtered by (lang, source, date).
+  *  - [[writeBucketed]]: hash-bucketed + sorted table. Joins/aggregations
+  *    on the bucket key are co-located — NO Exchange at query time
+  *    (asserted in ScaleTechniqueSpec). The right shape for the high-
+  *    cardinality join keys (doc_id, user_id): pay one shuffle at write
+  *    time, never again.
+  *
+  * Readers pin schemas explicitly — schema inference is a full extra pass
+  * over the data at scale, and silently drifts when a malformed file
+  * appears. The reference's only source is Kafka bytes + explicit Jackson
+  * mapping (Tweet.java:10-21); these are the batch equivalents with the
+  * same pinned-schema discipline ([[graft.streaming.TweetPipelines.tweetSchema]]).
+  */
+object Warehouse {
+
+  /** Parquet, hive-partitioned by `partitionCols` (left-to-right directory
+    * nesting). Overwrites the target path. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Parquet table, hash-bucketed and sorted by `bucketCol` into `buckets`
+    * buckets, registered as `table` in the session catalog (bucketing
+    * metadata lives in the catalog, not the files — `spark.table(table)`
+    * to read with bucket awareness). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** CSV with a pinned schema; malformed rows land in a null-columns row
+    * (PERMISSIVE) rather than failing the job — filter or count them
+    * explicitly (SourceFormatSpec pins the behavior). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with a pinned schema (no inference pass). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -126,4 +126,12 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(800))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
   }
+
+  test("q46 top-k plans as TakeOrderedAndProject; q47 broadcasts the eval shingles") {
+    val zipf = graft.operators.TierSix.q46.run(spark, sf).queryExecution.executedPlan.toString
+    assert(zipf.contains("TakeOrderedAndProject"), zipf.take(800))
+    val cont = graft.operators.TierSix.q47.run(spark, sf).queryExecution.executedPlan.toString
+    assert(cont.contains("BroadcastHashJoin"), cont.take(800))
+    assert(!cont.contains("SortMergeJoin"), "corpus side must not shuffle: " + cont.take(800))
+  }
 }

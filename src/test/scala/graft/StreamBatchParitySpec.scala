@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.TweetPipelines
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** s12 — stream ↔ batch parity: the SAME rows replayed through MemoryStream
+  * in chunks must produce EXACTLY the aggregates the batch plan computes on
+  * the full frame. This bridges the no-oracle streaming operators to the
+  * oracle-checked batch semantics: the batch side of each pipeline is what
+  * the DuckDB gate pins (q05/q06/q09 families), and this spec pins the
+  * streaming side to the batch side — transitively, to the oracle.
+  *
+  * Chunked replay matters: it forces state to carry across micro-batches
+  * (incremental merge), which a single addData would not exercise.
+  */
+class StreamBatchParitySpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // real corpus rows → tweet JSON (event_type doubles as a hashtag)
+  private lazy val tweetJson: Seq[String] = Tables.load(spark, sf, "events")
+    .select(concat(lit("""{"text":"evt #"""), col("event_type"),
+      lit("""","createdAt":"""), unix_millis(col("ts").cast("timestamp")), // NTZ + UTC session
+      lit(""","lang":"en"}""")).as("j"))
+    .collect().map(_.getString(0)).toSeq
+
+  private def replay(chunks: Int)(build: DataFrame => DataFrame): DataFrame = {
+    val in = MemoryStream[String]
+    val q = build(in.toDF()).writeStream
+      .format("memory").queryName("s12_out").outputMode("complete").start()
+    try {
+      tweetJson.grouped(math.max(1, tweetJson.size / chunks)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      spark.table("s12_out")
+    } finally q.stop()
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector).toVector.sortBy(_.mkString("|"))
+
+  test("s12: keyed sliding-window counts — streaming over 7 chunks ≡ batch") {
+    val streamed = replay(7)(raw =>
+      TweetPipelines.keyedWindowCounts(
+        TweetPipelines.hashtags(TweetPipelines.parse(raw)), "2 hours", "1 hour"))
+    val batch = TweetPipelines.keyedWindowCounts(
+      TweetPipelines.hashtags(TweetPipelines.parse(
+        spark.createDataset(tweetJson).toDF("value"))), "2 hours", "1 hour")
+    assert(canon(streamed) == canon(batch))
+    assert(canon(streamed).nonEmpty)
+  }
+
+  test("s12: tumbling per-hour counts — streaming over 5 chunks ≡ batch") {
+    def pipe(raw: DataFrame) = TweetPipelines.parse(raw)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.end").as("window_end"), col("cnt"))
+    val streamed = replay(5)(pipe)
+    val batch = pipe(spark.createDataset(tweetJson).toDF("value"))
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("s12: running total — final streaming state ≡ batch aggregate") {
+    val streamed = replay(3)(raw => TweetPipelines.runningTotal(TweetPipelines.parse(raw)))
+    val batch = TweetPipelines.runningTotal(
+      TweetPipelines.parse(spark.createDataset(tweetJson).toDF("value")))
+    assert(canon(streamed) == canon(batch))
+  }
+}
