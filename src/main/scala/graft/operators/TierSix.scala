@@ -114,9 +114,14 @@ object TierSix {
         |  (2, 'spark stream filter key hash part column line') AS t(eval_id, etext)""".stripMargin)
     val et = trigrams(ev, "eval_id", "etext")
     val dt = trigrams(Tables.load(s, dir, "documents"), "doc_id", "text")
+    // two-level agg instead of countDistinct+count in one (which plans an
+    // Expand — ×2 row multiplication over every matched pair): first fold
+    // to (eval, doc), then count docs and sum hits — narrow shuffles only
     dt.join(broadcast(et), "t")
-      .groupBy(col("eval_id").cast("long").as("eval_id"))
-      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_hits"))
+      .groupBy(col("eval_id").cast("long").as("eval_id"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_docs"), sum("hits").as("n_hits"))
       .orderBy("eval_id")
   }
 

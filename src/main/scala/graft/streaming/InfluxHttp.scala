@@ -22,7 +22,11 @@ final case class InfluxHttpConfig(
     database: String = "graft",
     batchActions: Int = 2000, // ≤ 0 disables count batching → every point posts immediately
     flushDurationMs: Long = 100,
-    enableGzip: Boolean = false)
+    enableGzip: Boolean = false,
+    // transient-failure tolerance per POST before the task fails (and Spark
+    // retries the task/epoch — the at-least-once backstop)
+    maxRetries: Int = 3,
+    retryBackoffMs: Long = 200)
 
 /** X1 sink connector, HTTP flavor — the "production delta" over
   * [[InfluxLineProtocolWriter]]: posts line-protocol batches to InfluxDB's
@@ -83,9 +87,22 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
     val body = buf.mkString("\n")
     val url = s"${cfg.url}/write?db=${enc(cfg.database)}" +
       s"&u=${enc(cfg.username)}&p=${enc(cfg.password)}&precision=ns"
-    val code = request("POST", url, Some(body))
-    if (code / 100 != 2)
-      throw new RuntimeException(s"InfluxDB write failed: HTTP $code")
+    // linear backoff across maxRetries; a still-failing POST throws so the
+    // task (then epoch) retries — points re-post, which Influx writes are
+    // idempotent under (same series + timestamp overwrites)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val code = try request("POST", url, Some(body))
+      catch { case e: java.io.IOException => if (attempt >= cfg.maxRetries) throw e else -1 }
+      if (code / 100 == 2) done = true
+      else if (attempt >= cfg.maxRetries)
+        throw new RuntimeException(s"InfluxDB write failed after ${attempt + 1} attempts: HTTP $code")
+      else {
+        attempt += 1
+        Thread.sleep(cfg.retryBackoffMs * attempt)
+      }
+    }
     buf.clear()
     lastFlushMs = System.currentTimeMillis()
   }

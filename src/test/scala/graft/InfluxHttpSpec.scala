@@ -29,8 +29,10 @@ class InfluxHttpSpec extends SparkSpec {
   /** (gzip'd?, decoded body, query string) per /write POST. */
   private final case class Req(gzip: Boolean, body: String, query: String)
 
-  private def withServer(pingStatus: Int = 204)(f: (String, ArrayBuffer[Req]) => Unit): Unit = {
+  private def withServer(pingStatus: Int = 204, failWrites: Int = 0)(
+      f: (String, ArrayBuffer[Req]) => Unit): Unit = {
     val reqs = ArrayBuffer[Req]()
+    val failures = new java.util.concurrent.atomic.AtomicInteger(failWrites)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/ping", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -39,6 +41,9 @@ class InfluxHttpSpec extends SparkSpec {
     })
     server.createContext("/write", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (failures.getAndDecrement() > 0) { // transient-failure injection
+          ex.sendResponseHeaders(503, -1); ex.close(); return
+        }
         val gz = "gzip" == ex.getRequestHeaders.getFirst("Content-Encoding")
         val raw = new ByteArrayOutputStream()
         val in = if (gz) new GZIPInputStream(ex.getRequestBody) else ex.getRequestBody
@@ -92,6 +97,24 @@ class InfluxHttpSpec extends SparkSpec {
       val w = new InfluxHttpWriter(InfluxHttpConfig(url))
       val e = intercept[RuntimeException](w.open(0, 0))
       assert(e.getMessage.contains("unreachable"))
+    }
+  }
+
+  test("x05: transient write failures retry with backoff; exhaustion throws") {
+    withServer(failWrites = 2) { (url, reqs) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 3, retryBackoffMs = 10))
+      assert(w.open(0, 0))
+      w.process(row("m", 1L, Map("v" -> "1"))) // 503, 503, then 204
+      w.close(null)
+      assert(reqs.synchronized(reqs.size) == 1, "the retried batch lands once")
+    }
+    withServer(failWrites = 100) { (url, _) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 1, retryBackoffMs = 10))
+      assert(w.open(0, 0))
+      val e = intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
+      assert(e.getMessage.contains("after 2 attempts"), e.getMessage)
     }
   }
 
