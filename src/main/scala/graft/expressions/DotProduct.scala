@@ -95,7 +95,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-    // whole-operator extension: plans graft.plans.AsOfJoin natively
+    // whole-operator extension: plans graft.plans.AsOfJoin natively, and
+    // prunes columns through it (custom nodes are optimizer barriers)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }

@@ -147,6 +147,9 @@ object Asof {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     val lp = GraftSqlBridge.analyzed(left)
     val rp = GraftSqlBridge.analyzed(right)
     def attrs(p: LogicalPlan, names: Seq[String], side: String): Seq[Attribute] =

@@ -82,6 +82,26 @@ class AsofPlanSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the scan through the custom node (Rule leg)") {
+    // join over the FULL events table, then select two columns — without
+    // PruneAsOfJoinColumns the custom node is an optimizer barrier and the
+    // scan reads every column
+    val ev = Tables.load(spark, sf, "events")
+    val errors = ev.filter(col("event_type") === "error")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"), col("props").as("p_props"))
+    val out = Asof.join(errors, purchases,
+        Seq("user_id"), Seq("p_user"), Seq("ts", "event_id"), Seq("p_ts", "pid"))
+      .select(col("event_id"), col("pid").as("last_purchase_id"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("p_props") && !plan.contains("p_value"),
+      "unused right columns must be pruned before the exec:\n" + plan.take(1200))
+    // and the parquet scans must not read the wide props column at all
+    assert(!plan.contains("props"), "scan must prune props:\n" + plan.take(1200))
+    assert(out.count() > 0)
+  }
+
   test("as-of join rejects mismatched key/order types instead of comparing garbage") {
     import spark.implicits._
     val l = Seq((1L, 1, 10L)).toDF("lid", "k", "t")       // k: INT
