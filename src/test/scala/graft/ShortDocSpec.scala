@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{TierFour, TierSix}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-document edge cases (the ADVICE-flagged latent crashes): 0-,
+  * 1-, and 2-token documents through every shingling query. Spark's
+  * `sequence(0, n)` DESCENDS when n < 0 and `element_at(l, 0)` then throws
+  * — the guards must instead yield zero shingles, like DuckDB's empty
+  * `range()`. The production corpus has no such docs, so this corpus is
+  * built by hand.
+  */
+class ShortDocSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp: String = {
+    val dir = java.nio.file.Files.createTempDirectory("shortdoc").toString
+    Seq(
+      (0L, "", "en", "s", 0L),                       // empty text
+      (1L, "a", "en", "s", 1L),                      // 1 token: no bigrams/trigrams
+      (2L, "a b", "en", "s", 3L),                    // 2 tokens: 1 bigram, no trigrams
+      (3L, "a b c", "en", "s", 5L),                  // 3 tokens: 2 bigrams, 1 trigram
+      (4L, "a b a b a b", "en", "s", 11L))           // repetitive: bigram 'a b' ×3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q28 n-gram jaccard survives 0/1-token docs (no descending sequence crash)") {
+    // docs 0,1 yield no shingles; 'a b' ⊄~ 'a b c' at J≥0.8; doc4's distinct
+    // bigrams {a b, b a} vs doc2's {a b}: J=1/2 < 0.8 — so no pairs at all,
+    // the point is it must not throw
+    val rows = TierFour.q28.run(spark, tmp).collect()
+    assert(rows.isEmpty, s"got ${rows.mkString(",")}")
+  }
+
+  test("q33 fingerprint survives short docs: only 3+-token docs fingerprint") {
+    val ids = TierFour.q33.run(spark, tmp).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(3L, 4L), s"got $ids") // 0,1,2 have no trigrams
+  }
+
+  test("q31 quality ratios are null (not a crash, not inf) for empty docs") {
+    val byId = TierFour.q31.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).isNullAt(2), "stop_ratio of empty doc must be NULL")
+    assert(byId(0L).isNullAt(4), "space_ratio of empty doc must be NULL")
+    assert(byId(0L).getLong(1) == 0L) // n_tokens
+    assert(byId(3L).getLong(1) == 3L)
+  }
+
+  test("q49 repetition counts multiplicity: 'a b a b a b' has max_rep 3 of 5") {
+    val byId = TierSix.q49.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(!byId.contains(0L) && !byId.contains(1L)) // no bigrams → absent
+    assert(byId(2L) == ((1L, 1L)))
+    assert(byId(4L) == ((5L, 3L)), s"got ${byId(4L)}") // bigrams: ab,ba,ab,ba,ab
+  }
+
+  test("q32/q50 degrade gracefully on the degenerate corpus") {
+    val tc = TierFour.q32.run(spark, tmp).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc(0L) == 0L && tc(1L) == 1L && tc(4L) == 6L)
+    val hist = TierSix.q50.run(spark, tmp).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 5L)
+  }
+}

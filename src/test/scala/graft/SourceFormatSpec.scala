@@ -16,8 +16,8 @@ class SourceFormatSpec extends SparkSpec {
     slice.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     slice.write.mode("overwrite").json(s"$tmp/json")
     val schema = slice.schema
-    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$tmp/csv")
-    val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+    val fromCsv = graft.sources.Warehouse.readCsv(spark, s"$tmp/csv", schema)
+    val fromJson = graft.sources.Warehouse.readJsonLines(spark, s"$tmp/json", schema)
     val base = slice.collect().map(_.toSeq).toSet
     assert(fromCsv.collect().map(_.toSeq).toSet == base)
     assert(fromJson.collect().map(_.toSeq).toSet == base)
