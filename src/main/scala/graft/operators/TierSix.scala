@@ -190,5 +190,132 @@ object TierSix {
       .orderBy("bucket")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50)
+  /** Integer-scaled TF-IDF, top-5 tokens per document: tf · idf_ppm where
+    * idf_ppm = (N·10⁶) div df — all-integer scoring (float `ln` would
+    * hash-diverge across engines' libm; monotone in 1/df, so ranking is
+    * preserved). The rank is PARTITIONED by doc_id — parallel at any scale,
+    * never a global sort.
+    */
+  val q51 = Q("q51_tfidf",
+    """WITH cnts AS (
+      |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1, 2),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM cnts GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf, (n * 1000000) // df AS idf_ppm,
+      |         tf * ((n * 1000000) // df) AS score
+      |  FROM cnts JOIN dfreq USING (token) CROSS JOIN n),
+      |top AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, token, tf, CAST(idf_ppm AS BIGINT) AS idf_ppm,
+      |       CAST(score AS BIGINT) AS score
+      |FROM top WHERE rn <= 5 ORDER BY doc_id, score DESC, token""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val cnts = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = cnts.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = cnts.join(broadcast(dfreq), "token").crossJoin(broadcast(n))
+      .withColumn("idf_ppm", expr("(n * 1000000) div df"))
+      .withColumn("score", col("tf") * col("idf_ppm"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rn", row_number().over(rank)).filter(col("rn") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("idf_ppm"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+  }
+
+  /** Asymmetric containment |A∩B| / |A| ≥ 0.9 — subsumption detection (doc
+    * A is mostly inside B: the near-dup relation exact Jaccard misses when
+    * sizes differ). Directed output. Same adaptive physical path as q23:
+    * BIGINT bitmask pairs when the vocabulary dictionary-encodes, token
+    * self-join otherwise; intersections computed ONCE per unordered pair
+    * and emitted in both directions.
+    */
+  val q52 = Q("q52_containment",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS i
+      |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dir AS (
+      |  SELECT da AS contained, db AS container, i, sa.n AS nc
+      |  FROM inter JOIN sz sa ON sa.doc_id = da
+      |  UNION ALL
+      |  SELECT db, da, i, sb.n FROM inter JOIN sz sb ON sb.doc_id = db)
+      |SELECT contained, container, round(CAST(i AS DOUBLE) / nc, 6) AS containment
+      |FROM dir WHERE CAST(i AS DOUBLE) / nc >= 0.9
+      |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    val t = TextOps.tok(s, dir)
+    val v = TextOps.vocab(t)
+    val tokid = TextOps.tokid(t, v)
+    val undirected =
+      if (v.count() <= 64) {
+        val m = TextOps.tokenMasks(tokid).persist()
+        m.select(col("doc_id").as("da"), col("mask").as("ma"), col("n").as("na"))
+          .join(m.select(col("doc_id").as("db"), col("mask").as("mb"), col("n").as("nb")),
+            col("da") < col("db") && (col("ma").bitwiseAND(col("mb")) =!= 0))
+          .select(col("da"), col("db"),
+            expr("cast(bit_count(ma & mb) as bigint)").as("i"),
+            col("na"), col("nb"))
+      } else {
+        val ti = tokid.persist() // self-joined + sized: one corpus pass
+        val sz = ti.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        ti.select(col("doc_id").as("da"), col("tid"))
+          .join(ti.select(col("doc_id").as("db"), col("tid")), Seq("tid"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      }
+    // referenced twice (both union branches) — compute the pair set once
+    val pairs = undirected.persist()
+    val directed = pairs
+      .select(col("da").as("contained"), col("db").as("container"), col("i"), col("na").as("nc"))
+      .unionAll(pairs
+        .select(col("db").as("contained"), col("da").as("container"), col("i"), col("nb").as("nc")))
+    directed
+      .filter(col("i").cast("double") / col("nc") >= 0.9)
+      .select(col("contained"), col("container"),
+        round(col("i").cast("double") / col("nc"), 6).as("containment"))
+      .orderBy("contained", "container")
+  }
+
+  /** End-to-end dedup APPLY — the action the near-dup detectors exist for:
+    * drop the higher-id member of every q26 near-dup pair and report
+    * per-language corpus shrinkage. Composes the declared q26 (the Spark
+    * side reuses its DataFrame; the oracle embeds its SQL as a CTE) — the
+    * full pipeline a training-data job runs: detect → choose survivors →
+    * filter the corpus.
+    */
+  val q53 = Q("q53_dedup_apply",
+    s"""WITH pairs AS (${TierFour.q26.oracle.get}),
+       |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dropped)
+       |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // dropped is O(near-dup docs) — a shuffle join on doc_id, NOT a
+    // broadcast (at 100 TB the drop list is itself huge; AQE may still
+    // convert when it measures small)
+    val dropped = TierFour.q26.run(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.load(s, dir, "documents")
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_survivors"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
