@@ -35,6 +35,12 @@ object Cumulative {
     * order (duplicate sort keys would make the assignment within the tie
     * nondeterministic — callers pass a key that is unique by construction).
     * No single-partition stage anywhere in the plan.
+    *
+    * Ownership contract: `df` must NOT be externally persisted — this
+    * method temporarily caches it (so range sampling doesn't re-execute
+    * the lineage) and drops that cache once the partitioned copy is
+    * materialized; on an already-cached input the unpersist would evict
+    * the caller's cache.
     */
   def rowNumber(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
       outName: String, partitions: Int = 0): DataFrame = {

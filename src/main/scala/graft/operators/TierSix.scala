@@ -278,8 +278,13 @@ object TierSix {
           .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
           .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
       }
-    // referenced twice (both union branches) — compute the pair set once
-    val pairs = undirected.persist()
+    // direction-agnostic prefilter BEFORE the persist: a pair can pass the
+    // directed 0.9 filter only if i ≥ 0.9·min(|A|,|B|) — the cache then
+    // holds candidate pairs, not every token-sharing pair (~n²/2 on a
+    // dense corpus). Referenced twice (both union branches).
+    val pairs = undirected
+      .filter(col("i").cast("double") >= lit(0.9) * least(col("na"), col("nb")))
+      .persist()
     val directed = pairs
       .select(col("da").as("contained"), col("db").as("container"), col("i"), col("na").as("nc"))
       .unionAll(pairs

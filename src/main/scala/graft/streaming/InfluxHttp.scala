@@ -87,15 +87,20 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
     val body = buf.mkString("\n")
     val url = s"${cfg.url}/write?db=${enc(cfg.database)}" +
       s"&u=${enc(cfg.username)}&p=${enc(cfg.password)}&precision=ns"
-    // linear backoff across maxRetries; a still-failing POST throws so the
-    // task (then epoch) retries — points re-post, which Influx writes are
-    // idempotent under (same series + timestamp overwrites)
+    // linear backoff across maxRetries for TRANSIENT failures only (5xx /
+    // connection errors); 4xx is permanent (malformed line protocol, bad
+    // auth) and re-POSTing the same body can never succeed — fail fast. A
+    // still-failing POST throws so the task (then epoch) retries — points
+    // re-post, which Influx writes are idempotent under (same series +
+    // timestamp overwrites).
     var attempt = 0
     var done = false
     while (!done) {
       val code = try request("POST", url, Some(body))
       catch { case e: java.io.IOException => if (attempt >= cfg.maxRetries) throw e else -1 }
       if (code / 100 == 2) done = true
+      else if (code > 0 && code / 100 != 5)
+        throw new RuntimeException(s"InfluxDB write rejected (not retryable): HTTP $code")
       else if (attempt >= cfg.maxRetries)
         throw new RuntimeException(s"InfluxDB write failed after ${attempt + 1} attempts: HTTP $code")
       else {

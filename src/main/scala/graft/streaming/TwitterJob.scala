@@ -72,7 +72,9 @@ object TwitterJob {
     // per-query checkpoint root (offsets + state store + commit log):
     // queries must not share a checkpoint dir, and the subdir carries the
     // FULL query name (incl. namePrefix) so two jobs with different
-    // prefixes can share one checkpointDir without colliding
+    // prefixes can share one checkpointDir without colliding. (Naming was
+    // fixed pre-release — no deployed checkpoints exist under the old
+    // unprefixed subdirs; a renamed prefix intentionally starts fresh.)
     def cp[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
         name: String): org.apache.spark.sql.streaming.DataStreamWriter[T] =
       cfg.checkpointDir.fold(w)(d =>

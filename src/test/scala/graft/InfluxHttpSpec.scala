@@ -29,8 +29,8 @@ class InfluxHttpSpec extends SparkSpec {
   /** (gzip'd?, decoded body, query string) per /write POST. */
   private final case class Req(gzip: Boolean, body: String, query: String)
 
-  private def withServer(pingStatus: Int = 204, failWrites: Int = 0)(
-      f: (String, ArrayBuffer[Req]) => Unit): Unit = {
+  private def withServer(pingStatus: Int = 204, failWrites: Int = 0,
+      failStatus: Int = 503)(f: (String, ArrayBuffer[Req]) => Unit): Unit = {
     val reqs = ArrayBuffer[Req]()
     val failures = new java.util.concurrent.atomic.AtomicInteger(failWrites)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -41,8 +41,8 @@ class InfluxHttpSpec extends SparkSpec {
     })
     server.createContext("/write", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        if (failures.getAndDecrement() > 0) { // transient-failure injection
-          ex.sendResponseHeaders(503, -1); ex.close(); return
+        if (failures.getAndDecrement() > 0) { // failure injection
+          ex.sendResponseHeaders(failStatus, -1); ex.close(); return
         }
         val gz = "gzip" == ex.getRequestHeaders.getFirst("Content-Encoding")
         val raw = new ByteArrayOutputStream()
@@ -115,6 +115,16 @@ class InfluxHttpSpec extends SparkSpec {
       assert(w.open(0, 0))
       val e = intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
       assert(e.getMessage.contains("after 2 attempts"), e.getMessage)
+    }
+    // 4xx is permanent (bad line protocol / auth): no retries, fail fast
+    withServer(failWrites = 100, failStatus = 400) { (url, _) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 5, retryBackoffMs = 10))
+      assert(w.open(0, 0))
+      val t0 = System.nanoTime()
+      val e = intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
+      assert(e.getMessage.contains("not retryable"), e.getMessage)
+      assert((System.nanoTime() - t0) / 1e6 < 5000, "must not sit in backoff sleeps")
     }
   }
 
