@@ -59,6 +59,14 @@ object TierFour {
     * ARRAY<BIGINT>. A polynomial collision would only ADD a candidate pair
     * (then exact-verified), and the oracle computes the identical BIGINT,
     * so even collision-born candidates agree across engines.
+    *
+    * Degenerate-bucket caveat (100 TB): K docs sharing a band key emit
+    * K²/2 candidates from that bucket — inherent to LSH, worst when the
+    * corpus carries many EXACT duplicates (identical docs share all 8
+    * bands). The production mitigation is pipeline ordering, not a result-
+    * changing cap: exact dedup first (q22 / the q53 apply step), so only
+    * distinct documents reach the sketch. Verification cost stays bounded
+    * per pair (one bit_count) either way.
     */
   val q26 = Q("q26_minhash_lsh",
     s"""WITH $tokSql,
