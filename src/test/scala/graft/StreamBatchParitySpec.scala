@@ -53,7 +53,7 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(canon(streamed).nonEmpty)
   }
 
-  test("s12: tumbling per-hour counts — streaming over 5 chunks ≡ batch") {
+  test("s12: tumbling per-hour counts — streaming over 5 chunks ≡ batch ≡ ORACLE-checked q05") {
     def pipe(raw: DataFrame) = TweetPipelines.parse(raw)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
@@ -61,6 +61,16 @@ class StreamBatchParitySpec extends SparkSpec {
     val streamed = replay(5)(pipe)
     val batch = pipe(spark.createDataset(tweetJson).toDF("value"))
     assert(canon(streamed) == canon(batch))
+    // close the loop to the DuckDB gate: q05 computes the same hourly
+    // counts over the same events rows and is hash-checked against the
+    // oracle every round — so the STREAMING result is transitively
+    // oracle-pinned (window_end − 1 h = q05's window_start; UTC session)
+    val q05 = graft.operators.TierOne.q05.run(spark, sf).collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("window_start")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli -> r.getLong(1)).toMap
+    val streamedMap = streamed.collect()
+      .map(r => r.getTimestamp(0).getTime - 3600000L -> r.getLong(1)).toMap
+    assert(streamedMap == q05, "streaming result must equal the oracle-checked q05")
   }
 
   test("s12: running total — final streaming state ≡ batch aggregate") {
