@@ -322,5 +322,51 @@ object TierSix {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q53)
+  /** Count-Min sketch over token frequencies — the one sketch that can be
+    * ORACLE-checked (HLL/quantile sketches are implementation-defined
+    * across engines; CMS cells are sums, order-independent and exactly
+    * reproducible given a shared hash family — here the engine's affine
+    * family over vocabulary ids, depth 4 × width 64). Output per token:
+    * true count vs sketch estimate (min over the 4 rows) — est ≥ true
+    * always, equal absent collisions. At 100 TB the sketch build is one
+    * partial+final agg into 256 cells; the per-token probe joins the
+    * 256-row sketch broadcast.
+    */
+  val q54 = Q("q54_countmin",
+    """WITH tf AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1),
+      |vocab AS (
+      |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+      |  FROM tf),
+      |rows_ AS (SELECT unnest(range(4)) AS j),
+      |placed AS (
+      |  SELECT token, tf, j,
+      |         ((2654435761 * (j+1)) % 2147483647 * tid
+      |          + (40503 * (j+1)) % 2147483647) % 2147483647 % 64 AS cell
+      |  FROM tf JOIN vocab USING (token) CROSS JOIN rows_),
+      |sketch AS (SELECT j, cell, sum(tf) AS s FROM placed GROUP BY 1, 2)
+      |SELECT token, tf, CAST(min(s) AS BIGINT) AS est
+      |FROM placed JOIN sketch USING (j, cell)
+      |GROUP BY token, tf ORDER BY token""".stripMargin) { (s, dir) =>
+    val P = 2147483647L
+    val tf = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    // vocab rank over tf's tokens (already distinct) — distributed two-pass
+    val v = Cumulative.rowNumber(s, tf, Seq(col("token")), "tid")
+    val placed = v.crossJoin(broadcast(s.range(4).select(col("id").as("j"))))
+      .withColumn("cell",
+        ((lit(2654435761L) * (col("j") + 1)) % P * col("tid")
+          + (lit(40503L) * (col("j") + 1)) % P) % P % 64)
+      .persist() // builds the sketch AND probes it
+    val sketch = placed.groupBy("j", "cell").agg(sum("tf").as("s"))
+    placed.join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy("token", "tf").agg(min("s").as("est"))
+      .orderBy("token")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }
