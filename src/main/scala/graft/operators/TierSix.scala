@@ -343,7 +343,7 @@ object TierSix {
       |rows_ AS (SELECT unnest(range(4)) AS j),
       |placed AS (
       |  SELECT token, tf, j,
-      |         ((2654435761 * (j+1)) % 2147483647 * tid
+      |         ((2654435761 * (j+1)) % 2147483647 * (tid % 2147483647)
       |          + (40503 * (j+1)) % 2147483647) % 2147483647 % 64 AS cell
       |  FROM tf JOIN vocab USING (token) CROSS JOIN rows_),
       |sketch AS (SELECT j, cell, sum(tf) AS s FROM placed GROUP BY 1, 2)
@@ -357,9 +357,12 @@ object TierSix {
       .groupBy("token").agg(count(lit(1)).as("tf"))
     // vocab rank over tf's tokens (already distinct) — distributed two-pass
     val v = Cumulative.rowNumber(s, tf, Seq(col("token")), "tid")
+    // `tid % P` BEFORE the multiply caps the product at (P−1)² < 2^63 —
+    // a 10⁹⁺-token vocabulary must not wrap Int64 (Spark would silently go
+    // negative while DuckDB raises; same remedy as the LSH band keys)
     val placed = v.crossJoin(broadcast(s.range(4).select(col("id").as("j"))))
       .withColumn("cell",
-        ((lit(2654435761L) * (col("j") + 1)) % P * col("tid")
+        ((lit(2654435761L) * (col("j") + 1)) % P * (col("tid") % P)
           + (lit(40503L) * (col("j") + 1)) % P) % P % 64)
       .persist() // builds the sketch AND probes it
     val sketch = placed.groupBy("j", "cell").agg(sum("tf").as("s"))
