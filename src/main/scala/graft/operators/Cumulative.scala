@@ -31,6 +31,24 @@ import org.apache.spark.sql.types._
   */
 object Cumulative {
 
+  /** Caches pinned by [[rowNumber]] (the range-partitioned copies whose
+    * sampled boundaries must stay stable while downstream plans execute).
+    * They cannot be dropped inside rowNumber — unpersisting would let a
+    * re-execution RESAMPLE the range boundaries and misalign the offset
+    * pass — so a long-lived session releases them BETWEEN queries via
+    * [[releaseAll]] (Verify does, after each result is materialized;
+    * Bench's per-query clearCache covers it too). */
+  private val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Drop every cache pinned by [[rowNumber]] since the last call. Safe
+    * once all downstream results of those rank plans are materialized;
+    * a later re-use of such a plan recomputes (correctly — it just
+    * resamples) instead of reading the cache. */
+  def releaseAll(): Unit = retained.synchronized {
+    retained.foreach(_.unpersist(blocking = false))
+    retained.clear()
+  }
+
   /** Append `outName` = 1-based BIGINT `row_number()` over the given TOTAL
     * order (duplicate sort keys would make the assignment within the tie
     * nondeterministic — callers pass a key that is unique by construction).

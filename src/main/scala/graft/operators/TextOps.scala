@@ -19,7 +19,13 @@ object TextOps {
 
   /** Distinct (doc_id, token) pairs from `documents`. */
   def tok(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    tokOf(Tables.load(s, dir, "documents"))
+
+  /** Distinct (doc_id, token) pairs from an arbitrary (doc_id, text)
+    * relation — lets the dedup pipeline run over a pre-filtered corpus
+    * (e.g. q53's exact-dedup survivors) instead of the raw table. */
+  def tokOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .distinct()

@@ -34,42 +34,24 @@ object TierFour {
 
   import TextOps.{tok, vocab}
 
-  private val tokSql =
-    """tok AS (
-      |  SELECT DISTINCT doc_id, token FROM (
-      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
-      |  WHERE token <> ''),
-      |vocab AS (
-      |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
-      |  FROM (SELECT DISTINCT token FROM tok)),
-      |tokid AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token))""".stripMargin
+  private def tokSqlFrom(rel: String) =
+    s"""tok AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $rel)
+       |  WHERE token <> ''),
+       |vocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT token FROM tok)),
+       |tokid AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token))""".stripMargin
 
-  /** MinHash + LSH near-duplicate detection — the 100 TB path for what
-    * [[TierThree.q23]] computes exactly. 32-permutation signature, banded
-    * 8×4: docs agreeing on all 4 minhashes of any band become candidates,
-    * then ONLY candidates are verified with exact Jaccard ≥ 0.6. The full
-    * token self-join never happens: candidate generation is a groupBy on
-    * (band, band-signature) — shuffle O(docs·bands), and verification cost
-    * is O(candidates·tokens-per-doc).
-    *
-    * The band signature is ONE BIGINT — the 4 minhashes combined by a
-    * base-131 polynomial mod P (sum(mh·131^(3−pos)) % P, max 4·P·131³ <
-    * 2^63) — not a CSV string: the shuffle key is 8 bytes instead of ~80,
-    * and each doc's 8 band hashes travel the self-join as an
-    * ARRAY<BIGINT>. A polynomial collision would only ADD a candidate pair
-    * (then exact-verified), and the oracle computes the identical BIGINT,
-    * so even collision-born candidates agree across engines.
-    *
-    * Degenerate-bucket caveat (100 TB): K docs sharing a band key emit
-    * K²/2 candidates from that bucket — inherent to LSH, worst when the
-    * corpus carries many EXACT duplicates (identical docs share all 8
-    * bands). The production mitigation is pipeline ordering, not a result-
-    * changing cap: exact dedup first (q22 / the q53 apply step), so only
-    * distinct documents reach the sketch. Verification cost stays bounded
-    * per pair (one bit_count) either way.
-    */
-  val q26 = Q("q26_minhash_lsh",
-    s"""WITH $tokSql,
+  private val tokSql = tokSqlFrom("documents")
+
+  /** q26's oracle SQL over an arbitrary (doc_id, text) relation `rel` —
+    * q26 instantiates it on `documents`, q53 on its exact-dedup-survivor
+    * CTE (the production ordering the degenerate-bucket caveat below
+    * prescribes). */
+  def minhashSql(rel: String): String =
+    s"""WITH ${tokSqlFrom(rel)},
        |perm AS (
        |  SELECT i, ($A0*(i+1)) % $P AS a, ($B0*(i+1)) % $P AS b
        |  FROM (SELECT unnest(range(32)) AS i)),
@@ -95,8 +77,41 @@ object TierFour {
        |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
        |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
-       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val t = tok(s, dir)
+       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH near-duplicate detection — the 100 TB path for what
+    * [[TierThree.q23]] computes exactly. 32-permutation signature, banded
+    * 8×4: docs agreeing on all 4 minhashes of any band become candidates,
+    * then ONLY candidates are verified with exact Jaccard ≥ 0.6. The full
+    * token self-join never happens: candidate generation is a groupBy on
+    * (band, band-signature) — shuffle O(docs·bands), and verification cost
+    * is O(candidates·tokens-per-doc).
+    *
+    * The band signature is ONE BIGINT — the 4 minhashes combined by a
+    * base-131 polynomial mod P (sum(mh·131^(3−pos)) % P, max 4·P·131³ <
+    * 2^63) — not a CSV string: the shuffle key is 8 bytes instead of ~80,
+    * and each doc's 8 band hashes travel the self-join as an
+    * ARRAY<BIGINT>. A polynomial collision would only ADD a candidate pair
+    * (then exact-verified), and the oracle computes the identical BIGINT,
+    * so even collision-born candidates agree across engines.
+    *
+    * Degenerate-bucket caveat (100 TB): K docs sharing a band key emit
+    * K²/2 candidates from that bucket — inherent to LSH, worst when the
+    * corpus carries many EXACT duplicates (identical docs share all 8
+    * bands). The production mitigation is pipeline ordering, not a result-
+    * changing cap: exact dedup first (q22 / the q53 apply step), so only
+    * distinct documents reach the sketch. Verification cost stays bounded
+    * per pair (one bit_count) either way.
+    */
+  val q26 = Q("q26_minhash_lsh", minhashSql("documents")) { (s, dir) =>
+    minhashPairs(tok(s, dir))
+  }
+
+  /** q26's full Spark pipeline (signature → banded LSH buckets → exact
+    * verification) over an arbitrary distinct (doc_id, token) relation —
+    * see [[q26]]'s scaladoc for the plan rationale. q53 feeds it the
+    * exact-dedup survivors. */
+  def minhashPairs(t: DataFrame): DataFrame = {
     val v = vocab(t)
     val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
     // All 32 minhashes as 32 min-aggregate COLUMNS in one groupBy — ONE
@@ -306,9 +321,18 @@ object TierFour {
     val yp = prefix.select(col("doc_id").as("doc_b"), col("n").as("nb0"),
       col("pre").as("pb"), col("pos").as("pos_b"), col("sid").as("sid_b"))
     // prefix match + length filter: J ≥ 4/5 ⇒ 5·min(|A|,|B|) ≥ 4·max(|A|,|B|)
+    // + PPJoin POSITIONAL filter: J ≥ 4/5 needs overlap α ≥ ⌈4(na+nb)/9⌉,
+    // and at the FIRST shared element (0-based pos) the overlap is capped
+    // by 1 + min(na−pos_a−1, nb−pos_b−1) = min(na−pos_a, nb−pos_b) — so
+    // 9·min(na−pos_a, nb−pos_b) < 4·(na+nb) kills the candidate inside the
+    // join predicate (integer compare, pure codegen), BEFORE the
+    // arrays_overlap residual ever allocates its slices (And
+    // short-circuits), and before array_intersect verification.
     val cand = xp.join(yp,
         col("sid") === col("sid_b") && col("doc_a") < col("doc_b")
           && col("na0") * 5 >= col("nb0") * 4 && col("nb0") * 5 >= col("na0") * 4
+          && least(col("na0") - col("pos_a"), col("nb0") - col("pos_b")) * 9
+             >= (col("na0") + col("nb0")) * 4
           && !arrays_overlap(
             slice(col("pa"), lit(1), col("pos_a")),
             slice(col("pb"), lit(1), col("pos_b"))))

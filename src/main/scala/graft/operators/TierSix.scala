@@ -50,6 +50,12 @@ object TierSix {
     * parts-per-million share — the first plot anyone makes of a new
     * corpus. One partial+final count agg and a broadcast 1-row total;
     * top-k is TakeOrderedAndProject, never a global sort.
+    *
+    * Operating bound (Int64): `cnt * 1000000` wraps once a single token's
+    * corpus frequency exceeds 2^63/10⁶ ≈ 9.2e12. A 100 TB corpus holds
+    * ~2e13 tokens total, so the most frequent token (a ~5% stopword ≈
+    * 1e12) sits ~10× under the bound; past ~1 PB, drop the ppm factor to
+    * 10³ or route the product through DECIMAL(38,0) on both engines.
     */
   val q46 = Q("q46_zipf_topk",
     """WITH tf AS (
@@ -129,17 +135,20 @@ object TierSix {
     * affine hash of doc_id — no sort, no randomness, retry-stable, and the
     * same rows come out on any cluster size (the 100 TB sampling shape:
     * a codegen'd filter). Output proves the stratification: per language,
-    * total vs sampled counts.
+    * total vs sampled counts. `doc_id % P` BEFORE the multiply caps the
+    * product at A0·(P−1) ≈ 5.7e18 < 2^63 — raw doc_id ≳ 3.4e9 (routine at
+    * 100 TB) would wrap Int64 (Spark silently goes negative and biases the
+    * sample; DuckDB raises). Same remedy as q54's tid.
     */
   val q48 = Q("q48_stratified_sample",
     """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
-      |       CAST(sum(CASE WHEN (2654435761 * doc_id + 40503) % 2147483647 % 100 < 10
+      |       CAST(sum(CASE WHEN (2654435761 * (doc_id % 2147483647) + 40503) % 2147483647 % 100 < 10
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),
-        sum(when((lit(2654435761L) * col("doc_id") + 40503L) % 2147483647L % 100 < 10, 1L)
+        sum(when((lit(2654435761L) * (col("doc_id") % 2147483647L) + 40503L) % 2147483647L % 100 < 10, 1L)
           .otherwise(0L)).as("n_sampled"))
       .orderBy("lang")
   }
@@ -195,6 +204,14 @@ object TierSix {
     * hash-diverge across engines' libm; monotone in 1/df, so ranking is
     * preserved). The rank is PARTITIONED by doc_id — parallel at any scale,
     * never a global sort.
+    *
+    * Operating bound (Int64): idf_ppm ≤ N·10⁶ (df = 1), so tf · idf_ppm
+    * stays under 2^63 while tf · N < 9.2e12 — at the 100 TB design point
+    * (N ≈ 10¹¹ docs) that allows tf ≤ 92 for a corpus-unique token, and
+    * rare tokens (small df) are exactly the ones with small tf, so real
+    * corpora sit far inside the bound. Beyond it, shrink the ppm factor or
+    * compute the product in DECIMAL(38,0) on both engines — the ranking is
+    * unchanged either way because score is monotone in tf·N/df.
     */
   val q51 = Q("q51_tfidf",
     """WITH cnts AS (
@@ -296,29 +313,51 @@ object TierSix {
       .orderBy("contained", "container")
   }
 
-  /** End-to-end dedup APPLY — the action the near-dup detectors exist for:
-    * drop the higher-id member of every q26 near-dup pair and report
-    * per-language corpus shrinkage. Composes the declared q26 (the Spark
-    * side reuses its DataFrame; the oracle embeds its SQL as a CTE) — the
-    * full pipeline a training-data job runs: detect → choose survivors →
-    * filter the corpus.
+  /** End-to-end dedup APPLY — the action the near-dup detectors exist for,
+    * in the production ORDERING the LSH degenerate-bucket caveat
+    * prescribes (TierFour q26 scaladoc): exact dedup FIRST (q22
+    * semantics — one survivor per distinct text, min doc_id wins), the
+    * MinHash+LSH sketch over only the distinct survivors (identical docs
+    * share all 8 band keys, so running the sketch before exact dedup is
+    * what creates K²/2-pair degenerate buckets), then drop the higher-id
+    * member of every near-dup pair. Output: per-language corpus shrinkage
+    * — survivors = docs that pass BOTH stages. The oracle embeds the
+    * parameterized q26 SQL ([[TierFour.minhashSql]]) over the same
+    * survivor CTE.
     */
   val q53 = Q("q53_dedup_apply",
-    s"""WITH pairs AS (${TierFour.q26.oracle.get}),
+    s"""WITH exact_surv AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |corpus AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN exact_surv USING (doc_id)),
+       |pairs AS (${TierFour.minhashSql("corpus")}),
        |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dropped)
-       |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM exact_surv)
+       |                      AND doc_id NOT IN (SELECT doc_id FROM dropped)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    // dropped is O(near-dup docs) — a shuffle join on doc_id, NOT a
-    // broadcast (at 100 TB the drop list is itself huge; AQE may still
-    // convert when it measures small)
-    val dropped = TierFour.q26.run(s, dir).select(col("doc_b").as("doc_id")).distinct()
-    Tables.load(s, dir, "documents")
-      .join(dropped.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+    val docs = Tables.load(s, dir, "documents")
+    // exact stage: shuffle key is the fixed-width digest (q22's shape),
+    // then a semi join brings the surviving rows (with text) back
+    val exactSurv = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val corpus = docs.join(exactSurv, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text")
+    // near-dup stage over distinct survivors only; kept/dropped are
+    // O(near-dup docs) — shuffle joins on doc_id, NOT broadcasts (at
+    // 100 TB the drop list is itself huge; AQE still converts when it
+    // measures small)
+    val dropped = TierFour.minhashPairs(TextOps.tokOf(corpus))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = exactSurv.join(dropped, Seq("doc_id"), "left_anti")
+    docs
+      .join(kept.withColumn("kept", lit(1)), Seq("doc_id"), "left")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("n_survivors"))
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_survivors"))
       .orderBy("lang")
   }
 
