@@ -102,6 +102,43 @@ class AsofPlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("bucketed children satisfy the distribution: as-of join with ZERO Exchange") {
+    // the one scale claim of AsOfJoin.scala's scaladoc not previously
+    // executed: pre-bucketed tables satisfy requiredChildDistribution, so
+    // EnsureRequirements elides both shuffles — the join reads co-located
+    // buckets straight off the warehouse (only per-partition Sorts remain,
+    // because the tables are bucket-SORTED by key alone, not (key, ts))
+    val ev = Tables.load(spark, sf, "events")
+    graft.sources.Warehouse.writeBucketed(
+      ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts"),
+      "asof_errors_b", 8, "user_id")
+    graft.sources.Warehouse.writeBucketed(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id").as("p_user"), col("ts").as("p_ts")),
+      "asof_purchases_b", 8, "p_user")
+    try {
+      val joined = Asof.join(
+        spark.table("asof_errors_b"), spark.table("asof_purchases_b"),
+        Seq("user_id"), Seq("p_user"), Seq("ts", "event_id"), Seq("p_ts", "pid"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of join must not shuffle:\n${plan.take(1200)}")
+      // and the elided shuffle does not change the answer: same (error →
+      // last purchase) map as the shuffling plan over the raw parquet
+      val bucketed = joined.select("event_id", "pid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val shuffled = native().select("event_id", "pid").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(bucketed.nonEmpty)
+      assert(bucketed == shuffled)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_errors_b")
+      spark.sql("DROP TABLE IF EXISTS asof_purchases_b")
+    }
+  }
+
   test("as-of join rejects mismatched key/order types instead of comparing garbage") {
     import spark.implicits._
     val l = Seq((1L, 1, 10L)).toDF("lid", "k", "t")       // k: INT
