@@ -73,6 +73,40 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(streamedMap == q05, "streaming result must equal the oracle-checked q05")
   }
 
+  test("s12: pipeline-B trending arg-max — chunked replay ≡ ORACLE-checked q07") {
+    // the reference's headline output (TrendingHashTagFlink1): complete-mode
+    // keyed window counts + per-batch arg-max in foreachBatch — exactly
+    // TwitterJob pipeline B's wiring, minus the sink. The LAST epoch sees
+    // the full state, so its arg-max must equal batch q07, which the DuckDB
+    // gate hash-checks every round (window size = slide = q07's tumbling
+    // hour; hashtag = "#" + event_type by tweetJson construction).
+    val in = MemoryStream[String]
+    @volatile var lastEpoch: Array[(Long, String, Long)] = Array.empty
+    val q = TweetPipelines.keyedWindowCounts(
+        TweetPipelines.hashtags(TweetPipelines.parse(in.toDF())), "1 hour", "1 hour")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lastEpoch = TweetPipelines.trendingPerWindow(batch).collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      }.start()
+    try {
+      tweetJson.grouped(math.max(1, tweetJson.size / 6)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = lastEpoch
+      .map { case (endMs, tag, cnt) => (endMs - 3600000L, tag.stripPrefix("#"), cnt) }
+      .sortBy(_._1).toSeq
+    val batchQ07 = graft.operators.TierOne.q07.run(spark, sf).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batchQ07,
+      "replayed pipeline-B trending must equal the oracle-checked q07")
+  }
+
   test("s12: running total — final streaming state ≡ batch aggregate") {
     val streamed = replay(3)(raw => TweetPipelines.runningTotal(TweetPipelines.parse(raw)))
     val batch = TweetPipelines.runningTotal(
