@@ -36,6 +36,31 @@ class ScaleTechniqueSpec extends SparkSpec {
     }
   }
 
+  test("saltedSum caveat: hot key in ONE input partition stays on one salt; repartition-first fans it out") {
+    import spark.implicits._
+    // the documented failure shape (Skew.scala): 10k hot-key rows all in a
+    // single input partition — e.g. a source file sorted by the hot key
+    val rows = ((1 to 10000).map(i => ("hot", 1L)) ++ (1 to 64).map(i => (s"cold$i", 1L)))
+      .toDF("k", "v")
+    val concentrated = rows.repartition(8, col("k")) // hash(k) → all "hot" rows on one partition
+    def hotSaltCount(df: org.apache.spark.sql.DataFrame): Long = df
+      .groupBy(col("k"), pmod(spark_partition_id(), lit(16)).as("salt"))
+      .count().filter(col("k") === "hot").count()
+    // without the remedy the partition-id salt CANNOT split the hot group
+    assert(hotSaltCount(concentrated) == 1L, "hot key concentrated on one salt (the caveat)")
+    // the remedy: round-robin repartition first → the hot group fans out
+    val spread = concentrated.repartition(8)
+    assert(hotSaltCount(spread) > 1L, "repartition-first must fan the hot key out")
+    // and BOTH shapes still aggregate to the exact same totals
+    val expected = rows.groupBy("k").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (input <- Seq(concentrated, spread)) {
+      val got = Skew.saltedSum(input, col("k"), col("v"), salts = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
     // partition-id salting needs the input spread over partitions — the
