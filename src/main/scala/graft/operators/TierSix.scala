@@ -370,6 +370,11 @@ object TierSix {
     * always, equal absent collisions. At 100 TB the sketch build is one
     * partial+final agg into 256 cells; the per-token probe joins the
     * 256-row sketch broadcast.
+    *
+    * This is the oracle anchor for the reusable pair
+    * [[graft.functions.CountMin.build]] / [[CountMin.probe]] — the query
+    * composes exactly those two calls (SketchSpec covers the build-once/
+    * probe-many and unseen-key shapes the oracle can't).
     */
   val q54 = Q("q54_countmin",
     """WITH tf AS (
@@ -389,24 +394,16 @@ object TierSix {
       |SELECT token, tf, CAST(min(s) AS BIGINT) AS est
       |FROM placed JOIN sketch USING (j, cell)
       |GROUP BY token, tf ORDER BY token""".stripMargin) { (s, dir) =>
-    val P = 2147483647L
     val tf = Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("tf"))
-    // vocab rank over tf's tokens (already distinct) — distributed two-pass
-    val v = Cumulative.rowNumber(s, tf, Seq(col("token")), "tid")
-    // `tid % P` BEFORE the multiply caps the product at (P−1)² < 2^63 —
-    // a 10⁹⁺-token vocabulary must not wrap Int64 (Spark would silently go
-    // negative while DuckDB raises; same remedy as the LSH band keys)
-    val placed = v.crossJoin(broadcast(s.range(4).select(col("id").as("j"))))
-      .withColumn("cell",
-        ((lit(2654435761L) * (col("j") + 1)) % P * (col("tid") % P)
-          + (lit(40503L) * (col("j") + 1)) % P) % P % 64)
-      .persist() // builds the sketch AND probes it
-    val sketch = placed.groupBy("j", "cell").agg(sum("tf").as("s"))
-    placed.join(broadcast(sketch), Seq("j", "cell"))
-      .groupBy("token", "tf").agg(min("s").as("est"))
+    // vocab rank over tf's tokens (already distinct) — distributed two-pass;
+    // persisted because it feeds the build AND the probe
+    val v = Cumulative.rowNumber(s, tf, Seq(col("token")), "tid").persist()
+    val sketch = graft.functions.CountMin.build(v, col("tid"), col("tf"))
+    graft.functions.CountMin.probe(v, col("tid"), sketch)
+      .select(col("token"), col("tf"), col("est"))
       .orderBy("token")
   }
 

@@ -22,6 +22,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("CountMin: build once / probe many; est ≥ true always, exact at generous width") {
+    import graft.functions.CountMin
+    import spark.implicits._
+    val counts = (1L to 200L).map(i => (i, i % 7 + 1)).toDF("id", "n")
+    // tight sketch (4×16 cells for 200 keys): collisions certain, but the
+    // CMS guarantee est ≥ true must hold for every key
+    val tight = CountMin.build(counts, col("id"), col("n"), depth = 4, width = 16)
+    assert(tight.count() <= 4 * 16)
+    val probedTight = CountMin.probe(counts, col("id"), tight, depth = 4, width = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(probedTight.length == 200)
+    probedTight.foreach { case (id, n, est) => assert(est >= n, s"id $id: est $est < true $n") }
+    assert(probedTight.exists { case (_, n, est) => est > n }, "16-wide sketch must collide")
+    // generous sketch: same build, probed TWICE (the reuse shape) — and at
+    // width 4096 these 200 keys happen not to collide, so est == true
+    val wide = CountMin.build(counts, col("id"), col("n"), depth = 4, width = 4096)
+    for (_ <- 1 to 2) {
+      val probed = CountMin.probe(counts, col("id"), wide, depth = 4, width = 4096)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      probed.foreach { case (id, n, est) => assert(est == n, s"id $id: est $est != true $n") }
+    }
+    // a key never built: probe answers (0 when it hits any empty cell;
+    // never negative, never above the total mass)
+    val total = counts.agg(sum("n")).head().getLong(0)
+    val unseen = CountMin.probe(Seq((987654321L, 0L)).toDF("id", "n"), col("id"), tight,
+        depth = 4, width = 16).head().getLong(2)
+    assert(unseen >= 0 && unseen <= total)
+  }
+
   test("approxQuantile brackets the exact median") {
     val events = Tables.load(spark, sf, "events")
     val Array(q50) = Sketches.approxQuantiles(events, "value", Array(0.5))
