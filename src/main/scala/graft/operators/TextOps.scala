@@ -42,6 +42,27 @@ object TextOps {
     Cumulative.rowNumber(t.sparkSession, t.select("token").distinct(),
       Seq(col("token")), "tid")
 
+  /** Adaptive dictionary dispatch for the similarity tiers: true when the
+    * corpus vocabulary fits the 64-bit bitmask fast path. Default: count
+    * the (persisted) distinct-token rank table — two small driver jobs per
+    * similarity query, O(|vocab|) on a cached intermediate, comparable to
+    * AQE's own stats traffic. Production runs that already know their
+    * corpus pin the answer and skip those plan-time jobs entirely via the
+    * session conf `spark.graft.vocabHint` (or env `SPARK_GRAFT_VOCAB_HINT`):
+    * `large` forces the generic path (always safe at any vocabulary size);
+    * `small` forces the bitmask path and, like any planner hint, is a
+    * PROMISE — the masks are only correct when |vocab| ≤ 64. Unset or any
+    * other value stays adaptive.
+    */
+  def smallVocab(v: DataFrame): Boolean =
+    v.sparkSession.conf.getOption("spark.graft.vocabHint")
+      .orElse(sys.env.get("SPARK_GRAFT_VOCAB_HINT"))
+      .map(_.toLowerCase) match {
+      case Some("small") => true
+      case Some("large") => false
+      case _             => v.count() <= 64
+    }
+
   /** (doc_id, tid) with the vocabulary join applied. */
   def tokid(t: DataFrame, v: DataFrame): DataFrame =
     t.join(broadcast(v), "token").select("doc_id", "tid")

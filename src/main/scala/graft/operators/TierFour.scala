@@ -167,9 +167,9 @@ object TierFour {
     // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
     // pair; the naive cand⋈tokens⋈tokens join was the r02 bench hotspot).
     val verified =
-      // dispatch count reads vocab's persisted rank intermediate (O(|vocab|)
-      // cached), not the corpus
-      if (v.count() <= 64) {
+      // dispatch reads vocab's persisted rank intermediate (O(|vocab|)
+      // cached), not the corpus — or the spark.graft.vocabHint pin
+      if (TextOps.smallVocab(v)) {
         // small-dictionary fast path: the mask is 16 B/doc, so it rides the
         // postings THROUGH the bucket self-join — candidate pairs exit the
         // join already carrying both sides' masks, and verification is a

@@ -277,7 +277,7 @@ object TierSix {
     val v = TextOps.vocab(t)
     val tokid = TextOps.tokid(t, v)
     val undirected =
-      if (v.count() <= 64) {
+      if (TextOps.smallVocab(v)) {
         val m = TextOps.tokenMasks(tokid).persist()
         m.select(col("doc_id").as("da"), col("mask").as("ma"), col("n").as("na"))
           .join(m.select(col("doc_id").as("db"), col("mask").as("mb"), col("n").as("nb")),

@@ -68,10 +68,10 @@ object TierThree {
       .filter(col("j") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
-    // dispatch count reads the rank stage's persisted distinct-token table
-    // (vocab pins it during id assignment) — O(|vocab|) cached, NOT a
-    // corpus rescan at plan-build time
-    if (v.count() <= 64) {
+    // dispatch reads the rank stage's persisted distinct-token table
+    // (O(|vocab|) cached, not a corpus rescan) — or skips even that when
+    // the session pins spark.graft.vocabHint (TextOps.smallVocab)
+    if (TextOps.smallVocab(v)) {
       // dictionary fast path: one BIGINT mask per doc, broadcast NLJ pairs
       val m = TextOps.tokenMasks(TextOps.tokid(t, v)).persist()
       val a = m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na"))

@@ -43,6 +43,22 @@ class HighVocabSpec extends SparkSpec {
     } yield (a, b) -> j).toMap
   }
 
+  test("vocabHint pins the dispatch without changing results (both forced paths ≡ adaptive)") {
+    // production corpus (31-token dictionary): adaptive picks the bitmask
+    // path; `large` forces the generic path; `small` promises what is
+    // already true. All three must produce identical pairs — and the
+    // pinned runs skip the plan-time vocabulary count entirely.
+    def pairs() = TierThree.q23.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val adaptive = pairs()
+    assert(adaptive.nonEmpty)
+    for (hint <- Seq("small", "large")) {
+      spark.conf.set("spark.graft.vocabHint", hint)
+      try assert(pairs() == adaptive, s"hint=$hint diverged")
+      finally spark.conf.unset("spark.graft.vocabHint")
+    }
+  }
+
   test("q23 generic token-join path (vocab > 64) matches pure-Scala exact pairs") {
     val rows = TierThree.q23.run(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
