@@ -26,7 +26,31 @@ final case class InfluxHttpConfig(
     // transient-failure tolerance per POST before the task fails (and Spark
     // retries the task/epoch — the at-least-once backstop)
     maxRetries: Int = 3,
-    retryBackoffMs: Long = 200)
+    retryBackoffMs: Long = 200,
+    // circuit breaker: after `breakerFailures` CONSECUTIVE failed flushes
+    // (5xx-exhaustion / connection errors — 4xx rejects don't count, the
+    // endpoint is healthy) the breaker opens for `breakerOpenMs`: flushes
+    // fail immediately instead of each paying maxRetries × backoff against
+    // a down sink. After the window, ONE half-open probe (no retry loop)
+    // decides: success closes the breaker, failure re-opens the window.
+    // ≤ 0 disables. State is JVM-wide per endpoint, shared across writers/
+    // epochs — exactly the scope a down endpoint affects.
+    breakerFailures: Int = 5,
+    breakerOpenMs: Long = 30000)
+
+/** JVM-wide per-endpoint circuit state for [[InfluxHttpWriter]] — writer
+  * instances are per task × epoch, so backing off a dead endpoint only
+  * helps if the verdict outlives the writer. */
+private[streaming] object InfluxBreaker {
+  final class State {
+    var consecutive = 0
+    var openedAtMs = 0L
+    var probing = false
+  }
+  private val states = scala.collection.mutable.Map.empty[String, State]
+  def forUrl(url: String): State =
+    states.synchronized(states.getOrElseUpdate(url, new State))
+}
 
 /** X1 sink connector, HTTP flavor — the "production delta" over
   * [[InfluxLineProtocolWriter]]: posts line-protocol batches to InfluxDB's
@@ -87,27 +111,60 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
     val body = buf.mkString("\n")
     val url = s"${cfg.url}/write?db=${enc(cfg.database)}" +
       s"&u=${enc(cfg.username)}&p=${enc(cfg.password)}&precision=ns"
+    // circuit gate: while open, fail WITHOUT touching the endpoint or
+    // sleeping through the backoff schedule; exactly one caller runs the
+    // half-open probe once the window elapses
+    val br = InfluxBreaker.forUrl(cfg.url)
+    val halfOpenProbe = cfg.breakerFailures > 0 && br.synchronized {
+      if (br.consecutive < cfg.breakerFailures) false
+      else {
+        val waited = System.currentTimeMillis() - br.openedAtMs
+        if (waited < cfg.breakerOpenMs || br.probing)
+          throw new RuntimeException(
+            s"InfluxDB write skipped: circuit open for ${cfg.url} " +
+              s"(${br.consecutive} consecutive failures; retry in ${cfg.breakerOpenMs - waited} ms)")
+        br.probing = true
+        true
+      }
+    }
     // linear backoff across maxRetries for TRANSIENT failures only (5xx /
     // connection errors); 4xx is permanent (malformed line protocol, bad
-    // auth) and re-POSTing the same body can never succeed — fail fast. A
+    // auth) and re-POSTing the same body can never succeed — fail fast
+    // without tripping the breaker (the endpoint answered). A
     // still-failing POST throws so the task (then epoch) retries — points
     // re-post, which Influx writes are idempotent under (same series +
-    // timestamp overwrites).
+    // timestamp overwrites). A half-open probe gets a single attempt.
+    val retries = if (halfOpenProbe) 0 else cfg.maxRetries
+    def endpointFailed(e: RuntimeException): Nothing = {
+      if (cfg.breakerFailures > 0) br.synchronized {
+        br.consecutive += 1
+        br.probing = false
+        if (br.consecutive >= cfg.breakerFailures) br.openedAtMs = System.currentTimeMillis()
+      }
+      throw e
+    }
     var attempt = 0
     var done = false
     while (!done) {
       val code = try request("POST", url, Some(body))
-      catch { case e: java.io.IOException => if (attempt >= cfg.maxRetries) throw e else -1 }
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= retries) endpointFailed(new RuntimeException(
+            s"InfluxDB write failed after ${attempt + 1} attempts", e))
+          else -1
+      }
       if (code / 100 == 2) done = true
       else if (code > 0 && code / 100 != 5)
         throw new RuntimeException(s"InfluxDB write rejected (not retryable): HTTP $code")
-      else if (attempt >= cfg.maxRetries)
-        throw new RuntimeException(s"InfluxDB write failed after ${attempt + 1} attempts: HTTP $code")
+      else if (attempt >= retries)
+        endpointFailed(new RuntimeException(
+          s"InfluxDB write failed after ${attempt + 1} attempts: HTTP $code"))
       else {
         attempt += 1
         Thread.sleep(cfg.retryBackoffMs * attempt)
       }
     }
+    if (cfg.breakerFailures > 0) br.synchronized { br.consecutive = 0; br.probing = false }
     buf.clear()
     lastFlushMs = System.currentTimeMillis()
   }

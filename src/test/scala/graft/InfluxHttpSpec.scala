@@ -30,7 +30,10 @@ class InfluxHttpSpec extends SparkSpec {
   private final case class Req(gzip: Boolean, body: String, query: String)
 
   private def withServer(pingStatus: Int = 204, failWrites: Int = 0,
-      failStatus: Int = 503)(f: (String, ArrayBuffer[Req]) => Unit): Unit = {
+      failStatus: Int = 503,
+      writeHits: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger)(
+      f: (String, ArrayBuffer[Req]) => Unit): Unit = {
     val reqs = ArrayBuffer[Req]()
     val failures = new java.util.concurrent.atomic.AtomicInteger(failWrites)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -41,6 +44,7 @@ class InfluxHttpSpec extends SparkSpec {
     })
     server.createContext("/write", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        writeHits.incrementAndGet() // every POST, failed or not
         if (failures.getAndDecrement() > 0) { // failure injection
           ex.sendResponseHeaders(failStatus, -1); ex.close(); return
         }
@@ -125,6 +129,47 @@ class InfluxHttpSpec extends SparkSpec {
       val e = intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
       assert(e.getMessage.contains("not retryable"), e.getMessage)
       assert((System.nanoTime() - t0) / 1e6 < 5000, "must not sit in backoff sleeps")
+    }
+  }
+
+  test("x06: circuit breaker — opens after N consecutive failures, half-open probe closes it") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    withServer(failWrites = 2, writeHits = hits) { (url, reqs) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 2, breakerOpenMs = 400))
+      assert(w.open(0, 0))
+      // two failed flushes (one POST each, maxRetries=0) trip the breaker
+      intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
+      intercept[RuntimeException](w.process(row("m", 2L, Map("v" -> "2"))))
+      assert(hits.get == 2)
+      // open: immediate failure, the endpoint is NOT touched
+      val e = intercept[RuntimeException](w.process(row("m", 3L, Map("v" -> "3"))))
+      assert(e.getMessage.contains("circuit open"), e.getMessage)
+      assert(hits.get == 2, "open breaker must not hit the endpoint")
+      Thread.sleep(450)
+      // window elapsed + server healthy again: the half-open probe posts the
+      // accumulated batch, succeeds, and CLOSES the breaker
+      w.process(row("m", 4L, Map("v" -> "4")))
+      assert(hits.get == 3)
+      w.process(row("m", 5L, Map("v" -> "5")))
+      assert(hits.get == 4, "closed breaker must flow normally")
+      assert(reqs.synchronized(reqs.size) == 2)
+    }
+    // a FAILED half-open probe re-opens the window (single attempt, then
+    // back to immediate failures)
+    val hits2 = new java.util.concurrent.atomic.AtomicInteger
+    withServer(failWrites = 100, writeHits = hits2) { (url, _) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 1, breakerOpenMs = 300))
+      assert(w.open(0, 0))
+      intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
+      Thread.sleep(350)
+      val before = hits2.get
+      intercept[RuntimeException](w.process(row("m", 2L, Map("v" -> "2")))) // probe: one POST
+      assert(hits2.get == before + 1)
+      val e = intercept[RuntimeException](w.process(row("m", 3L, Map("v" -> "3"))))
+      assert(e.getMessage.contains("circuit open"), e.getMessage)
+      assert(hits2.get == before + 1, "re-opened breaker must not hit the endpoint")
     }
   }
 
