@@ -15,7 +15,8 @@ object SparkEntry {
   def declared: Seq[Q] =
     operators.TierOne.all ++ operators.TierTwo.all ++
       operators.TierThree.all ++ operators.TierFour.all ++
-      operators.TierFive.all ++ operators.TierSix.all
+      operators.TierFive.all ++ operators.TierSix.all ++
+      operators.TierSeven.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

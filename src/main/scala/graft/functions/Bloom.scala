@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom filter as a build-once / probe-many pair over BIGINT keys — the
+  * constant-size membership screen a pipeline puts in front of expensive
+  * joins: a removal/allow list from an earlier stage (dedup drop list,
+  * contamination blocklist, previously-processed ids) compressed to
+  * `bits` bits and BROADCAST, so membership tests are a map-side join at
+  * any corpus scale — the corpus never shuffles. One-sided error only:
+  * no false negatives ever; false positives at the classic
+  * (1−e^(−kn/m))^k rate, so "maybe" hits feed an exact verification or
+  * an acceptable over-drop. [[graft.operators.TierSeven.q56]] is the
+  * DuckDB-checked anchor.
+  *
+  * Determinism: the filter is the SET of set bit positions (a distinct
+  * projection — order-independent, exactly reproducible) and positions
+  * come from the engine's affine-modular hash family over BIGINT ids
+  * (`id mod P` before the multiply — the same Int64-wrap guard as
+  * [[CountMin]]), never an engine-native hash.
+  */
+object Bloom {
+
+  private val P = 2147483647L
+  private val A0 = 2654435761L
+  private val B0 = 40503L
+
+  /** Hash row j's bit position for key `id` — mirrored verbatim in q56's
+    * oracle SQL. */
+  private def pos(j: Column, id: Column, bits: Int): Column =
+    ((lit(A0) * (j + 1)) % P * (id % P) + (lit(B0) * (j + 1)) % P) % P % bits
+
+  private def hashRows(df: DataFrame, hashes: Int): DataFrame =
+    broadcast(df.sparkSession.range(hashes).select(col("id").as("bf_j")))
+
+  /** Build the filter from `keys`: one `bf_pos BIGINT` row per set bit
+    * (≤ `bits` rows however many keys go in). */
+  def build(keys: DataFrame, id: Column, bits: Int = 512, hashes: Int = 3): DataFrame =
+    keys.select(id.as("bf_id"))
+      .crossJoin(hashRows(keys, hashes))
+      .select(pos(col("bf_j"), col("bf_id"), bits).as("bf_pos"))
+      .distinct()
+
+  /** Append `maybe BOOLEAN` to `df` (whose rows must be distinct): true
+    * iff every hash position of `id` is set in `filter` — guaranteed true
+    * for every key the filter was built from. `bits`/`hashes` must match
+    * the [[build]] call. The filter is broadcast; `df` streams through
+    * map-side. Column names `bf_id`/`bf_j`/`bf_pos` are reserved. */
+  def mightContain(df: DataFrame, id: Column, filter: DataFrame,
+      bits: Int = 512, hashes: Int = 3): DataFrame = {
+    val out = df.columns.toIndexedSeq.map(col)
+    df.withColumn("bf_id", id)
+      .crossJoin(hashRows(df, hashes))
+      .withColumn("bf_pos", pos(col("bf_j"), col("bf_id"), bits))
+      .join(broadcast(filter.withColumn("bf_hit", lit(1))), Seq("bf_pos"), "left")
+      .groupBy(out: _*)
+      .agg((sum(when(col("bf_hit").isNotNull, 1).otherwise(0)) === hashes).as("maybe"))
+  }
+}

@@ -54,7 +54,7 @@ object CountMin {
     * broadcast — `keys` streams through map-side, no corpus shuffle. */
   def probe(keys: DataFrame, id: Column, sketch: DataFrame,
       depth: Int = 4, width: Int = 64): DataFrame = {
-    val out = keys.columns.map(col)
+    val out = keys.columns.toIndexedSeq.map(col)
     keys.withColumn("cm_id", id)
       .crossJoin(hashRows(keys, depth))
       .withColumn("cell", cell(col("j"), col("cm_id"), width))

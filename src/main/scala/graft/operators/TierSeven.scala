@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 7 — round-5 additions: the cluster-level view of deduplication
+  * (connected components over near-dup pairs), the Bloom-filter membership
+  * screen, and bigram language-model quality scoring — three operators a
+  * training-data pipeline runs between detection and filtering. Determinism
+  * follows the Tier-3/4 conventions (integer arithmetic end to end, pinned
+  * orders; no floats anywhere in this tier).
+  */
+object TierSeven {
+
+  /** Near-duplicate CLUSTER inventory: MinHash+LSH pairs (q26's exact
+    * pipeline) → connected components ([[Components.connected]]) → cluster
+    * size histogram. Pairwise dropping under-deduplicates when similarity
+    * chains (A≈B≈C with A̸≈C is ONE cluster, two drops); the component
+    * labeling is what a production dedup actually applies — keep each
+    * cluster's min doc_id, drop the rest. Output: (csize, n_clusters) —
+    * the dedup planner's first question ("how big are my duplicate
+    * families?").
+    *
+    * Scale: the LSH stage is q26's (bucketed, never all-pairs); the CC
+    * stage is O(diameter) shuffle rounds on the pair list (see
+    * [[Components]] scaladoc). The oracle recomputes the components with a
+    * recursive CTE propagating min labels along edges — same fixpoint,
+    * declarative form.
+    */
+  val q55 = Q("q55_dedup_clusters",
+    s"""WITH RECURSIVE
+       |pairs AS (${TierFour.minhashSql("documents")}),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT doc_id AS id FROM documents),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.v),
+       |lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |cl AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM lab GROUP BY lbl)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cl GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = TierFour.minhashPairs(TextOps.tok(s, dir))
+    Components.connected(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .groupBy("lbl").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("csize")
+  }
+
+  /** Bloom-filter blocklist screen: compress a removal list (here: docs
+    * under 150 chars — the classic length filter — standing in for any
+    * prior stage's drop list) into a [[graft.functions.Bloom]] filter,
+    * probe the whole corpus, and report per language how many docs the
+    * filter flags vs how many are truly blocked. flagged ≥ blocked always
+    * (no false negatives); the surplus is the filter's one-sided error,
+    * which a pipeline either verifies exactly or accepts. At 100 TB the
+    * point is the plan shape: the blocklist side collapses to ≤ `bits`
+    * broadcast rows, so the corpus-side probe is map-side only — compare
+    * q53's shuffle join against a full-width drop list.
+    */
+  val q56 = Q("q56_bloom_blocklist",
+    """WITH blocked AS (SELECT doc_id FROM documents WHERE n_chars < 150),
+      |pos AS (
+      |  SELECT DISTINCT ((2654435761*(j+1)) % 2147483647 * (doc_id % 2147483647)
+      |       + (40503*(j+1)) % 2147483647) % 2147483647 % 512 AS pos
+      |  FROM blocked CROSS JOIN (SELECT unnest(range(3)) AS j)),
+      |probe AS (
+      |  SELECT d.doc_id, d.lang, d.n_chars, count(p.pos) AS hits
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |          ((2654435761*(j+1)) % 2147483647 * (doc_id % 2147483647)
+      |           + (40503*(j+1)) % 2147483647) % 2147483647 % 512 AS pos
+      |        FROM documents CROSS JOIN (SELECT unnest(range(3)) AS j)) d
+      |  LEFT JOIN pos p USING (pos)
+      |  GROUP BY 1, 2, 3)
+      |SELECT lang,
+      |  CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+      |FROM probe GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val blocked = docs.filter(col("n_chars") < 150).select(col("doc_id"))
+    val f = graft.functions.Bloom.build(blocked, col("doc_id"))
+    graft.functions.Bloom.mightContain(
+        docs.select("doc_id", "lang", "n_chars"), col("doc_id"), f)
+      .groupBy("lang").agg(
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("n_chars") < 150, 1L).otherwise(0L)).as("n_blocked"))
+      .orderBy("lang")
+  }
+
+  /** Bigram language-model quality score — the integer-arithmetic shape of
+    * perplexity filtering (CCNet/C4-style: score each document by how
+    * typical its token transitions are corpus-wide, then filter the
+    * tail). Corpus model: conditional bigram frequency in ppm,
+    * `ppm(w1→w2) = count(w1 w2)·10⁶ div count(w1 as prefix)`; per-doc
+    * score = integer mean ppm over the doc's bigram INSTANCES. All-integer
+    * (a float log-prob would hash-diverge across engines' libm) and
+    * order-equivalent to mean log-likelihood for ranking typical vs
+    * atypical docs at a fixed length.
+    *
+    * Scale: two corpus-wide count aggs (bigram, prefix) + one ppm join,
+    * then one shuffle of doc-bigram instances against the ppm table —
+    * partial+final aggs throughout; the ppm model table broadcasts when
+    * small (AQE decides; a web-scale bigram table stays a shuffle join on
+    * w1/w2, which is the honest shape). Int64 bound: ppm ≤ 10⁶ and
+    * per-doc sums are bounded by doc length ≤ 10⁶ tokens → products stay
+    * ≤ 10¹² ≪ 2⁶³ at any corpus size.
+    */
+  val q57 = Q("q57_bigram_lm",
+    """WITH tl AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(len(l)-1), k -> l[k+1])) AS w1,
+      |         unnest(list_transform(range(len(l)-1), k -> l[k+2])) AS w2
+      |  FROM tl WHERE len(l) >= 2),
+      |ucnt AS (SELECT w1, count(*) AS ucnt FROM big GROUP BY 1),
+      |bcnt AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY 1, 2),
+      |ppm AS (SELECT w1, w2, (bcnt * 1000000) // ucnt AS ppm
+      |        FROM bcnt JOIN ucnt USING (w1))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(ppm) // count(*) AS BIGINT) AS lm_score
+      |FROM big JOIN ppm USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val big = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("l")) - 2),
+          k => struct(element_at(col("l"), k + 1).as("w1"),
+            element_at(col("l"), k + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist() // model counts AND per-doc scoring read it
+    val ucnt = big.groupBy("w1").agg(count(lit(1)).as("ucnt"))
+    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+    val ppm = bcnt.join(ucnt, "w1")
+      .select(col("w1"), col("w2"), expr("bcnt * 1000000 div ucnt").as("ppm"))
+    big.join(ppm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), expr("sum(ppm) div count(1)").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q55, q56, q57)
+}

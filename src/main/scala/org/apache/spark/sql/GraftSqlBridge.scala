@@ -15,4 +15,23 @@ object GraftSqlBridge {
 
   /** The analyzed logical plan beneath a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Strip the carried `originStats` off a checkpointed DataFrame's
+    * LogicalRDD leaf. `localCheckpoint` truncates LINEAGE but preserves
+    * the optimizer statistics of the plan it replaced — and size-in-bytes
+    * estimates MULTIPLY across join children, so an iterative operator
+    * that checkpoints a self-join every round compounds them: the BigInt
+    * estimate's digit count grows geometrically and by ~round 10 the
+    * driver is doing million-digit Toom-Cook multiplications inside
+    * `SizeInBytesOnlyStatsPlanVisitor` (single-core, looks like a hang).
+    * Dropping originStats resets the leaf to the configured default size
+    * estimate, which is what a fresh scan of unknown data would get.
+    * No-op for non-LogicalRDD plans.
+    */
+  def freshLeaf(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
+    case lr: execution.LogicalRDD =>
+      ofRows(df.sparkSession,
+        lr.copy()(df.sparkSession.asInstanceOf[classic.SparkSession], None, None))
+    case _ => df
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+/** Connected components (hash-min label propagation) against a pure-Scala
+  * union-find oracle — random graphs plus the adversarial shapes: long
+  * chains (force multi-round propagation well past round 1), isolated
+  * nodes, and duplicate/self edges.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id of the component
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  private def run(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connected(
+        spark.range(n).select(col("id")),
+        edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("long chain: min label propagates the full length (many rounds)") {
+    // path 0-1-2-…-39 plus a second chain 50-…-59 and isolated 70..74
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val chain2 = (50L until 59L).map(i => (i, i + 1))
+    val got = run(75, chain ++ chain2)
+    assert((0L to 39L).forall(got(_) == 0L))
+    assert((50L to 59L).forall(got(_) == 50L))
+    assert((70L to 74L).forall(i => got(i) == i), "isolated nodes keep their own label")
+    assert((40L until 50L).forall(i => got(i) == i))
+  }
+
+  test("random graphs match pure-Scala union-find") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 59L), Gen.chooseNum(0L, 59L))
+    for (seed <- 0 until 3) {
+      val edges = (0 until 80).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      val expected = unionFind(60, edges)
+      assert(run(60, edges) == expected, s"seed $seed diverged")
+    }
+  }
+
+  test("duplicate and self edges are harmless") {
+    val got = run(5, Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (3L, 4L)))
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
+  }
+}

@@ -51,6 +51,29 @@ class SketchSpec extends SparkSpec {
     assert(unseen >= 0 && unseen <= total)
   }
 
+  test("Bloom: no false negatives ever; false positives exist at tight sizing; reuse") {
+    import graft.functions.Bloom
+    import spark.implicits._
+    val members = (0L until 100L).map(i => i * 7 + 3).toDF("id")
+    val f = Bloom.build(members, col("id"), bits = 256, hashes = 3).persist()
+    assert(f.count() <= 256)
+    // every built key must test positive — the one-sided guarantee
+    val memberProbe = Bloom.mightContain(members, col("id"), f, bits = 256, hashes = 3)
+    assert(memberProbe.filter(!col("maybe")).count() == 0, "false negative!")
+    // non-members: mostly negative, some false positives at 100 keys/256 bits
+    val others = (2000L until 3000L).toDF("id")
+    val otherProbe = Bloom.mightContain(others, col("id"), f, bits = 256, hashes = 3)
+      .persist()
+    val fp = otherProbe.filter(col("maybe")).count()
+    assert(fp < 1000, "filter must reject most non-members")
+    assert(otherProbe.filter(!col("maybe")).count() > 500)
+    // probe the same filter again (build-once / probe-many): identical
+    val again = Bloom.mightContain(others, col("id"), f, bits = 256, hashes = 3)
+      .filter(col("maybe")).count()
+    assert(again == fp)
+    f.unpersist(); otherProbe.unpersist()
+  }
+
   test("approxQuantile brackets the exact median") {
     val events = Tables.load(spark, sf, "events")
     val Array(q50) = Sketches.approxQuantiles(events, "value", Array(0.5))
