@@ -13,6 +13,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the result is on disk — drop the rank caches this query pinned so a
+      // 57-query session doesn't accumulate them (Bench's per-query
+      // clearCache covers its own runs)
+      operators.Cumulative.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -40,10 +40,11 @@ object Cumulative {
     * Bench's per-query clearCache covers it too). */
   private val retained = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Drop every cache pinned by [[rowNumber]] since the last call. Safe
-    * once all downstream results of those rank plans are materialized;
-    * a later re-use of such a plan recomputes (correctly — it just
-    * resamples) instead of reading the cache. */
+  /** Drop every cache pinned by [[rowNumber]] since the last call. ONLY
+    * safe once all downstream results of those rank plans are
+    * materialized: re-executing a released rank plan would RESAMPLE the
+    * range boundaries under its already-fixed offset array — build a
+    * fresh rank (rowNumber again) instead of re-running a released one. */
   def releaseAll(): Unit = retained.synchronized {
     retained.foreach(_.unpersist(blocking = false))
     retained.clear()
@@ -72,6 +73,7 @@ object Cumulative {
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .persist() // pin sampled range boundaries across the two passes
+    retained.synchronized { retained += parted } // released via releaseAll()
     val perPartition = parted
       .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
