@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The deduplication pipeline as a LIBRARY surface — the composable calls
+  * a training-data job strings together, each one the semantics of an
+  * oracle-checked query (cited per method). All methods take any
+  * `(doc_id BIGINT, text STRING, …)` frame and preserve the caller's
+  * extra columns where they return document rows.
+  *
+  * Production ordering ([[TierFour.q26]] degenerate-bucket caveat): exact
+  * dedup FIRST — identical documents share every LSH band, so sketching
+  * before exact dedup creates K²/2-pair buckets. [[deduplicate]] encodes
+  * that ordering.
+  *
+  * Cluster-keep-min vs pairwise drop: dropping `doc_b` of every near-dup
+  * pair (q53) keeps any document with no SMALLER similar neighbor — on
+  * chained similarity (A≈B≈C, A̸≈C) it under-deduplicates relative to
+  * one-survivor-per-cluster. [[deduplicate]] keeps exactly each
+  * connected component's min doc_id ([[TierSeven.q58]] oracle-checks the
+  * full composition).
+  */
+object Dedup {
+
+  /** Exact dedup survivors — q22 semantics: one document per distinct
+    * `text`, min doc_id wins. The shuffle key is the fixed-width sha2
+    * digest, never the payload; survivors come back row-complete via a
+    * semi join. */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val surv = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(surv, Seq("doc_id"), "left_semi")
+  }
+
+  /** Near-duplicate pairs `(doc_a, doc_b, jaccard)`, doc_a < doc_b —
+    * q26's exact MinHash+LSH pipeline (bucketed candidates, exact
+    * verification, never all-pairs). */
+  def nearDupPairs(docs: DataFrame): DataFrame =
+    TierFour.minhashPairs(TextOps.tokOf(docs.select("doc_id", "text")))
+
+  /** Near-dup cluster labels `(doc_id, cluster)` — cluster = min doc_id
+    * of the connected component over [[nearDupPairs]] (q55's labeling;
+    * singletons label themselves). */
+  def clusters(docs: DataFrame): DataFrame =
+    Components.connected(
+        docs.select(col("doc_id").as("id")),
+        nearDupPairs(docs).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+
+  /** The full dedup APPLY: exact dedup, then one survivor (min doc_id)
+    * per near-dup cluster of the distinct corpus. Returns surviving rows
+    * with all caller columns — q58 semantics. */
+  def deduplicate(docs: DataFrame): DataFrame = {
+    val distinctDocs = exactSurvivors(docs)
+    val keep = clusters(distinctDocs)
+      .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    distinctDocs.join(keep, Seq("doc_id"), "left_semi")
+  }
+}

@@ -147,5 +147,46 @@ object TierSeven {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q55, q56, q57)
+  /** The FULL dedup pipeline as one oracle-checked action —
+    * [[Dedup.deduplicate]]'s composition: exact dedup first (the
+    * degenerate-bucket mitigation ordering), MinHash+LSH pairs over the
+    * distinct corpus, connected components, keep each cluster's min
+    * doc_id. Output: per-language corpus shrinkage. Stricter than q53's
+    * pairwise drop — a document whose only near-dups are LARGER ids still
+    * drops here when its CLUSTER contains a smaller doc (chained
+    * similarity), which is the production semantics ("one survivor per
+    * duplicate family"). Both are declared, so the oracle pins the
+    * difference externally.
+    */
+  val q58 = Q("q58_dedup_cluster_apply",
+    s"""WITH RECURSIVE
+       |exact_surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |corpus AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN exact_surv USING (doc_id)),
+       |pairs AS (${TierFour.minhashSql("corpus")}),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM corpus),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.v),
+       |lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |keep AS (SELECT min(id) AS doc_id FROM lab GROUP BY lbl)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM keep)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val kept = Dedup.deduplicate(docs).select("doc_id").withColumn("kept", lit(1))
+    docs.join(kept, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept").isNotNull, 1L).otherwise(0L)).as("n_survivors"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58)
 }
