@@ -107,6 +107,49 @@ class StreamBatchParitySpec extends SparkSpec {
       "replayed pipeline-B trending must equal the oracle-checked q07")
   }
 
+  test("s15: streaming session_window — chunked replay ≡ batch sessions (§2.2 claim)") {
+    // the capability matrix's "session_window available if needed", executed
+    // in STREAMING mode: watermarked session aggregation over chunked
+    // replay, closed sessions collected per batch (append mode only emits a
+    // session once the watermark passes its gap). Final tail sessions never
+    // close without events beyond them, so compare against the batch
+    // sessions whose end precedes the final watermark — the exactly-
+    // emittable set.
+    val in = MemoryStream[String]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = TweetPipelines.parse(in.toDF())
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("lang"), // keyed: streaming rejects GLOBAL session aggs
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("sw.start")).as("start_ms"), col("n"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+        emitted.synchronized { emitted ++= rows; () }
+      }.start()
+    try {
+      tweetJson.grouped(math.max(1, tweetJson.size / 6)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchSessions = TweetPipelines.parse(
+        spark.createDataset(tweetJson).toDF("value"))
+      .groupBy(col("lang"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxTs = batchSessions.map(_._1).max
+    val closeable = batchSessions.filter(_._2 <= maxTs)
+      .map(s => (s._1, s._3)).sortBy(_._1).toSeq
+    val got = emitted.synchronized(emitted.sortBy(_._1).toSeq)
+    assert(got.nonEmpty)
+    assert(got == closeable,
+      s"streamed sessions must equal the closeable batch sessions")
+  }
+
   test("s12: running total — final streaming state ≡ batch aggregate") {
     val streamed = replay(3)(raw => TweetPipelines.runningTotal(TweetPipelines.parse(raw)))
     val batch = TweetPipelines.runningTotal(
