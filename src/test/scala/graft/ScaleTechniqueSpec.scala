@@ -61,6 +61,35 @@ class ScaleTechniqueSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed JOIN partition at runtime (skew=true in the final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~200k rows vs 64 cold keys; a plain hash join
+    // would put every hot row in one reducer task
+    val left = spark.range(200000).select(lit("hot").as("k"), col("id").as("v"))
+      .union(spark.range(64).select(concat(lit("c"), col("id")).as("k"), col("id").as("v")))
+    val right = (Seq("hot") ++ (0 until 64).map(i => s"c$i")).toDF("k")
+      .withColumn("r", length(col("k")))
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> spark.conf.get(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would plan its own) so AQE's
+      // final physical plan is what toString renders
+      assert(joined.collect().length == 200000 + 64)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must have split the hot partition:\n${plan.take(1000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
     // partition-id salting needs the input spread over partitions — the
