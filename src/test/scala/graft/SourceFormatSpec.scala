@@ -23,6 +23,25 @@ class SourceFormatSpec extends SparkSpec {
     assert(fromJson.collect().map(_.toSeq).toSet == base)
   }
 
+  test("orc roundtrip preserves the slice AND pushes filters into the scan") {
+    // ORC is the second columnar format Spark ships natively; the scale
+    // property worth pinning is the same as parquet's — predicate pushdown
+    // reaches the scan (PushedFilters), so a selective read never pays for
+    // the full file
+    val tmp = java.nio.file.Files.createTempDirectory("orc").toString
+    val slice = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(200)
+    slice.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = spark.read.schema(slice.schema).orc(s"$tmp/orc")
+    assert(back.collect().map(_.toSeq).toSet == slice.collect().map(_.toSeq).toSet)
+    val filtered = back.filter(col("event_type") === "purchase").select("event_id")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"ORC scan must carry the pushed predicate:\n${scan.take(900)}")
+    assert(filtered.count() > 0)
+  }
+
   test("malformed csv rows are isolated, not fatal (PERMISSIVE + corrupt-record column)") {
     val tmp = java.nio.file.Files.createTempDirectory("badcsv").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/x.csv"),
