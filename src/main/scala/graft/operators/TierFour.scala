@@ -111,7 +111,11 @@ object TierFour {
     * verification) over an arbitrary distinct (doc_id, token) relation —
     * see [[q26]]'s scaladoc for the plan rationale. q53 feeds it the
     * exact-dedup survivors. */
-  def minhashPairs(t: DataFrame): DataFrame = {
+  def minhashPairs(t0: DataFrame): DataFrame = {
+    // t feeds BOTH the vocabulary rank and the tokid join — uncached, the
+    // corpus tokenize + distinct shuffle would execute twice (and three of
+    // the dedup queries embed this whole pipeline)
+    val t = t0.persist()
     val v = vocab(t)
     val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
     // All 32 minhashes as 32 min-aggregate COLUMNS in one groupBy — ONE
