@@ -273,7 +273,9 @@ object TierSix {
       |SELECT contained, container, round(CAST(i AS DOUBLE) / nc, 6) AS containment
       |FROM dir WHERE CAST(i AS DOUBLE) / nc >= 0.9
       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
-    val t = TextOps.tok(s, dir)
+    // cache the tokenize+distinct — it feeds the vocab rank and the
+    // mask/tokid side (same reasoning as q23/minhashPairs)
+    val t = TextOps.tok(s, dir).persist()
     val v = TextOps.vocab(t)
     val tokid = TextOps.tokid(t, v)
     val undirected =

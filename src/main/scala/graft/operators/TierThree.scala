@@ -61,7 +61,9 @@ object TierThree {
       |  JOIN sz sa ON sa.doc_id = doc_a
       |  JOIN sz sb ON sb.doc_id = doc_b)
       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val t = TextOps.tok(s, dir)
+    // t feeds the vocab rank AND the mask/self-join side — cache the
+    // tokenize+distinct instead of re-running it per consumer
+    val t = TextOps.tok(s, dir).persist()
     val v = TextOps.vocab(t)
     val jaccardOut = (df: org.apache.spark.sql.DataFrame) => df
       .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
