@@ -18,6 +18,11 @@ object Bench {
       // queries persist() small shared intermediates; drop them so the timed
       // pass never reads the warm-up's cache
       spark.catalog.clearCache()
+      // clearCache only empties the SQL cache manager — localCheckpoint
+      // blocks (Components' per-round truncation) are plain persisted RDDs
+      // in the block manager; drop those too or they accumulate across the
+      // suite's 3 passes
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // a session that has executed 40+ heavy queries carries dead shuffle
       // files / broadcasts / unpersisted blocks whose cleanup is triggered
       // by driver GC (ContextCleaner holds weak refs); without this nudge
