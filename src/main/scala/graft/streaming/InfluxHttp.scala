@@ -154,9 +154,14 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
           else -1
       }
       if (code / 100 == 2) done = true
-      else if (code > 0 && code / 100 != 5)
+      else if (code > 0 && code / 100 != 5) {
+        // the endpoint ANSWERED — it is reachable, so a tripped/probing
+        // breaker closes here (leaving `probing` set would wedge the
+        // breaker open forever); the request itself is still a permanent
+        // failure
+        if (cfg.breakerFailures > 0) br.synchronized { br.consecutive = 0; br.probing = false }
         throw new RuntimeException(s"InfluxDB write rejected (not retryable): HTTP $code")
-      else if (attempt >= retries)
+      } else if (attempt >= retries)
         endpointFailed(new RuntimeException(
           s"InfluxDB write failed after ${attempt + 1} attempts: HTTP $code"))
       else {

@@ -32,10 +32,13 @@ class InfluxHttpSpec extends SparkSpec {
   private def withServer(pingStatus: Int = 204, failWrites: Int = 0,
       failStatus: Int = 503,
       writeHits: java.util.concurrent.atomic.AtomicInteger =
-        new java.util.concurrent.atomic.AtomicInteger)(
+        new java.util.concurrent.atomic.AtomicInteger,
+      statusSeq: Seq[Int] = Nil)(
       f: (String, ArrayBuffer[Req]) => Unit): Unit = {
     val reqs = ArrayBuffer[Req]()
     val failures = new java.util.concurrent.atomic.AtomicInteger(failWrites)
+    val scripted = new java.util.concurrent.ConcurrentLinkedQueue[Integer]
+    statusSeq.foreach(s => scripted.add(s))
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/ping", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
@@ -45,7 +48,11 @@ class InfluxHttpSpec extends SparkSpec {
     server.createContext("/write", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         writeHits.incrementAndGet() // every POST, failed or not
-        if (failures.getAndDecrement() > 0) { // failure injection
+        val next = scripted.poll() // scripted per-request statuses first
+        if (next != null && next.intValue() != 204) {
+          ex.sendResponseHeaders(next.intValue(), -1); ex.close(); return
+        }
+        if (next == null && failures.getAndDecrement() > 0) { // failure injection
           ex.sendResponseHeaders(failStatus, -1); ex.close(); return
         }
         val gz = "gzip" == ex.getRequestHeaders.getFirst("Content-Encoding")
@@ -154,6 +161,24 @@ class InfluxHttpSpec extends SparkSpec {
       w.process(row("m", 5L, Map("v" -> "5")))
       assert(hits.get == 4, "closed breaker must flow normally")
       assert(reqs.synchronized(reqs.size) == 2)
+    }
+    // a 4xx during the half-open probe CLOSES the breaker (the endpoint
+    // answered — it is reachable) instead of wedging `probing` forever;
+    // the probe request itself still fails permanently
+    val hits4 = new java.util.concurrent.atomic.AtomicInteger
+    withServer(writeHits = hits4, statusSeq = Seq(503, 400)) { (url, _) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 1, breakerOpenMs = 200))
+      assert(w.open(0, 0))
+      intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1")))) // 503: trips
+      Thread.sleep(250)
+      val e = intercept[RuntimeException](w.process(row("m", 2L, Map("v" -> "2")))) // probe → 400
+      assert(e.getMessage.contains("not retryable"), e.getMessage)
+      assert(hits4.get == 2)
+      // breaker must now be CLOSED: the next flush reaches the endpoint
+      // immediately (scripted statuses exhausted → 204) and succeeds
+      w.process(row("m", 3L, Map("v" -> "3")))
+      assert(hits4.get == 3, "4xx probe must close the breaker, not wedge it open")
     }
     // a FAILED half-open probe re-opens the window (single attempt, then
     // back to immediate failures)
