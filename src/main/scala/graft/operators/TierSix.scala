@@ -282,7 +282,8 @@ object TierSix {
       if (TextOps.smallVocab(v)) {
         val m = TextOps.tokenMasks(tokid).persist()
         m.select(col("doc_id").as("da"), col("mask").as("ma"), col("n").as("na"))
-          .join(m.select(col("doc_id").as("db"), col("mask").as("mb"), col("n").as("nb")),
+          .join(broadcast( // explicit: cached stats must not tip this into a CartesianProduct
+              m.select(col("doc_id").as("db"), col("mask").as("mb"), col("n").as("nb"))),
             col("da") < col("db") && (col("ma").bitwiseAND(col("mb")) =!= 0))
           .select(col("da"), col("db"),
             expr("cast(bit_count(ma & mb) as bigint)").as("i"),

@@ -76,8 +76,13 @@ object TierThree {
     if (TextOps.smallVocab(v)) {
       // dictionary fast path: one BIGINT mask per doc, broadcast NLJ pairs
       val m = TextOps.tokenMasks(TextOps.tokid(t, v)).persist()
+      // broadcast is EXPLICIT: the masks frame is 24 B/doc and this path
+      // only dispatches on small-dictionary corpora — without the hint the
+      // cached input's stats can tip the non-equi join into a
+      // CartesianProduct (both sides shuffled) instead of the intended BNLJ
       val a = m.select(col("doc_id").as("doc_a"), col("mask").as("ma"), col("n").as("na"))
-      val b = m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb"))
+      val b = broadcast(
+        m.select(col("doc_id").as("doc_b"), col("mask").as("mb"), col("n").as("nb")))
       jaccardOut(
         // length prefilter: J ≥ 3/5 ⇒ 5·min(|A|,|B|) ≥ 3·max(|A|,|B|)
         a.join(b, col("doc_a") < col("doc_b")
