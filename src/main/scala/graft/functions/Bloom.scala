@@ -42,6 +42,35 @@ object Bloom {
       .select(pos(col("bf_j"), col("bf_id"), bits).as("bf_pos"))
       .distinct()
 
+  /** Pack the filter into `bits/64` longs — ≤ `bits` rows collected, which
+    * is metadata-scale BY CONSTRUCTION however many keys were built in
+    * (that bound is the whole point of a Bloom filter). */
+  def toBits(filter: DataFrame, bits: Int = 512): Array[Long] = {
+    val words = new Array[Long]((bits + 63) / 64)
+    filter.collect().foreach { r =>
+      val p = r.getLong(0)
+      words((p / 64).toInt) |= 1L << (p % 64).toInt
+    }
+    words
+  }
+
+  /** Membership test as a pure Column over a [[toBits]]-packed filter —
+    * no join, no aggregation: stays inside whole-stage codegen and
+    * composes STATELESSLY with Structured Streaming (the DataFrame-based
+    * [[mightContain]] re-collapses a fan-out with a groupBy, which a
+    * stream would treat as stateful aggregation). Same hash family, same
+    * guarantee: never false for a built key. */
+  def mightContainCol(words: Array[Long], id: Column, bits: Int = 512,
+      hashes: Int = 3): Column = {
+    val packed = array(words.map(lit(_)): _*)
+    (0 until hashes).map { j =>
+      val p = pos(lit(j.toLong), id, bits)
+      call_function("shiftrightunsigned",
+        element_at(packed, (p / 64).cast("int") + 1), (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
   /** Append `maybe BOOLEAN` to `df` (whose rows must be distinct): true
     * iff every hash position of `id` is set in `filter` — guaranteed true
     * for every key the filter was built from. `bits`/`hashes` must match

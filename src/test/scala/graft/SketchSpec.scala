@@ -71,6 +71,16 @@ class SketchSpec extends SparkSpec {
     val again = Bloom.mightContain(others, col("id"), f, bits = 256, hashes = 3)
       .filter(col("maybe")).count()
     assert(again == fp)
+    // the packed-literal Column form (the streaming-stateless variant)
+    // answers identically to the join form on every probe
+    val words = Bloom.toBits(f, bits = 256)
+    val colForm = (0L until 3000L).toDF("id")
+      .withColumn("maybe", Bloom.mightContainCol(words, col("id"), bits = 256, hashes = 3))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val joinForm = Bloom.mightContain((0L until 3000L).toDF("id"), col("id"), f,
+        bits = 256, hashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(colForm == joinForm)
     f.unpersist(); otherProbe.unpersist()
   }
 

@@ -150,6 +150,31 @@ class StreamBatchParitySpec extends SparkSpec {
       s"streamed sessions must equal the closeable batch sessions")
   }
 
+  test("s16: Bloom blocklist screen composes with a stream (broadcast filter, stateless)") {
+    // the production shape: a batch-built Bloom filter (broadcast set-bit
+    // table) screening a live stream map-side — stateless, so it needs no
+    // watermark and adds no state store. Guarantee checked: every blocked
+    // id is flagged (no false negatives), pass-through ids mostly survive.
+    import graft.functions.Bloom
+    val blocked = spark.range(100).select((col("id") * 7 + 3).as("id"))
+    val filterDf = Bloom.build(blocked, col("id"), bits = 1024, hashes = 3)
+    val words = Bloom.toBits(filterDf, bits = 1024) // packed once, rides the plan as literals
+    val blockedIds = blocked.collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[Long]
+    val q = in.toDF().select(col("value").as("id"))
+      .filter(!Bloom.mightContainCol(words, col("id"), bits = 1024, hashes = 3))
+      .writeStream.format("memory").queryName("s16_out").outputMode("append").start()
+    try {
+      in.addData(0L until 400L)
+      q.processAllAvailable()
+      val survivors = spark.table("s16_out").collect().map(_.getLong(0)).toSet
+      assert(survivors.intersect(blockedIds).isEmpty, "a blocked id slipped through")
+      val passThrough = (0L until 400L).toSet -- blockedIds
+      assert(survivors.size > passThrough.size / 2, "screen must not flag everything")
+      assert(survivors.subsetOf(passThrough))
+    } finally q.stop()
+  }
+
   test("s12: running total — final streaming state ≡ batch aggregate") {
     val streamed = replay(3)(raw => TweetPipelines.runningTotal(TweetPipelines.parse(raw)))
     val batch = TweetPipelines.runningTotal(
