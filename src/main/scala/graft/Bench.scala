@@ -16,7 +16,10 @@ object Bench {
 
     def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // queries persist() small shared intermediates; drop them so the timed
-      // pass never reads the warm-up's cache
+      // pass never reads the warm-up's cache (releaseAll also clears the
+      // rank-cache registry's references, which clearCache alone leaves
+      // growing for the session lifetime)
+      graft.operators.Cumulative.releaseAll()
       spark.catalog.clearCache()
       // clearCache only empties the SQL cache manager — localCheckpoint
       // blocks (Components' per-round truncation) are plain persisted RDDs

@@ -13,10 +13,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // the result is on disk — drop the rank caches this query pinned so a
-      // 57-query session doesn't accumulate them (Bench's per-query
-      // clearCache covers its own runs)
+      // the result is on disk — drop EVERYTHING this query pinned (rank
+      // caches, persisted intermediates, Components' localCheckpoint
+      // blocks) so a 58-query session doesn't accumulate memory/disk
+      // pressure; same hygiene as Bench's per-query sweep
       operators.Cumulative.releaseAll()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

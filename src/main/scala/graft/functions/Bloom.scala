@@ -26,10 +26,15 @@ object Bloom {
   private val A0 = 2654435761L
   private val B0 = 40503L
 
-  /** Hash row j's bit position for key `id` — mirrored verbatim in q56's
-    * oracle SQL. */
+  /** Hash row j's bit position for key `id`. `pmod` (not signed `%`) on
+    * the key: a NEGATIVE BIGINT id under signed remainder would produce a
+    * negative position — crashing [[toBits]], erroring the packed-column
+    * probe, and breaking build's ≤`bits`-rows bound. On nonnegative ids
+    * (all oracle corpora) pmod ≡ %, so q56's oracle SQL still matches
+    * bit-for-bit; every term is then nonnegative and the largest product
+    * (P−1)² < 2⁶³ cannot wrap. */
   private def pos(j: Column, id: Column, bits: Int): Column =
-    ((lit(A0) * (j + 1)) % P * (id % P) + (lit(B0) * (j + 1)) % P) % P % bits
+    ((lit(A0) * (j + 1)) % P * pmod(id, lit(P)) + (lit(B0) * (j + 1)) % P) % P % bits
 
   private def hashRows(df: DataFrame, hashes: Int): DataFrame =
     broadcast(df.sparkSession.range(hashes).select(col("id").as("bf_j")))
@@ -71,19 +76,19 @@ object Bloom {
     }.reduce(_ && _)
   }
 
-  /** Append `maybe BOOLEAN` to `df` (whose rows must be distinct): true
-    * iff every hash position of `id` is set in `filter` — guaranteed true
-    * for every key the filter was built from. `bits`/`hashes` must match
-    * the [[build]] call. The filter is broadcast; `df` streams through
-    * map-side. Column names `bf_id`/`bf_j`/`bf_pos` are reserved. */
+  /** Append `maybe BOOLEAN` to `df`: true iff every hash position of `id`
+    * is set in `filter` — guaranteed true for every key the filter was
+    * built from. `bits`/`hashes` must match the [[build]] call.
+    *
+    * Implemented over the packed form: the filter collapses to `bits/64`
+    * long literals (one metadata-scale collect at plan build — ≤ `bits`
+    * rows by construction) and the test is a pure codegen'd Column.
+    * `df` never shuffles, rows pass through 1:1 (duplicates included),
+    * and the same plan runs in batch or streaming. An earlier join-based
+    * form fanned every row ×`hashes` and re-collapsed with a groupBy —
+    * a full-corpus shuffle per probe, and duplicate input rows silently
+    * merged (SketchSpec pins this form identical on every probe). */
   def mightContain(df: DataFrame, id: Column, filter: DataFrame,
-      bits: Int = 512, hashes: Int = 3): DataFrame = {
-    val out = df.columns.toIndexedSeq.map(col)
-    df.withColumn("bf_id", id)
-      .crossJoin(hashRows(df, hashes))
-      .withColumn("bf_pos", pos(col("bf_j"), col("bf_id"), bits))
-      .join(broadcast(filter.withColumn("bf_hit", lit(1))), Seq("bf_pos"), "left")
-      .groupBy(out: _*)
-      .agg((sum(when(col("bf_hit").isNotNull, 1).otherwise(0)) === hashes).as("maybe"))
-  }
+      bits: Int = 512, hashes: Int = 3): DataFrame =
+    df.withColumn("maybe", mightContainCol(toBits(filter, bits), id, bits, hashes))
 }

@@ -29,10 +29,13 @@ object CountMin {
   private val A0 = 2654435761L
   private val B0 = 40503L
 
-  /** Row j's cell for key `id` — shared by build and probe (and mirrored
-    * verbatim in q54's oracle SQL). */
+  /** Row j's cell for key `id` — shared by build and probe. `pmod` (not
+    * signed `%`) on the key: a negative BIGINT id would otherwise hash to
+    * a negative cell, silently splitting one key's mass across two cells
+    * and breaking the ≤depth·width build bound. On nonnegative ids (all
+    * oracle corpora) pmod ≡ %, so q54's oracle SQL matches unchanged. */
   private def cell(j: Column, id: Column, width: Int): Column =
-    ((lit(A0) * (j + 1)) % P * (id % P) + (lit(B0) * (j + 1)) % P) % P % width
+    ((lit(A0) * (j + 1)) % P * pmod(id, lit(P)) + (lit(B0) * (j + 1)) % P) % P % width
 
   private def hashRows(df: DataFrame, depth: Int): DataFrame =
     broadcast(df.sparkSession.range(depth).select(col("id").as("j")))

@@ -62,6 +62,8 @@ object Components {
     var rounds = 0
     var active = cur.count()
     while (active > 0 && rounds < maxRounds) {
+      val prevCur = cur
+      val prevMapping = mapping
       // hash-min: each super-node points to min(self, neighbors) — one
       // groupBy over both edge orientations, partial+final agg
       val l = truncate(cur.union(cur.select(col("v").as("u"), col("u").as("v")))
@@ -77,12 +79,19 @@ object Components {
         .filter(col("u") =!= col("v")).distinct())
       // compose pointers into the node mapping (nodes whose super-node is
       // already final — or isolated — keep their label)
-      mapping = truncate(mapping
+      mapping = truncate(prevMapping
         .join(l.select(col("node").as("lbl"), col("newl")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("newl"), col("lbl")).as("lbl")))
+      // every truncate() above is EAGER, so the previous round's blocks —
+      // and this round's pointer table — are dead now; drop them or a
+      // long-lived session pins 3 RDDs per round per connected() call
+      GraftSqlBridge.releaseLeaf(prevCur)
+      GraftSqlBridge.releaseLeaf(prevMapping)
+      GraftSqlBridge.releaseLeaf(l)
       active = cur.count()
       rounds += 1
     }
+    GraftSqlBridge.releaseLeaf(cur) // the final (empty) edge table
     require(active == 0, s"connected components did not converge in $maxRounds rounds " +
       "(pathological diameter — use alternating star contraction for such graphs)")
     mapping

@@ -54,7 +54,10 @@ object Dedup {
     * per near-dup cluster of the distinct corpus. Returns surviving rows
     * with all caller columns — q58 semantics. */
   def deduplicate(docs: DataFrame): DataFrame = {
-    val distinctDocs = exactSurvivors(docs)
+    // three consumers (pair detection, the cluster node set, the final
+    // semi join) each materialize independently — cache the survivors or
+    // the corpus-wide sha2 groupBy + semi join runs three times
+    val distinctDocs = exactSurvivors(docs).persist()
     val keep = clusters(distinctDocs)
       .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")

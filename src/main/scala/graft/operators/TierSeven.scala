@@ -107,9 +107,14 @@ object TierSeven {
     * then one shuffle of doc-bigram instances against the ppm table —
     * partial+final aggs throughout; the ppm model table broadcasts when
     * small (AQE decides; a web-scale bigram table stays a shuffle join on
-    * w1/w2, which is the honest shape). Int64 bound: ppm ≤ 10⁶ and
-    * per-doc sums are bounded by doc length ≤ 10⁶ tokens → products stay
-    * ≤ 10¹² ≪ 2⁶³ at any corpus size.
+    * w1/w2, which is the honest shape). Int64 bounds: per-doc sums are
+    * ppm ≤ 10⁶ × doc length — safe at any corpus size — but the MODEL
+    * side computes `bcnt · 10⁶`, which wraps once a single bigram's
+    * corpus count exceeds 2⁶³/10⁶ ≈ 9.2·10¹². A 100 TB corpus holds
+    * ~2·10¹³ tokens, so even a boilerplate bigram at 5% frequency (10¹²)
+    * sits ~10× under the bound (same operating envelope as q46's ppm);
+    * past ~1 PB, shrink the ppm factor or route the product through
+    * DECIMAL(38,0) on both engines — the ranking is unchanged.
     */
   val q57 = Q("q57_bigram_lm",
     """WITH tl AS (

@@ -34,4 +34,15 @@ object GraftSqlBridge {
         lr.copy()(df.sparkSession.asInstanceOf[classic.SparkSession], None, None))
     case _ => df
   }
+
+  /** Drop the executor blocks behind a localCheckpoint'd DataFrame.
+    * `Dataset.unpersist` only touches the SQL cache manager — checkpoint
+    * blocks are plain persisted RDDs in the block manager and otherwise
+    * live until the session ends. The data is NOT recomputable afterwards
+    * (lineage was truncated), so only call this on intermediates that
+    * will never be read again. No-op for non-LogicalRDD plans. */
+  def releaseLeaf(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
+    case _ => ()
+  }
 }

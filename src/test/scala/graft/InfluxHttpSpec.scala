@@ -140,10 +140,12 @@ class InfluxHttpSpec extends SparkSpec {
   }
 
   test("x06: circuit breaker — opens after N consecutive failures, half-open probe closes it") {
+    // open-state assertions use a LONG window (a GC pause on the shared box
+    // must not turn the fast-fail check into an accidental half-open probe)
     val hits = new java.util.concurrent.atomic.AtomicInteger
-    withServer(failWrites = 2, writeHits = hits) { (url, reqs) =>
+    withServer(failWrites = 2, writeHits = hits) { (url, _) =>
       val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
-        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 2, breakerOpenMs = 400))
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 2, breakerOpenMs = 120000))
       assert(w.open(0, 0))
       // two failed flushes (one POST each, maxRetries=0) trip the breaker
       intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
@@ -153,13 +155,22 @@ class InfluxHttpSpec extends SparkSpec {
       val e = intercept[RuntimeException](w.process(row("m", 3L, Map("v" -> "3"))))
       assert(e.getMessage.contains("circuit open"), e.getMessage)
       assert(hits.get == 2, "open breaker must not hit the endpoint")
-      Thread.sleep(450)
+    }
+    // the half-open transition uses a SHORT window + a sleep beyond it (an
+    // extra-long pause only makes the probe later, never earlier)
+    val hitsP = new java.util.concurrent.atomic.AtomicInteger
+    withServer(failWrites = 1, writeHits = hitsP) { (url, reqs) =>
+      val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 1, breakerOpenMs = 300))
+      assert(w.open(0, 0))
+      intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1")))) // trips
+      Thread.sleep(350)
       // window elapsed + server healthy again: the half-open probe posts the
       // accumulated batch, succeeds, and CLOSES the breaker
-      w.process(row("m", 4L, Map("v" -> "4")))
-      assert(hits.get == 3)
-      w.process(row("m", 5L, Map("v" -> "5")))
-      assert(hits.get == 4, "closed breaker must flow normally")
+      w.process(row("m", 2L, Map("v" -> "2")))
+      assert(hitsP.get == 2)
+      w.process(row("m", 3L, Map("v" -> "3")))
+      assert(hitsP.get == 3, "closed breaker must flow normally")
       assert(reqs.synchronized(reqs.size) == 2)
     }
     // a 4xx during the half-open probe CLOSES the breaker (the endpoint
@@ -184,11 +195,13 @@ class InfluxHttpSpec extends SparkSpec {
     // back to immediate failures)
     val hits2 = new java.util.concurrent.atomic.AtomicInteger
     withServer(failWrites = 100, writeHits = hits2) { (url, _) =>
+      // window wide enough that the post-probe "still open" assertion can't
+      // be outrun by a scheduling pause, but short enough to sleep past
       val w = new InfluxHttpWriter(InfluxHttpConfig(url, batchActions = -1,
-        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 1, breakerOpenMs = 300))
+        maxRetries = 0, retryBackoffMs = 1, breakerFailures = 1, breakerOpenMs = 5000))
       assert(w.open(0, 0))
       intercept[RuntimeException](w.process(row("m", 1L, Map("v" -> "1"))))
-      Thread.sleep(350)
+      Thread.sleep(5100)
       val before = hits2.get
       intercept[RuntimeException](w.process(row("m", 2L, Map("v" -> "2")))) // probe: one POST
       assert(hits2.get == before + 1)

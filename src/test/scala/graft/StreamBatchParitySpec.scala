@@ -141,7 +141,11 @@ class StreamBatchParitySpec extends SparkSpec {
       .select(unix_millis(col("sw.start")).as("start_ms"),
         unix_millis(col("sw.end")).as("end_ms"), col("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val maxTs = batchSessions.map(_._1).max
+    // the final watermark is the max EVENT time (0 s delay) — not the max
+    // session start, which lags it whenever the last event extends an
+    // existing session
+    val maxTs = TweetPipelines.parse(spark.createDataset(tweetJson).toDF("value"))
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
     val closeable = batchSessions.filter(_._2 <= maxTs)
       .map(s => (s._1, s._3)).sortBy(_._1).toSeq
     val got = emitted.synchronized(emitted.sortBy(_._1).toSeq)
