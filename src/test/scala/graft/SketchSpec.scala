@@ -84,6 +84,26 @@ class SketchSpec extends SparkSpec {
     f.unpersist(); otherProbe.unpersist()
   }
 
+  test("Bloom and CountMin accept NEGATIVE ids (pmod hash, no negative positions)") {
+    import graft.functions.{Bloom, CountMin}
+    import spark.implicits._
+    // e.g. xxhash64-derived keys: ~half negative — signed % would produce
+    // negative positions/cells (toBits crash, packed-probe error)
+    val ids = Seq(-1L, -2147483648L, Long.MinValue, -987654321L, 5L, 0L)
+    val keys = ids.toDF("id")
+    val f = Bloom.build(keys, col("id"), bits = 256, hashes = 3)
+    assert(f.collect().map(_.getLong(0)).forall(p => p >= 0 && p < 256))
+    val probed = Bloom.mightContain(keys, col("id"), f, bits = 256, hashes = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ids.foreach(i => assert(probed(i), s"false negative for $i"))
+    val counts = ids.zipWithIndex.map { case (i, n) => (i, n + 1L) }.toDF("id", "n")
+    val cms = CountMin.build(counts, col("id"), col("n"), depth = 4, width = 64)
+    assert(cms.collect().forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    val est = CountMin.probe(counts, col("id"), cms, depth = 4, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (i, n, e) => assert(e >= n, s"CMS under-estimate for $i") }
+  }
+
   test("approxQuantile brackets the exact median") {
     val events = Tables.load(spark, sf, "events")
     val Array(q50) = Sketches.approxQuantiles(events, "value", Array(0.5))
