@@ -215,7 +215,9 @@ object TierFour {
     * or low-Hamming signatures (`bit_count(xor)`) — the signature itself is
     * the oracle-checked artifact.
     */
-  val q27 = Q("q27_simhash",
+  /** q27's signature computation as an embeddable SELECT (no ORDER BY) —
+    * q27 orders it; [[TierSeven.q59]] embeds it as its `sigs` CTE. */
+  val simhashSelect: String =
     s"""WITH $tokSql,
        |cnts AS (
        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -229,7 +231,15 @@ object TierFour {
        |  FROM cntid CROSS JOIN bits GROUP BY 1, 2)
        |SELECT doc_id,
        |       CAST(sum(CASE WHEN acc > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
-       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM s GROUP BY doc_id""".stripMargin
+
+  val q27 = Q("q27_simhash",
+    s"""$simhashSelect ORDER BY doc_id""") { (s, dir) =>
+    simhashSigs(s, dir).orderBy("doc_id")
+  }
+
+  /** q27's Spark pipeline, unordered — (doc_id, simhash BIGINT). */
+  def simhashSigs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     val cnts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
@@ -248,7 +258,6 @@ object TierFour {
       .select(col("doc_id"),
         (0 until 63).map(j => when(col(s"acc$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** Word-bigram (2-shingle) Jaccard near-dup at ≥ 0.8 — n-gram variant of

@@ -193,5 +193,56 @@ object TierSeven {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q55, q56, q57, q58)
+  /** SimHash near-duplicate JOIN — the missing half of q27, and the
+    * web-scale dedup of Manku, Jain & Das Sarma ("Detecting Near-Duplicates
+    * for Web Crawling", WWW'07): find all pairs within Hamming distance 3
+    * over the 63-bit signatures. Banding by PIGEONHOLE, not probability:
+    * the signature splits into 4 chunks (16/16/16/15 bits), and distance
+    * ≤ 3 forces at least one chunk to match exactly — so chunk-equality
+    * candidates have PERFECT recall (unlike MinHash-LSH's S-curve), and
+    * verification is one codegen'd `bit_count(sa ^ sb)` per candidate.
+    *
+    * Scale: the chunk value is the shuffle key (candidates are a bucket
+    * self-join, never all-pairs); the 8-byte signature rides the postings
+    * so pairs exit the join verification-ready (q26's zero-attach-join
+    * pattern); each pair is emitted from its FIRST matching chunk — the
+    * earlier-chunks-differ predicate is pure integer codegen on the
+    * carried signatures, so no distinct shuffle on the join output.
+    */
+  val q59 = Q("q59_simhash_pairs",
+    s"""WITH sigs AS (${TierFour.simhashSelect}),
+       |chunks AS (
+       |  SELECT doc_id, simhash, j,
+       |         (simhash >> (j*16)) & CASE WHEN j = 3 THEN 32767 ELSE 65535 END AS ck
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.simhash AS sa, y.simhash AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.j = y.j AND x.ck = y.ck AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sigs = TierFour.simhashSigs(s, dir)
+    def chunk(c: org.apache.spark.sql.Column, j: Int) =
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j => chunk(col("simhash"), j)): _*))
+        .as(Seq("j", "ck")))
+    val x = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
+      col("j"), col("ck"))
+    val y = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
+      col("j").as("j_b"), col("ck").as("ck_b"))
+    // first-matching-chunk emission: for chunk j, all earlier chunks differ
+    val earlierMatched = (0 until 3).map(k =>
+      (col("j") > k) && chunk(col("sa"), k) === chunk(col("sb"), k)).reduce(_ || _)
+    x.join(y, col("j") === col("j_b") && col("ck") === col("ck_b")
+        && col("doc_a") < col("doc_b") && !earlierMatched)
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
 }
