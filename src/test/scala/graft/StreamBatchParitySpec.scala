@@ -179,6 +179,35 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s17: Count-Min maintained BY A STREAM — final cells ≡ batch-built sketch") {
+    // CMS cells are order-independent sums, so the sketch is exactly
+    // maintainable as a streaming aggregation (complete mode): the live
+    // frequency monitor a pipeline runs next to its batch sketch. The
+    // final streamed cell table must be bit-identical to CountMin.build
+    // over the same rows — same hash family, merge-by-addition.
+    import graft.functions.CountMin
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val rows: Seq[(Long, Long)] = (1L to 300L).map(i => (i % 37, 1L)) // keys with repeats
+    val in = MemoryStream[Long]
+    val streamedSketch = CountMin.build(
+      in.toDF().select(pmod(col("value"), lit(37L)).as("id"), lit(1L).as("n")),
+      col("id"), col("n"))
+    val q = streamedSketch.writeStream
+      .format("memory").queryName("s17_out").outputMode("complete").start()
+    try {
+      (1L to 300L).grouped(60).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("s17_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = CountMin.build(rows.toDF("id", "n"), col("id"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streamed sketch cells must equal the batch build")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("s12: running total — final streaming state ≡ batch aggregate") {
     val streamed = replay(3)(raw => TweetPipelines.runningTotal(TweetPipelines.parse(raw)))
     val batch = TweetPipelines.runningTotal(
