@@ -64,18 +64,24 @@ object Components {
     while (active > 0 && rounds < maxRounds) {
       val prevCur = cur
       val prevMapping = mapping
-      // hash-min: each super-node points to min(self, neighbors) — one
-      // groupBy over both edge orientations, partial+final agg
-      val l = truncate(cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-        .groupBy(col("u").as("node")).agg(min(col("v")).as("nm"))
-        .select(col("node"), least(col("node"), col("nm")).as("newl"))) // ≤ one row per active super-node
+      // hash-min: each super-node points to min(self, neighbors). Only the
+      // SMALLER-neighbor side can lower a label, so one half-aggregation
+      // over the canonical (u < v) edges suffices — l(x) = min(x, min{w :
+      // (w,x)}) — instead of a groupBy over both orientations (halves the
+      // agg input and skips materializing the 2× union). Nodes with no
+      // smaller neighbor have no row here; the left joins below keep them.
+      val l = truncate(cur.groupBy(col("v").as("node")).agg(min(col("u")).as("nm"))
+        .select(col("node"), least(col("node"), col("nm")).as("newl")))
       // contract: rewrite edges through the pointers; self-loops vanish,
       // distinct collapses the duplicates contraction creates
       val lu = l.select(col("node").as("u"), col("newl").as("lu"))
       val lv = l.select(col("node").as("v"), col("newl").as("lv"))
-      cur = truncate(cur.join(lu, "u").join(lv, "v")
-        .select(least(col("lu"), col("lv")).as("u"),
-          greatest(col("lu"), col("lv")).as("v"))
+      cur = truncate(cur
+        .join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+        .select(coalesce(col("lu"), col("u")).as("a"),
+          coalesce(col("lv"), col("v")).as("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
       // compose pointers into the node mapping (nodes whose super-node is
       // already final — or isolated — keep their label)
