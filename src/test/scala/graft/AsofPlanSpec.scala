@@ -148,6 +148,30 @@ class AsofPlanSpec extends SparkSpec {
     assert(e.getMessage.contains("types differ"))
   }
 
+  test("as-of join null semantics: null keys match GROUP-style, null order sorts first") {
+    import spark.implicits._
+    // scaladoc contract: a null left key matches a null right key (as
+    // groupBy groups nulls), and a null order value counts as earlier than
+    // everything (ASC NULLS FIRST)
+    val l = Seq((1L, Option("u"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("lid", "k", "t")
+    val r = Seq(
+      (100L, Option("u"), 5L),           // matches lid=1 (same key, earlier)
+      (200L, Option.empty[String], 7L),  // matches lid=2 (null key group)
+      (300L, Option.empty[String], 2L))  // earlier null-key row, superseded by 200
+      .toDF("rid", "rk", "rt")
+    val out = Asof.join(l, r, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .select("lid", "rid").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(200L)))
+    // null ORDER value: sorts before every real time → matched by any left
+    val r2 = Seq((400L, "u", Option.empty[Long])).toDF("rid", "rk", "rt")
+    val l2 = Seq((1L, "u", Option(0L))).toDF("lid", "k", "t")
+    val out2 = Asof.join(l2, r2, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .select("rid").collect().head
+    assert(out2.getLong(0) == 400L, "null right order must count as earliest")
+  }
+
   test("as-of join tie semantics: equal order tuple is NOT a match (strict <)") {
     import spark.implicits._
     val l = Seq((1L, "u", 10L)).toDF("lid", "k", "t")
