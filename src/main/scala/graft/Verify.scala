@@ -15,7 +15,7 @@ object Verify {
       }
       // the result is on disk — drop EVERYTHING this query pinned (rank
       // caches, persisted intermediates, Components' localCheckpoint
-      // blocks) so a 58-query session doesn't accumulate memory/disk
+      // blocks) so a 59-query session doesn't accumulate memory/disk
       // pressure; same hygiene as Bench's per-query sweep
       operators.Cumulative.releaseAll()
       spark.catalog.clearCache()

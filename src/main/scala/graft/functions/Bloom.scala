@@ -22,28 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  private val P = 2147483647L
-  private val A0 = 2654435761L
-  private val B0 = 40503L
-
-  /** Hash row j's bit position for key `id`. `pmod` (not signed `%`) on
-    * the key: a NEGATIVE BIGINT id under signed remainder would produce a
-    * negative position — crashing [[toBits]], erroring the packed-column
-    * probe, and breaking build's ≤`bits`-rows bound. On nonnegative ids
-    * (all oracle corpora) pmod ≡ %, so q56's oracle SQL still matches
-    * bit-for-bit; every term is then nonnegative and the largest product
-    * (P−1)² < 2⁶³ cannot wrap. */
+  /** Hash row j's bit position for key `id` — the shared [[AffineHash]]
+    * family (pmod keeps negative BIGINT ids in range; nonnegative ids
+    * match q56's plain-`%` oracle SQL bit-for-bit). */
   private def pos(j: Column, id: Column, bits: Int): Column =
-    ((lit(A0) * (j + 1)) % P * pmod(id, lit(P)) + (lit(B0) * (j + 1)) % P) % P % bits
-
-  private def hashRows(df: DataFrame, hashes: Int): DataFrame =
-    broadcast(df.sparkSession.range(hashes).select(col("id").as("bf_j")))
+    AffineHash.slot(j, id, bits)
 
   /** Build the filter from `keys`: one `bf_pos BIGINT` row per set bit
     * (≤ `bits` rows however many keys go in). */
   def build(keys: DataFrame, id: Column, bits: Int = 512, hashes: Int = 3): DataFrame =
     keys.select(id.as("bf_id"))
-      .crossJoin(hashRows(keys, hashes))
+      .crossJoin(AffineHash.rows(keys, hashes, "bf_j"))
       .select(pos(col("bf_j"), col("bf_id"), bits).as("bf_pos"))
       .distinct()
 
@@ -87,7 +76,13 @@ object Bloom {
     * and the same plan runs in batch or streaming. An earlier join-based
     * form fanned every row ×`hashes` and re-collapsed with a groupBy —
     * a full-corpus shuffle per probe, and duplicate input rows silently
-    * merged (SketchSpec pins this form identical on every probe). */
+    * merged (SketchSpec pins this form identical on every probe).
+    *
+    * Each call collects `filter` once at plan build — screening MANY
+    * frames against one blocklist should either persist `filter` first
+    * or call [[toBits]] once and reuse [[mightContainCol]] directly, so
+    * the blocklist's build lineage doesn't re-execute per probe. `maybe`
+    * is reserved (an existing column would be replaced). */
   def mightContain(df: DataFrame, id: Column, filter: DataFrame,
       bits: Int = 512, hashes: Int = 3): DataFrame =
     df.withColumn("maybe", mightContainCol(toBits(filter, bits), id, bits, hashes))

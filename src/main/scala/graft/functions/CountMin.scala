@@ -25,44 +25,36 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private val P = 2147483647L
-  private val A0 = 2654435761L
-  private val B0 = 40503L
-
-  /** Row j's cell for key `id` — shared by build and probe. `pmod` (not
-    * signed `%`) on the key: a negative BIGINT id would otherwise hash to
-    * a negative cell, silently splitting one key's mass across two cells
-    * and breaking the ≤depth·width build bound. On nonnegative ids (all
-    * oracle corpora) pmod ≡ %, so q54's oracle SQL matches unchanged. */
-  private def cell(j: Column, id: Column, width: Int): Column =
-    ((lit(A0) * (j + 1)) % P * pmod(id, lit(P)) + (lit(B0) * (j + 1)) % P) % P % width
-
-  private def hashRows(df: DataFrame, depth: Int): DataFrame =
-    broadcast(df.sparkSession.range(depth).select(col("id").as("j")))
-
   /** Build the sketch: one row per non-empty cell, `(j, cell, s)` where
-    * `s = Σ freq` of the keys hashing there. `counts` must carry one row
+    * `s = Σ freq` of the keys hashing there ([[AffineHash]] family —
+    * negative ids hash safely via pmod). `counts` must carry one row
     * per key (pre-aggregated frequencies); `id` must be a BIGINT key id
     * (e.g. a [[graft.operators.Cumulative.rowNumber]] vocabulary rank). */
   def build(counts: DataFrame, id: Column, freq: Column,
       depth: Int = 4, width: Int = 64): DataFrame =
     counts.select(id.as("cm_id"), freq.as("cm_f"))
-      .crossJoin(hashRows(counts, depth))
-      .groupBy(col("j"), cell(col("j"), col("cm_id"), width).as("cell"))
+      .crossJoin(AffineHash.rows(counts, depth, "j"))
+      .groupBy(col("j"), AffineHash.slot(col("j"), col("cm_id"), width).as("cell"))
       .agg(sum(col("cm_f")).as("s"))
 
   /** Probe: append `est` (the CMS point estimate, min over the depth rows;
-    * 0 for a key hashing only to empty cells) to `keys`, whose rows must be
-    * distinct. `depth`/`width` must match the [[build]] call. The sketch is
-    * broadcast — `keys` streams through map-side, no corpus shuffle. */
+    * 0 for a key hashing only to empty cells) to `keys`, whose rows MUST
+    * be distinct — the fan-out re-collapses by grouping on every caller
+    * column, so duplicate rows would silently merge. `depth`/`width` must
+    * match the [[build]] call. The sketch is broadcast — `keys` streams
+    * through map-side, no corpus shuffle. Internals ride `cm_`-prefixed
+    * columns (the sketch's own j/cell/s are aliased on the way in), so
+    * caller columns named j/cell/s are safe; `cm_*`/`est` are reserved. */
   def probe(keys: DataFrame, id: Column, sketch: DataFrame,
       depth: Int = 4, width: Int = 64): DataFrame = {
     val out = keys.columns.toIndexedSeq.map(col)
+    val cells = sketch.select(col("j").as("cm_j"), col("cell").as("cm_cell"),
+      col("s").as("cm_s"))
     keys.withColumn("cm_id", id)
-      .crossJoin(hashRows(keys, depth))
-      .withColumn("cell", cell(col("j"), col("cm_id"), width))
-      .join(broadcast(sketch), Seq("j", "cell"), "left")
+      .crossJoin(AffineHash.rows(keys, depth, "cm_j"))
+      .withColumn("cm_cell", AffineHash.slot(col("cm_j"), col("cm_id"), width))
+      .join(broadcast(cells), Seq("cm_j", "cm_cell"), "left")
       .groupBy(out: _*)
-      .agg(min(coalesce(col("s"), lit(0L))).as("est"))
+      .agg(min(coalesce(col("cm_s"), lit(0L))).as("est"))
   }
 }

@@ -98,8 +98,12 @@ object Components {
       rounds += 1
     }
     GraftSqlBridge.releaseLeaf(cur) // the final (empty) edge table
-    require(active == 0, s"connected components did not converge in $maxRounds rounds " +
-      "(pathological diameter — use alternating star contraction for such graphs)")
+    if (active != 0) {
+      GraftSqlBridge.releaseLeaf(mapping) // don't leak blocks on the failure path
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          "(pathological diameter — use alternating star contraction for such graphs)")
+    }
     mapping
   }
 }

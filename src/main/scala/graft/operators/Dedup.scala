@@ -56,10 +56,17 @@ object Dedup {
   def deduplicate(docs: DataFrame): DataFrame = {
     // three consumers (pair detection, the cluster node set, the final
     // semi join) each materialize independently — cache the survivors or
-    // the corpus-wide sha2 groupBy + semi join runs three times
+    // the corpus-wide sha2 groupBy + semi join runs three times.
+    // NOTE long-lived sessions: this (and the detector's own caches) stay
+    // pinned until swept — release between calls once results are
+    // materialized (clearCache + getPersistentRDDs.unpersist, as
+    // Verify/Bench do per query).
     val distinctDocs = exactSurvivors(docs).persist()
+    // a cluster's label IS its min doc_id (Components labels each node
+    // with the component min, and the min labels itself) — survivors are
+    // simply the self-labeled rows, no extra aggregation shuffle
     val keep = clusters(distinctDocs)
-      .groupBy("cluster").agg(min(col("doc_id")).as("doc_id"))
+      .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
     distinctDocs.join(keep, Seq("doc_id"), "left_semi")
   }

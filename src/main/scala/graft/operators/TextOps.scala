@@ -67,11 +67,18 @@ object TextOps {
   def tokid(t: DataFrame, v: DataFrame): DataFrame =
     t.join(broadcast(v), "token").select("doc_id", "tid")
 
-  /** Per-doc distinct-token set as (doc_id, mask BIGINT, n). Only valid when
-    * the vocabulary size is ≤ 64 (caller checks). */
+  /** Per-doc distinct-token set as (doc_id, mask BIGINT, n). Only valid
+    * when the vocabulary size is ≤ 64 — GUARDED at runtime, because a
+    * wrong `spark.graft.vocabHint=small` promise would otherwise wrap the
+    * shift mod 64 (tid 65 sets the same bit as tid 1) and silently emit
+    * wrong intersections; one codegen'd comparison per row turns that
+    * into a fast failure instead. */
   def tokenMasks(tokid: DataFrame): DataFrame =
     tokid.groupBy("doc_id").agg(
-      sum(expr("shiftleft(cast(1 as bigint), cast(tid - 1 as int))")).as("mask"),
+      sum(expr("shiftleft(cast(1 as bigint), cast(" +
+        "if(tid > 64, raise_error('tokenMasks: vocabulary id > 64 — bitmask path " +
+        "invalid (wrong spark.graft.vocabHint=small promise?)'), tid) - 1 as int))"))
+        .as("mask"),
       count(lit(1)).as("n"))
 
   /** Per-doc sorted distinct tid array as (doc_id, tids, n) — the generic

@@ -122,7 +122,8 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
         if (waited < cfg.breakerOpenMs || br.probing)
           throw new RuntimeException(
             s"InfluxDB write skipped: circuit open for ${cfg.url} " +
-              s"(${br.consecutive} consecutive failures; retry in ${cfg.breakerOpenMs - waited} ms)")
+              s"(${br.consecutive} consecutive failures; retry in " +
+              s"${math.max(0, cfg.breakerOpenMs - waited)} ms)")
         br.probing = true
         true
       }
@@ -138,7 +139,10 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
     def endpointFailed(e: RuntimeException): Nothing = {
       if (cfg.breakerFailures > 0) br.synchronized {
         br.consecutive += 1
-        br.probing = false
+        // only the writer that OWNS the in-flight probe may clear the flag —
+        // a concurrently-failing ordinary flush must not let a second probe
+        // launch while the first is still running
+        if (halfOpenProbe) br.probing = false
         if (br.consecutive >= cfg.breakerFailures) br.openedAtMs = System.currentTimeMillis()
       }
       throw e
@@ -155,11 +159,12 @@ final class InfluxHttpWriter(cfg: InfluxHttpConfig) extends ForeachWriter[Row] {
       }
       if (code / 100 == 2) done = true
       else if (code > 0 && code / 100 != 5) {
-        // the endpoint ANSWERED — it is reachable, so a tripped/probing
-        // breaker closes here (leaving `probing` set would wedge the
-        // breaker open forever); the request itself is still a permanent
-        // failure
-        if (cfg.breakerFailures > 0) br.synchronized { br.consecutive = 0; br.probing = false }
+        // the endpoint ANSWERED — it is reachable, so a tripped breaker
+        // closes here; only the probe owner clears the probing flag
+        if (cfg.breakerFailures > 0) br.synchronized {
+          br.consecutive = 0
+          if (halfOpenProbe) br.probing = false
+        }
         throw new RuntimeException(s"InfluxDB write rejected (not retryable): HTTP $code")
       } else if (attempt >= retries)
         endpointFailed(new RuntimeException(

@@ -59,6 +59,17 @@ class HighVocabSpec extends SparkSpec {
     }
   }
 
+  test("a WRONG vocabHint=small promise fails fast instead of silently corrupting") {
+    // tid 65 would set the same mask bit as tid 1 (shift wraps mod 64) —
+    // the tokenMasks guard must raise, not emit wrong intersections
+    spark.conf.set("spark.graft.vocabHint", "small")
+    try {
+      val e = intercept[Exception](TierThree.q23.run(spark, tmp).collect())
+      assert(e.getMessage != null && e.getMessage.contains("bitmask path invalid"),
+        s"expected the tokenMasks guard, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.vocabHint")
+  }
+
   test("q23 generic token-join path (vocab > 64) matches pure-Scala exact pairs") {
     val rows = TierThree.q23.run(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
