@@ -223,7 +223,13 @@ object TierSeven {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val sigs = TierFour.simhashSigs(s, dir)
+    hammingPairs(TierFour.simhashSigs(s, dir))
+  }
+
+  /** The banded Hamming pair join over any `(doc_id, simhash)` frame —
+    * see [[q59]]'s scaladoc; SimhashPairSpec differentials it against
+    * brute force on random signatures. */
+  def hammingPairs(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def chunk(c: org.apache.spark.sql.Column, j: Int) =
       shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
     val chunks = sigs.select(col("doc_id"), col("simhash"),

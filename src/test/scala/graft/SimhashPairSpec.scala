@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TierSeven
+import org.apache.spark.sql.functions._
+
+/** The banded Hamming pair join against brute force on random signatures —
+  * the pigeonhole claim (distance ≤ 3 ⇒ some 16-bit chunk equal ⇒ EXACT
+  * recall) checked on signature distributions the corpus oracle can't
+  * produce: planted near-misses at exactly distance 3 and 4, sparse and
+  * dense bit patterns, zero and all-bits signatures.
+  */
+class SimhashPairSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(sigs: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb).toLong if h <= 3
+    } yield (ia, ib, h)).toSet
+
+  private def run(sigs: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    TierSeven.hammingPairs(sigs.toDF("doc_id", "simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("planted distances: 0,1,3 are found, 4 is excluded") {
+    val base = 0x1234_5678_9ABC_DEFL & 0x7FFFFFFFFFFFFFFFL
+    val sigs = Seq(
+      1L -> base,
+      2L -> base,                                  // distance 0
+      3L -> (base ^ 1L),                           // distance 1 (chunk 0)
+      4L -> (base ^ (1L | (1L << 20) | (1L << 40))), // distance 3, spread chunks
+      5L -> (base ^ (15L << 10)),                  // distance 4 — excluded
+      6L -> 0L,                                    // far away
+      7L -> 0x7FFFFFFFFFFFFFFFL)                   // all 63 bits
+    assert(run(sigs) == brute(sigs))
+    assert(run(sigs).exists { case (a, b, h) => a == 1L && b == 4L && h == 3L })
+    assert(!run(sigs).exists { case (a, b, _) => a == 1L && b == 5L })
+  }
+
+  test("random signatures: banded join ≡ brute force (exact recall, no extras)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    for (seed <- 0 until 3) {
+      // mix of fully random signatures and near-duplicates of a few bases
+      val bases = (0 until 5).map(i =>
+        Gen.chooseNum(0L, Long.MaxValue).apply(Gen.Parameters.default, Seed(seed * 77L + i))
+          .get & 0x7FFFFFFFFFFFFFFFL)
+      val sigs = (0 until 60).map { i =>
+        val g = Gen.chooseNum(0L, Long.MaxValue)
+          .apply(Gen.Parameters.default, Seed(seed * 1000L + i)).get
+        val s =
+          if (i % 3 == 0) bases(i % 5) ^ (1L << (i % 63)) // near-dup of a base
+          else g & 0x7FFFFFFFFFFFFFFFL
+        i.toLong -> s
+      }
+      assert(run(sigs) == brute(sigs), s"seed $seed diverged")
+    }
+  }
+}
