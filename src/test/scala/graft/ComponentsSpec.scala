@@ -55,4 +55,23 @@ class ComponentsSpec extends SparkSpec {
     val got = run(5, Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (3L, 4L)))
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("10k-node path: star fallback converges in O(log n) rounds, not O(n)") {
+    // the pathological-diameter shape that defeats pure contraction (one
+    // diameter hop per round → 10k rounds); the stall detector must hand
+    // it to the large/small-star phase, which finishes in ≈log n rounds
+    val n = 10000L
+    val res = Components.connectedWithStats(
+      spark.range(n).select(col("id")),
+      spark.range(n - 1).select(col("id").as("src"), (col("id") + 1L).as("dst")))
+    assert(res.starRounds > 0, "a path must route through the star phase")
+    assert(res.contractionRounds <= 3,
+      s"stall detection should fire immediately on a path, ran ${res.contractionRounds} contraction rounds")
+    assert(res.contractionRounds + res.starRounds <= 30,
+      s"expected ≈2·log2(10k)≈27 rounds worst case, got ${res.contractionRounds}+${res.starRounds}")
+    val a = res.labels.agg(count(lit(1)), min(col("lbl")), max(col("lbl"))).head
+    assert(a.getLong(0) == n && a.getLong(1) == 0L && a.getLong(2) == 0L,
+      "every node of the path must carry label 0")
+    org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+  }
 }
