@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 8 — round-6 additions: the incremental production shapes. The
+  * batch tiers answer "dedup THIS corpus"; a growing corpus instead asks
+  * "screen this batch against everything already ingested" — q60 declares
+  * the persisted-signature-index form of that ([[SigIndex]]). Determinism
+  * follows the Tier-3/4 conventions (affine-modular integer hashing over
+  * frozen vocabulary ranks, pinned orders).
+  */
+object TierEight {
+  import TierFour.{A0, B0, P}
+
+  /** Incremental near-dup screen against a persisted signature index —
+    * [[SigIndex.build]] on the corpus (documents with doc_id % 5 ≠ 0),
+    * then [[SigIndex.probe]] of the new batch (doc_id % 5 = 0): all
+    * Jaccard ≥ 0.6 pairs touching at least one batch document, computed
+    * WITHOUT re-sketching the corpus (its postings are read back from the
+    * bucketed index table). The vocabulary is frozen at build time (q60's
+    * corpus covers the batch's tokens, so nothing drops here; SigIndexSpec
+    * pins the drop semantics for genuinely-new tokens).
+    *
+    * The oracle recomputes the same frozen-vocab pipeline declaratively:
+    * vocabulary ranks from CORPUS tokens only, signatures over corpus ∪
+    * batch in that token space, pairs filtered to ≥1 batch side. Identical
+    * fixpoint; the Spark side just never touches the corpus text twice.
+    */
+  val q60 = Q("q60_sig_index_probe",
+    s"""WITH alltok AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |vocab AS (
+       |  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT token FROM alltok WHERE doc_id % 5 <> 0)),
+       |tokid AS (SELECT doc_id, tid FROM alltok JOIN vocab USING (token)),
+       |perm AS (
+       |  SELECT i, ($A0*(i+1)) % $P AS a, ($B0*(i+1)) % $P AS b
+       |  FROM (SELECT unnest(range(32)) AS i)),
+       |sig AS (
+       |  SELECT doc_id, i, min((a*tid + b) % $P) AS mh
+       |  FROM tokid CROSS JOIN perm GROUP BY 1, 2),
+       |band AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |         sum(mh * CASE i % 4 WHEN 0 THEN 2248091 WHEN 1 THEN 17161
+       |                             WHEN 2 THEN 131 ELSE 1 END) % $P AS bkey
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM band x JOIN band y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 5 = 0 OR y.doc_id % 5 = 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tokid GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN tokid x ON x.doc_id = c.doc_a
+       |  JOIN tokid y ON y.doc_id = c.doc_b AND y.tid = x.tid
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+       |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "sigidx_q60")
+    SigIndex.probe(s, "sigidx_q60", docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  val all: Seq[Q] = Seq(q60)
+}

@@ -26,11 +26,11 @@ import org.apache.spark.sql.functions._
 object TierFour {
 
   /** 2^31−1, prime: modulus for all affine hash families. */
-  private val P = 2147483647L
+  private[operators] val P = 2147483647L
   /** Knuth's multiplicative constant / a second odd constant: seeds for the
     * i-th hash `a_i=(A0·(i+1)) mod P`, `b_i=(B0·(i+1)) mod P`. */
-  private val A0 = 2654435761L
-  private val B0 = 40503L
+  private[operators] val A0 = 2654435761L
+  private[operators] val B0 = 40503L
 
   import TextOps.{tok, vocab}
 
@@ -118,54 +118,10 @@ object TierFour {
     val t = t0.persist()
     val v = vocab(t)
     val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
-    // All 32 minhashes as 32 min-aggregate COLUMNS in one groupBy — ONE
-    // shuffle of |tokid| rows, vs the crossJoin(32 perms) formulation which
-    // explodes tokid ×32 and shuffles twice more ((doc,i) agg + per-doc
-    // collect). Identical values: mh_i = min((a_i·tid + b_i) mod P).
-    val mhCols = (0 until 32).map { i =>
-      val a = (A0 * (i + 1)) % P
-      val b = (B0 * (i + 1)) % P
-      min((lit(a) * col("tid") + lit(b)) % P).as(s"mh$i")
-    }
-    val sig = tokid.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    // 8 band keys as projections over the 32 signature columns: base-131
-    // polynomial with position weight 131^(3−pos) — max 4·P·131³ < 2^63
-    val w = Seq(2248091L, 17161L, 131L, 1L)
-    val bandCols = (0 until 8).map { bnd =>
-      ((0 until 4).map(p => col(s"mh${bnd * 4 + p}") * w(p)).reduce(_ + _) % P)
-        .as(s"bk$bnd")
-    }
-    // Each doc's 8 band hashes as an ordered ARRAY<BIGINT>; the bucket
-    // self-join emits a pair ONLY from its FIRST matching band ("no earlier
-    // band matched", unrolled to 7 codegen'd long comparisons) —
-    // exactly-once semantics with NO distinct afterwards. (A pair matching
-    // k bands would otherwise surface k times; deduping those ~5·10^7 rows
-    // was the measured r02 hotspot.)
-    val bkeys = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        array((0 until 8).map(b => col(s"bk$b")): _*).as("ks"))
-    // Bucket self-join over exploded postings. Pairs are emitted ONLY from
-    // their FIRST matching band ("no earlier band matched", unrolled to 7
-    // codegen'd long comparisons over the ks arrays) — exactly-once with NO
-    // distinct afterwards. The equi-join on (band, bkey) shuffles only the
-    // O(docs·bands) postings; the ~10^7 emitted pairs stream OUT of the
-    // join unshuffled (postings are per-doc, not broadcastable at 100 TB;
-    // the shuffled volume is trivial either way).
+    val bkeys = bandKeys(tokid)
     def selfJoinPairs(postings: DataFrame,
-        extra: Seq[(String, String, String)]): DataFrame = {
-      val x = postings.select(Seq(col("doc_id").as("doc_a"), col("ks").as("ka"),
-        col("band"), col("bkey")) ++ extra.map { case (c, a, _) => col(c).as(a) }: _*)
-      val y = postings.select(Seq(col("doc_id").as("doc_b"), col("ks").as("kb"),
-        col("band").as("band_b"), col("bkey").as("bkey_b"))
-        ++ extra.map { case (c, _, b) => col(c).as(b) }: _*)
-      val earlierBandMatched = (0 until 7)
-        .map(b => col("band") > b &&
-          element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
-        .reduce(_ || _)
-      x.join(y,
-        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b") && !earlierBandMatched)
-    }
+        extra: Seq[(String, String, String)]): DataFrame =
+      bandJoinPairs(postings, postings, ordered = true, extra)
     // Verification: per-candidate set intersection WITHOUT a token-join row
     // explosion — bitmask `bit_count(ma & mb)` when the vocabulary fits in
     // 64 bits, sorted-array `array_intersect` otherwise (both O(set) per
@@ -206,6 +162,66 @@ object TierFour {
       .filter(col("j") >= 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Each doc's 8 banded LSH keys as `(doc_id, ks ARRAY<BIGINT>)`.
+    *
+    * All 32 minhashes as 32 min-aggregate COLUMNS in one groupBy — ONE
+    * shuffle of |tokid| rows, vs the crossJoin(32 perms) formulation which
+    * explodes tokid ×32 and shuffles twice more ((doc,i) agg + per-doc
+    * collect). Identical values: mh_i = min((a_i·tid + b_i) mod P). The 8
+    * band keys are projections over the signature columns: base-131
+    * polynomial with position weight 131^(3−pos) — max 4·P·131³ < 2^63 —
+    * so each key is ONE BIGINT, not a CSV string (8-byte shuffle key), and
+    * the ordered ks array is what the first-matching-band predicate of
+    * [[bandJoinPairs]] reads. Shared by [[minhashPairs]] (self-join dedup)
+    * and [[SigIndex]] (persisted-index build + probe). */
+  private[operators] def bandKeys(tokid: DataFrame): DataFrame = {
+    val mhCols = (0 until 32).map { i =>
+      val a = (A0 * (i + 1)) % P
+      val b = (B0 * (i + 1)) % P
+      min((lit(a) * col("tid") + lit(b)) % P).as(s"mh$i")
+    }
+    val sig = tokid.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val w = Seq(2248091L, 17161L, 131L, 1L)
+    val bandCols = (0 until 8).map { bnd =>
+      ((0 until 4).map(p => col(s"mh${bnd * 4 + p}") * w(p)).reduce(_ + _) % P)
+        .as(s"bk$bnd")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        array((0 until 8).map(b => col(s"bk$b")): _*).as("ks"))
+  }
+
+  /** Bucket join over two exploded posting frames (columns `doc_id, ks,
+    * band, bkey` plus any `extra` payloads riding the postings — `(src,
+    * aliasOnA, aliasOnB)` triples). Pairs are emitted ONLY from their
+    * FIRST matching band ("no earlier band matched", unrolled to 7
+    * codegen'd long comparisons over the carried ks arrays) — exactly-once
+    * semantics with NO distinct afterwards. (A pair matching k bands would
+    * otherwise surface k times; deduping those ~5·10^7 rows was the
+    * measured r02 hotspot.) The equi-join on (band, bkey) shuffles only
+    * the O(docs·bands) postings; the emitted pairs stream OUT of the join
+    * unshuffled. `ordered = true` is the self-join form (doc_a < doc_b);
+    * `ordered = false` is the two-corpus form (disjoint id sets, e.g.
+    * probing new docs against a persisted index) where only self-pairs are
+    * excluded. */
+  private[operators] def bandJoinPairs(x0: DataFrame, y0: DataFrame,
+      ordered: Boolean, extra: Seq[(String, String, String)]): DataFrame = {
+    val x = x0.select(Seq(col("doc_id").as("doc_a"), col("ks").as("ka"),
+      col("band"), col("bkey")) ++ extra.map { case (c, a, _) => col(c).as(a) }: _*)
+    val y = y0.select(Seq(col("doc_id").as("doc_b"), col("ks").as("kb"),
+      col("band").as("band_b"), col("bkey").as("bkey_b"))
+      ++ extra.map { case (c, _, b) => col(c).as(b) }: _*)
+    val earlierBandMatched = (0 until 7)
+      .map(b => col("band") > b &&
+        element_at(col("ka"), b + 1) === element_at(col("kb"), b + 1))
+      .reduce(_ || _)
+    val pairPred =
+      if (ordered) col("doc_a") < col("doc_b") else col("doc_a") =!= col("doc_b")
+    x.join(y,
+      col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+        pairPred && !earlierBandMatched)
   }
 
   /** 63-bit SimHash signature per document (bit 63 unused: the signature

@@ -31,13 +31,17 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
-  /** Parquet table, hash-bucketed and sorted by `bucketCol` into `buckets`
-    * buckets, registered as `table` in the session catalog (bucketing
-    * metadata lives in the catalog, not the files — `spark.table(table)`
-    * to read with bucket awareness). */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, bucketCol: String): Unit =
+  /** Parquet table, hash-bucketed and sorted by the bucket column(s) into
+    * `buckets` buckets, registered as `table` in the session catalog
+    * (bucketing metadata lives in the catalog, not the files —
+    * `spark.table(table)` to read with bucket awareness). Joins whose
+    * equi-keys match the bucket keys exactly read the table shuffle-free;
+    * the planner declines the bucketed scan when the keys only partially
+    * overlap, so bucket by the FULL join key set of the intended probe. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String, moreCols: String*): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .bucketBy(buckets, bucketCol, moreCols: _*).sortBy(bucketCol, moreCols: _*)
       .format("parquet")
       .saveAsTable(table)
 

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{SigIndex, TextOps, TierFour}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.functions._
+
+/** The persisted signature index (incremental dedup): probing a new batch
+  * against the index must be (a) EXACT — build-time pairs ∪ probe pairs ≡
+  * one full recompute over corpus ∪ batch in the frozen token space — and
+  * (b) INCREMENTAL — the executed probe plan reads the corpus ONLY through
+  * the bucketed postings table (no re-tokenization, no Exchange on the
+  * index side of the bucket join).
+  */
+class SigIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+  private def corpus = docs.filter(col("doc_id") % 5 =!= 0)
+  private def batch = docs.filter(col("doc_id") % 5 === 0)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("probe ∪ corpus pairs ≡ full recompute over the union") {
+    // precondition that makes frozen-vocab ranks == union-vocab ranks here
+    // (the fixture's documents share one small vocabulary); genuinely-new
+    // tokens are covered by the drop-semantics test below
+    val unseen = TextOps.tokOf(batch).select("token").distinct()
+      .join(TextOps.tokOf(corpus).select("token").distinct(), Seq("token"), "left_anti")
+    assert(unseen.isEmpty, "fixture invariant: corpus covers the batch vocabulary")
+    SigIndex.build(corpus, "sigidx_spec")
+    val probe = pairSet(SigIndex.probe(spark, "sigidx_spec", batch))
+    val corpusPairs = pairSet(TierFour.minhashPairs(TextOps.tokOf(corpus)))
+    val full = pairSet(TierFour.minhashPairs(TextOps.tokOf(docs)))
+    assert(probe.nonEmpty, "fixture must produce cross-batch near-dups")
+    assert(probe.intersect(corpusPairs).isEmpty,
+      "probe emits only pairs touching the batch")
+    assert(probe.union(corpusPairs) == full,
+      "incremental evaluation must equal the one-shot recompute")
+  }
+
+  test("probe plan: corpus enters ONLY via the bucketed index, exchange-free") {
+    SigIndex.build(corpus, "sigidx_gate")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // deterministic physical tree for traversal (AQE wraps the plan) and
+      // no broadcast, so the index join would need a shuffle if bucketing
+      // were not honored
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // an in-memory batch: every file scan in the plan is then provably
+      // an index table — the corpus parquet is never touched
+      val newDocs = Seq((900001L, "alpha beta gamma")).toDF("doc_id", "text")
+      val plan = SigIndex.probe(spark, "sigidx_gate", newDocs)
+        .queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.tableIdentifier.exists(_.table.startsWith("sigidx_gate"))),
+        s"probe must not re-read the corpus: ${scans.flatMap(_.tableIdentifier).mkString(", ")}")
+      val postingsScan = scans.filter(_.tableIdentifier.exists(_.table.endsWith("_postings")))
+      assert(postingsScan.nonEmpty && postingsScan.forall(_.relation.bucketSpec.nonEmpty),
+        "postings must come back through the bucketed table")
+      def hasPostings(p: SparkPlan): Boolean = p.collect {
+        case s: FileSourceScanExec if s.tableIdentifier.exists(_.table.endsWith("_postings")) => s
+      }.nonEmpty
+      val idxJoins = plan.collect {
+        case j: BaseJoinExec if j.children.exists(hasPostings) => j
+      }
+      assert(idxJoins.nonEmpty, "expected a join against the postings table")
+      for (j <- idxJoins; c <- j.children if hasPostings(c))
+        assert(c.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"index side of the bucket join must not shuffle:\n${c.toString.take(600)}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS sigidx_gate_postings")
+      spark.sql("DROP TABLE IF EXISTS sigidx_gate_vocab")
+    }
+  }
+
+  test("frozen vocabulary: unseen batch tokens drop from the signature") {
+    SigIndex.build(corpus, "sigidx_frozen")
+    val anchor = corpus.orderBy("doc_id").first()
+    // same known-token set as the anchor + one token the model has never
+    // seen: the unseen token cannot hash consistently, so the frozen model
+    // ignores it and the pair verifies at jaccard 1.0
+    val newDocs = Seq((900002L, anchor.getString(1) + " zzzunseenzzz"))
+      .toDF("doc_id", "text")
+    val got = pairSet(SigIndex.probe(spark, "sigidx_frozen", newDocs))
+    assert(got.contains((anchor.getLong(0), 900002L, 1.0)),
+      s"expected an exact match against doc ${anchor.getLong(0)}, got $got")
+    spark.sql("DROP TABLE IF EXISTS sigidx_frozen_postings")
+    spark.sql("DROP TABLE IF EXISTS sigidx_frozen_vocab")
+  }
+}
