@@ -34,6 +34,19 @@ import org.apache.spark.sql.functions._
   */
 object SigIndex {
 
+  /** Drop `table` AND its warehouse directory. The catalog is in-memory
+    * (session-scoped) but the warehouse directory persists — a later
+    * session's `saveAsTable` fails with LOCATION_ALREADY_EXISTS on a
+    * location whose table entry died with the previous session, so a
+    * rebuild must sweep both. */
+  private def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   private def postingsOf(tokid: DataFrame, small: Boolean): DataFrame = {
     val bkeys = TierFour.bandKeys(tokid)
     if (small)
@@ -56,14 +69,13 @@ object SigIndex {
     val v = TextOps.vocab(t)
     val tokid = TextOps.tokid(t, v).persist()
     val small = TextOps.smallVocab(v)
+    Seq("postings", "vocab", "docsets").foreach(t => dropStale(spark, s"${name}_$t"))
     Warehouse.writeBucketed(postingsOf(tokid, small), s"${name}_postings",
       buckets, "band", "bkey")
     v.write.mode("overwrite").format("parquet").saveAsTable(s"${name}_vocab")
     if (!small)
       Warehouse.writeBucketed(TextOps.tokenArrays(tokid), s"${name}_docsets",
         buckets, "doc_id")
-    else if (spark.catalog.tableExists(s"${name}_docsets"))
-      spark.sql(s"DROP TABLE ${name}_docsets") // stale generic-path leftover
     t.unpersist()
     tokid.unpersist()
   }

@@ -68,5 +68,59 @@ object TierEight {
     SigIndex.probe(s, "sigidx_q60", docs.filter(col("doc_id") % 5 === 0))
   }
 
-  val all: Seq[Q] = Seq(q60)
+  /** Multi-probe hyperplane-LSH ANN — q29 plus the 4 Hamming-distance-1
+    * buckets (one plane's sign flipped). Recall vs the exact q24 top-10
+    * jumps 0.3 → 0.9 at sf0.01 for a 5/16 bucket scan ([[Ann]] scaladoc;
+    * AnnRecallSpec pins the floor). */
+  val q61 = Q("q61_ann_lsh_multiprobe",
+    """WITH planes AS (
+      |  SELECT p, list_transform(range(64),
+      |    j -> CAST((((p+1)*2654435761 + (j+1)*40503) % 1009) - 504 AS DOUBLE)) AS r
+      |  FROM (SELECT unnest(range(4)) AS p)),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, p, CASE WHEN list_dot_product(e, r) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM v CROSS JOIN planes),
+      |bkt AS (SELECT vec_id, CAST(sum(bit * (1 << p)) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+      |q AS (SELECT v.e AS qv, bkt.bucket AS qb FROM v JOIN bkt USING (vec_id) WHERE vec_id = 0)
+      |SELECT vec_id, round(
+      |    list_dot_product(e, qv) /
+      |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM v JOIN bkt USING (vec_id) CROSS JOIN q
+      |WHERE (bkt.bucket = qb OR bkt.bucket = xor(qb, CAST(1 AS BIGINT))
+      |    OR bkt.bucket = xor(qb, CAST(2 AS BIGINT))
+      |    OR bkt.bucket = xor(qb, CAST(4 AS BIGINT))
+      |    OR bkt.bucket = xor(qb, CAST(8 AS BIGINT))) AND vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    Ann.lshTopK(s, dir, multiProbe = true)
+  }
+
+  /** Multi-probe IVF ANN — q43 scanning the 4 nearest cells instead of 1.
+    * Recall vs q24: 0.1 → 0.7 at sf0.01 (the fixture's cells are class
+    * labels, not geometric k-means cells, so neighbors spread wide — see
+    * [[Ann]]; at production scale nprobe=64 of 4096 real centroids probes
+    * 1.6 % of the corpus). */
+  val q62 = Q("q62_ann_ivf_multiprobe",
+    """WITH pos AS (SELECT unnest(range(1, 65)) AS j),
+      |vals AS (
+      |  SELECT label, j, embedding[j]::DOUBLE AS v FROM embeddings CROSS JOIN pos),
+      |cent AS (
+      |  SELECT label, list(round(av, 6) ORDER BY j) AS c FROM (
+      |    SELECT label, j, avg(v) AS av FROM vals GROUP BY 1, 2) GROUP BY label),
+      |q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |best AS (
+      |  SELECT label FROM cent CROSS JOIN q0
+      |  ORDER BY list_dot_product(c, qv) /
+      |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qv, qv))) DESC, label ASC
+      |  LIMIT 4)
+      |SELECT e.vec_id, round(list_dot_product(e.embedding::DOUBLE[], qv) /
+      |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(qv, qv))), 6) AS cos
+      |FROM embeddings e JOIN best ON e.label = best.label CROSS JOIN q0
+      |WHERE e.vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    Ann.ivfTopK(s, dir, nprobe = 4)
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62)
 }

@@ -238,29 +238,7 @@ object TierFive {
       |FROM embeddings e JOIN best ON e.label = best.label CROSS JOIN q0
       |WHERE e.vec_id <> 0
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
-    graft.expressions.GraftFunctions.register(s)
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      call_function("graft_dot", x, y)
-    def cos(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
-    val emb = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-    val cent = emb
-      .select(col("label"), posexplode(col("e")).as(Seq("j", "v")))
-      .groupBy("label", "j").agg(round(avg(col("v")), 6).as("av"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("av")))),
-        x => x.getField("av")).as("c"))
-    val q0 = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
-    val best = cent.join(broadcast(q0))
-      .orderBy(cos(col("c"), col("qv")).desc, col("label").asc)
-      .limit(1).select("label")
-    emb.join(broadcast(best), "label")
-      .join(broadcast(q0))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(cos(col("e"), col("qv")), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+    Ann.ivfTopK(s, dir, nprobe = 1)
   }
 
   /** Edit-distance scalar (text-similarity breadth): Levenshtein over the

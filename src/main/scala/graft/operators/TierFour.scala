@@ -400,27 +400,7 @@ object TierFour {
       |FROM v JOIN bkt USING (vec_id) CROSS JOIN q
       |WHERE bkt.bucket = qb AND vec_id <> 0
       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
-    graft.expressions.GraftFunctions.register(s)
-    val v = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val planes = s.range(4).select(col("id").as("p"))
-      .withColumn("r", transform(sequence(lit(0), lit(63)),
-        j => (((col("p") + 1) * lit(2654435761L) + (j + 1) * lit(40503L)) % 1009 - 504)
-          .cast("double")))
-    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
-    val bkt = v.crossJoin(broadcast(planes))
-      .withColumn("bit", when(dot(col("e"), col("r")) >= 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(expr("bit * shiftleft(cast(1 as bigint), p)")).as("bucket"))
-    val vb = v.join(bkt, "vec_id")
-    val q = vb.filter(col("vec_id") === 0).select(col("e").as("qv"), col("bucket").as("qb"))
-    vb.join(broadcast(q))
-      .filter(col("bucket") === col("qb") && col("vec_id") =!= 0)
-      .withColumn("cos",
-        dot(col("e"), col("qv")) / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("qv"), col("qv")))))
-      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+    Ann.lshTopK(s, dir, multiProbe = false)
   }
 
   /** Language identification by corpus-derived frequency profiles, all in
