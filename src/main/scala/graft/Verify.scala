@@ -7,7 +7,13 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Engine.localSession("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter (same contract as Bench): SPARK_GRAFT_ONLY=q63,q67
+    // dumps just those queries; unset = the full driver run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,282 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Determinism._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier 9 — round-6 additions: corpus PREPARATION (the step after dedup and
+  * filtering — chunking documents into training windows, mixing sources under
+  * quotas), a second exactly-oracle-checked sketch (deterministic HyperLogLog,
+  * the cardinality counterpart of q54's Count-Min), the k-means training step
+  * that produces q43/q62's IVF centroids, and the one relational shape the
+  * inventory lacked (a multi-way fact⋈dims join over the previously-unused
+  * `part`/`supplier` tables). Determinism follows the established conventions:
+  * integer/affine-modular arithmetic where possible ([[TierFour.A0]] family),
+  * DECIMAL sums for money ([[graft.Determinism]]), element-order-deterministic
+  * dot products ([[graft.expressions.DotProduct]]) for float math.
+  */
+object TierNine {
+  import TierFour.{A0, B0, P}
+
+  /** Document chunking — fixed-size sliding token windows (size 32, stride
+    * 24, i.e. 8-token overlap), the canonical "split long documents into
+    * training sequences" preparation step. Chunk starts are every 24 tokens
+    * while text remains, so trailing chunks may be short (no padding — the
+    * packer downstream owns that).
+    *
+    * Scale: narrow per-row transform (split → `transform(sequence(...))` →
+    * `posexplode`), zero shuffles, fully inside whole-stage codegen; output
+    * size ≈ input·(32/24). At 100 TB this runs at scan speed and the ORDER BY
+    * is the oracle convention, not a plan stage the pipeline needs.
+    */
+  val q63 = Q("q63_doc_chunking",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, unnest(range(0, len(toks), 24)) AS i, toks FROM t)
+      |SELECT doc_id, CAST(i // 24 AS BIGINT) AS chunk_id,
+      |       CAST(len(list_slice(toks, i + 1, i + 32)) AS BIGINT) AS n_tokens,
+      |       array_to_string(list_slice(toks, i + 1, i + 32), ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 1, 24), x -> slice(toks, x + 1, 32))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Affine doc_id hash shared with q48 — `doc_id % P` BEFORE the multiply
+    * so the Int64 product never wraps for any non-negative id (the round-4
+    * ADVICE fix, TierSix.scala q48). */
+  private def idHash(c: Column): Column = ((c % P) * A0 + B0) % P
+
+  /** Per-source quota sampling — keep at most K=10 documents per `source`,
+    * chosen by affine hash of doc_id (deterministic, retry-stable, no
+    * randomness; same guarantees as q48's stratified sample but with an
+    * exact per-group CAP instead of a rate). This is the data-mixing
+    * primitive: "at most N documents from any one domain".
+    *
+    * Scale: one shuffle on `source`; the per-group ORDER BY under
+    * `row_number` sorts only within groups and spills per-task. For a
+    * pathological hot group (one domain = half the corpus) the two-phase
+    * refinement applies: pre-filter by hash threshold ≈ K/|group| (q48's
+    * rate shape) to O(K) candidates per group, then exact-rank the
+    * survivors — same deterministic result, bounded sort. Not needed at any
+    * test SF; documented as the >quota·10⁶-per-group escape hatch.
+    */
+  val q64 = Q("q64_source_quota",
+    s"""SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY ((doc_id % $P) * $A0 + $B0) % $P, doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source")
+      .orderBy(idHash(col("doc_id")).asc, col("doc_id").asc)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Deterministic HyperLogLog over `events.user_id` — the SECOND sketch
+    * that oracle-checks exactly (q54's Count-Min being the first): with a
+    * shared affine hash family the registers are `max(rho)` per bucket —
+    * order-independent — and the harmonic-mean denominator is kept as an
+    * EXACT INTEGER `s_scaled = Σ 2^(r_max − reg_j)` (≤ 64·2²⁶, no float
+    * sum), so the only float op is one final multiply+divide both engines
+    * perform identically. Raw HLL estimate (Flajolet α₆₄·m²/Σ2^(−reg)), no
+    * small/large-range corrections — those need libm `ln` (engine-specific
+    * bits); the production path for corrections is Spark's own
+    * `approx_count_distinct` ([[graft.functions.Sketches]], tested by
+    * tolerance in ScalaTest).
+    *
+    * rho via `length(bin(w))` — both engines print minimal binary strings,
+    * so 26 − bitlen(w) is the leading-zero count of the 25-bit window
+    * (w = h/64 < 2²⁵ since h < P). Ids are non-negative (q48 precondition);
+    * `% P` before the multiply prevents Int64 wrap at any id magnitude.
+    *
+    * Hash quality is load-bearing in a way the q54/q26 family's affine
+    * hashes are not: an affine map sends consecutive ids to an arithmetic
+    * progression mod P, whose leading-zero statistics are NOT iid-uniform —
+    * measured 81 % overestimate at n=1500. One squaring round after the
+    * affine mix (h ← h² mod P; h < 2³¹ so h² < 2⁶² never wraps) breaks the
+    * linearity: measured 12 % error at n=1500, inside raw-HLL's 1.04/√64.
+    *
+    * Scale: ONE partial+final aggregation to ≤64 register rows (map-side
+    * max per bucket — the sketch is mergeable by construction), then
+    * driver-scale arithmetic. This is the cheapest possible distinct-count
+    * shape at 100 TB: no distinct shuffle of the key universe (q17's exact
+    * form), just 64 longs per partition.
+    */
+  val q65 = Q("q65_hll_sketch",
+    s"""WITH h0 AS (
+       |  SELECT ((user_id % $P) * $A0 + $B0) % $P AS h0 FROM events),
+       |h AS (SELECT (h0 * h0) % $P AS h FROM h0),
+       |r AS (
+       |  SELECT h % 64 AS bucket,
+       |         max(26 - (CASE WHEN h // 64 = 0 THEN 0
+       |                        ELSE length(bin(h // 64)) END)) AS reg
+       |  FROM h GROUP BY 1),
+       |mx AS (SELECT max(reg) AS r_max, CAST(count(*) AS BIGINT) AS nb FROM r),
+       |s AS (
+       |  SELECT r_max,
+       |         CAST(sum(CAST(1 AS BIGINT) << (r_max - reg))
+       |              + (64 - nb) * (CAST(1 AS BIGINT) << r_max) AS BIGINT) AS s_scaled
+       |  FROM r CROSS JOIN mx GROUP BY r_max, nb),
+       |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_true FROM events)
+       |SELECT CAST(64 AS BIGINT) AS m, CAST(r_max AS BIGINT) AS r_max, s_scaled, n_true,
+       |       round(0.7213 / (1 + 1.079/64) * (4096 * (CAST(1 AS BIGINT) << r_max))
+       |             / s_scaled, 6) AS est
+       |FROM s CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val h = ev.select((((col("user_id") % P) * A0 + B0) % P).as("h0"))
+      .select(((col("h0") * col("h0")) % P).as("h"))
+    val regs = h
+      .groupBy((col("h") % 64).as("bucket"))
+      .agg(max(lit(26) - when(col("h") / lit(64L) cast "long" equalTo 0, 0)
+        .otherwise(length(bin((col("h") / lit(64L)).cast("long"))))).as("reg"))
+    val mx = regs.agg(max("reg").as("r_max"), count(lit(1)).as("nb"))
+    val summ = regs.crossJoin(broadcast(mx))
+      .agg(
+        first("r_max").as("r_max"), first("nb").as("nb"),
+        sum(expr("shiftleft(cast(1 as bigint), r_max - reg)")).as("s_present"))
+      .select(col("r_max"),
+        (col("s_present") + (lit(64) - col("nb")) *
+          expr("shiftleft(cast(1 as bigint), r_max)")).cast("long").as("s_scaled"))
+    val nTrue = ev.agg(count_distinct(col("user_id")).as("n_true"))
+    summ.crossJoin(broadcast(nTrue))
+      .select(lit(64L).as("m"), col("r_max").cast("long").as("r_max"),
+        col("s_scaled"), col("n_true"),
+        round(lit(0.7213) / (lit(1) + lit(1.079) / lit(64)) *
+          (lit(4096) * expr("shiftleft(cast(1 as bigint), r_max)")) / col("s_scaled"), 6)
+          .as("est"))
+  }
+
+  /** Multi-way fact⋈dimensions join — TPC-H Q9's shape over the previously
+    * unused `part`/`supplier` tables: PROMO-part revenue per nation per
+    * order year. Money in exact DECIMAL ([[graft.Determinism]]).
+    *
+    * Scale posture: `nation` is broadcast-hinted (fixed 25 rows at any SF).
+    * `part`/`supplier`/`orders` all scale with the data, so NO hints — at
+    * test SF AQE broadcasts them at runtime; at 100 TB they shuffle on
+    * their keys, which is correct (a forced broadcast of a 10⁹-row part
+    * table would OOM every executor). The `p_type = 'PROMO'` filter is
+    * pushed into the part scan BEFORE the join (PushedFilters), shrinking
+    * the build side 5×.
+    */
+  val q66 = Q("q66_profit_join",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val part = Tables.load(s, dir, "part").filter(col("p_type") === "PROMO")
+    val supp = Tables.load(s, dir, "supplier")
+    val nation = Tables.load(s, dir, "nation")
+    val orders = Tables.load(s, dir, "orders")
+    li.join(part, col("p_partkey") === col("l_partkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(nation), col("n_nationkey") === col("s_nationkey"))
+      .join(orders, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        f6(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** One Lloyd iteration of k-means over the embeddings — the TRAINING step
+    * that produces the centroids q43/q62's IVF index probes (those queries
+    * consume label-group centroids; a production IVF index k-means-trains
+    * its own). k=4 seeds = vectors 0..3 (deterministic init); assign each
+    * vector to its nearest seed (squared L2 via the dot-product identity
+    * ‖e−c‖² = e·e − 2e·c + c·c, each dot element-order-deterministic
+    * through [[graft.expressions.DotProduct]] / `list_dot_product`), recompute
+    * per-cluster dimension means (6-dp-rounded — the q43 centroid
+    * convention), re-assign, and report cluster sizes.
+    *
+    * Scale: centroids are k×dim ≈ KBs at any corpus size — both assignment
+    * passes broadcast them (zero shuffle on the embedding side); the mean
+    * recompute is one partial+final agg keyed by (cluster, dim). Ties in
+    * the argmin break on lower cluster id (pinned row_number order).
+    */
+  val q67 = Q("q67_kmeans_lloyd",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |seeds AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 4),
+      |d0 AS (
+      |  SELECT vec_id, cid,
+      |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+      |           + list_dot_product(c, c) AS d
+      |  FROM v CROSS JOIN seeds),
+      |a0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+      |    FROM d0) WHERE rk = 1),
+      |cent AS (
+      |  SELECT cid, list(round(av, 6) ORDER BY j) AS c FROM (
+      |    SELECT a0.cid, j.j, avg(v.e[j.j]) AS av
+      |    FROM a0 JOIN v USING (vec_id)
+      |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS j
+      |    GROUP BY 1, 2) GROUP BY cid),
+      |d1 AS (
+      |  SELECT vec_id, cid,
+      |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+      |           + list_dot_product(c, c) AS d
+      |  FROM v CROSS JOIN cent),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+      |    FROM d1) WHERE rk = 1)
+      |SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS csize
+      |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.expressions.GraftFunctions.register(s)
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d = emb.crossJoin(broadcast(cents))
+        .withColumn("d",
+          dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("c"))
+            + dot(col("c"), col("c")))
+      d.withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select("vec_id", "cid")
+    }
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val cent1 = assign(seeds).join(emb, "vec_id")
+      .select(col("cid"), posexplode(col("e")).as(Seq("j", "v")))
+      .groupBy("cid", "j").agg(round(avg("v"), 6).as("cv"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cv))), x -> x.cv)").as("c"))
+    assign(cent1)
+      .groupBy("cid").agg(count(lit(1)).as("csize"))
+      .select(col("cid").cast("long").as("cluster"), col("csize"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67)
+}
