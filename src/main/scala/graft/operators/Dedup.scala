@@ -52,15 +52,18 @@ object Dedup {
 
   /** The full dedup APPLY: exact dedup, then one survivor (min doc_id)
     * per near-dup cluster of the distinct corpus. Returns surviving rows
-    * with all caller columns — q58 semantics. */
-  def deduplicate(docs: DataFrame): DataFrame = {
+    * with all caller columns — q58 semantics — PLUS a release handle that
+    * drops everything this pipeline pins: the survivor cache AND the
+    * connected-components label leaf (a localCheckpoint whose blocks
+    * otherwise live until session end). FINALITY: the labels' lineage is
+    * truncated, so after release the returned plan cannot be re-executed —
+    * call the handle only once the survivors (and anything derived from
+    * them) are materialized.
+    */
+  def deduplicateReleasable(docs: DataFrame): (DataFrame, () => Unit) = {
     // three consumers (pair detection, the cluster node set, the final
     // semi join) each materialize independently — cache the survivors or
     // the corpus-wide sha2 groupBy + semi join runs three times.
-    // NOTE long-lived sessions: this (and the detector's own caches) stay
-    // pinned until swept — release between calls once results are
-    // materialized (clearCache + getPersistentRDDs.unpersist, as
-    // Verify/Bench do per query).
     val distinctDocs = exactSurvivors(docs).persist()
     // a cluster's label IS its min doc_id (Components labels each node
     // with the component min, and the min labels itself) — survivors are
@@ -68,6 +71,17 @@ object Dedup {
     val keep = clusters(distinctDocs)
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
-    distinctDocs.join(keep, Seq("doc_id"), "left_semi")
+    val out = distinctDocs.join(keep, Seq("doc_id"), "left_semi")
+    (out, () => {
+      distinctDocs.unpersist(blocking = false)
+      org.apache.spark.sql.GraftSqlBridge.releaseLeaves(out)
+    })
   }
+
+  /** [[deduplicateReleasable]] without the handle — for sessions that
+    * sweep caches themselves (Verify/Bench hygiene: clearCache +
+    * getPersistentRDDs.unpersist per query). Long-lived sessions that
+    * don't sweep should prefer the releasable form, or the cache stays
+    * pinned for the session lifetime. */
+  def deduplicate(docs: DataFrame): DataFrame = deduplicateReleasable(docs)._1
 }

@@ -80,6 +80,41 @@ object SigIndex {
     tokid.unpersist()
   }
 
+  /** Merge an already-probed batch INTO the index — the second half of the
+    * incremental loop (probe the arrivals, then absorb them so the next
+    * batch sees them as corpus). Signatures are computed in the FROZEN
+    * vocabulary (exactly as [[probe]] hashed them — the index stays
+    * internally consistent; tokens outside the frozen vocab drop, rebuild
+    * to absorb drift). `buckets` must match the [[build]] value. Batch
+    * doc_ids must be new (appending an existing id duplicates its
+    * postings).
+    *
+    * Scale: appends only the batch's postings — one file per touched
+    * bucket, no corpus rewrite, bucketed probes stay shuffle-free on the
+    * index side ([[Warehouse.appendBucketed]]).
+    */
+  def append(spark: SparkSession, name: String, newDocs: DataFrame,
+      buckets: Int = 32): Unit = {
+    val v = spark.table(s"${name}_vocab")
+    val small = !spark.catalog.tableExists(s"${name}_docsets")
+    val tokid = TextOps.tokid(
+      TextOps.tokOf(newDocs.select("doc_id", "text")), v).persist()
+    Warehouse.appendBucketed(postingsOf(tokid, small), s"${name}_postings",
+      buckets, "band", "bkey")
+    if (!small)
+      Warehouse.appendBucketed(TextOps.tokenArrays(tokid), s"${name}_docsets",
+        buckets, "doc_id")
+    tokid.unpersist()
+    // the write invalidates the relation cache of ITS OWN session
+    // (newDocs.sparkSession) — which is a DIFFERENT session when called
+    // from foreachBatch (streams run on a cloned session). Refresh on the
+    // caller's session too, or its next probe reads a stale pre-append
+    // file listing and silently misses every appended document
+    // (SigIndexSpec s18 pins this).
+    spark.catalog.refreshTable(s"${name}_postings")
+    if (!small) spark.catalog.refreshTable(s"${name}_docsets")
+  }
+
   /** Screen a new batch against the persisted index: near-dup pairs
     * `(doc_a, doc_b, jaccard)` (canonical doc_a < doc_b, Jaccard ≥ 0.6)
     * where at least one side is a batch document — batch-vs-corpus from

@@ -278,5 +278,43 @@ object TierNine {
       .orderBy("cluster")
   }
 
-  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67)
+  /** Sequence packing — concatenate the whole corpus token stream in
+    * (doc_id, position) order and split it into fixed 64-token training
+    * bins (the GPT-style "concat-and-split" packer; the counterpart of
+    * q63's per-document chunking). Output per bin: token count (64 except
+    * the tail), how many documents the bin spans, and its first/last doc —
+    * the packing manifest a loader shards by.
+    *
+    * Scale: the global token index comes from [[Cumulative.rowNumber]]'s
+    * two-pass distributed prefix sum — range-partition, per-partition
+    * local ranks, broadcast per-partition offsets — so the total order
+    * costs one range shuffle and NO single-partition stage at any corpus
+    * size; the bin groupBy then shuffles on `bin`, which range-partitioning
+    * already nearly co-located.
+    */
+  val q68 = Q("q68_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+      |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id, pos) AS idx FROM c)
+      |SELECT (idx - 1) // 64 AS bin, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => t =!= "")).as(Seq("pos", "tok")))
+      .select("doc_id", "pos")
+    val ranked = Cumulative.rowNumber(s, toks,
+      Seq(col("doc_id").asc, col("pos").asc), "idx")
+    ranked
+      .groupBy(expr("(idx - 1) div 64").as("bin"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68)
 }

@@ -45,6 +45,20 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Append rows to an existing bucketed table. The bucket spec MUST match
+    * the original [[writeBucketed]] (same count + columns — Spark refuses
+    * mismatched specs); each append adds one file per touched bucket, and
+    * bucketed reads stay shuffle-free (a bucket's files are concatenated
+    * into its partition). Within-bucket SORT order is per-file after an
+    * append — fine for the hash joins this layout serves; rebuild
+    * ([[writeBucketed]]) if a merge-sort reader ever needs one run. */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String, moreCols: String*): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, bucketCol, moreCols: _*).sortBy(bucketCol, moreCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV with a pinned schema; malformed rows land in a null-columns row
     * (PERMISSIVE) rather than failing the job — filter or count them
     * explicitly (SourceFormatSpec pins the behavior). */

@@ -45,4 +45,16 @@ object GraftSqlBridge {
     case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
     case _ => ()
   }
+
+  /** [[releaseLeaf]] for COMPOSED plans: drop the blocks behind every
+    * LogicalRDD leaf anywhere in the plan tree — the release-handle shape
+    * for library pipelines whose lineage bottoms out in localCheckpoint
+    * leaves wrapped by further operators ([[graft.operators.Dedup]]'s
+    * labels semi-join). Same finality contract as [[releaseLeaf]]: the
+    * plan cannot be re-executed afterwards. */
+  def releaseLeaves(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   */
 class SigIndexSpec extends SparkSpec {
   import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private def docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
   private def corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -94,5 +95,38 @@ class SigIndexSpec extends SparkSpec {
       s"expected an exact match against doc ${anchor.getLong(0)}, got $got")
     spark.sql("DROP TABLE IF EXISTS sigidx_frozen_postings")
     spark.sql("DROP TABLE IF EXISTS sigidx_frozen_vocab")
+  }
+
+  test("s18: streaming probe-then-append loop ≡ one-shot batch probe (incremental ingest)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    // the incremental production loop: each arriving micro-batch is
+    // screened against the index, then absorbed into it — so a later batch
+    // sees every earlier one as corpus. The union of per-batch pair sets
+    // must equal the one-shot probe of ALL batch docs (each qualifying
+    // pair found exactly once: within-batch by the self-join, cross-batch
+    // by the index side after the earlier append).
+    SigIndex.build(corpus, "sigidx_s18")
+    SigIndex.build(corpus, "sigidx_s18x") // untouched twin for the expected set
+    val expected = pairSet(SigIndex.probe(spark, "sigidx_s18x", batch))
+    val rows = batch.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val chunks = rows.grouped(math.max(1, (rows.length + 2) / 3)).toSeq
+    assert(chunks.length >= 2, "fixture must yield multiple micro-batches")
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got ++= pairSet(SigIndex.probe(spark, "sigidx_s18", b))
+        SigIndex.append(spark, "sigidx_s18", b)
+      }.start()
+    try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    assert(got.nonEmpty, "fixture must produce cross-batch near-dups")
+    assert(got.toSet == expected,
+      s"incremental ∖ one-shot: ${got.toSet -- expected}; one-shot ∖ incremental: ${expected -- got}")
+    Seq("s18", "s18x").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS sigidx_${n}_postings")
+      spark.sql(s"DROP TABLE IF EXISTS sigidx_${n}_vocab")
+    }
   }
 }

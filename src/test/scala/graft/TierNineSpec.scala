@@ -117,4 +117,24 @@ class TierNineSpec extends SparkSpec {
     val sizes = TierNine.q67.run(spark, sf).collect().map(_.getLong(1)).sum
     assert(sizes == emb.size)
   }
+
+  test("q68 packs every token exactly once into full bins (tail excepted), no single-partition stage") {
+    val df = TierNine.q68.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    val rows = df.collect()
+    val totalTokens = Tables.load(spark, sf, "documents")
+      .select(size(filter(split(col("text"), " "), t => t =!= "")).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalTokens, "every token lands in exactly one bin")
+    // bins are dense 0..N-1; all full except possibly the last
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    assert(rows.init.forall(_.getLong(1) == 64))
+    assert(rows.last.getLong(1) <= 64)
+    // doc spans are monotone: the next bin starts at (or after) the doc
+    // the previous bin ended in — the concat order never goes backwards
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) >= a.getLong(4), s"bins ${a.getLong(0)}/${b.getLong(0)}")
+    }
+  }
 }
