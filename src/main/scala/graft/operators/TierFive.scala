@@ -26,6 +26,15 @@ object TierFive {
       |         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
       |WHERE c >= 0.45 ORDER BY vec_id_a, vec_id_b""".stripMargin) { (s, dir) =>
+    embeddingPairs(s, dir)
+      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** q35's pair generator, unrounded/unordered — shared with the
+    * vector-space cluster dedup ([[TierNine.q69]]). */
+  private[operators] def embeddingPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       call_function("graft_dot", x, y)
@@ -38,8 +47,6 @@ object TierFive {
     a.join(b, col("vec_id_a") < col("vec_id_b"))
       .withColumn("c", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("c") >= 0.45)
-      .select(col("vec_id_a"), col("vec_id_b"), round(col("c"), 6).as("cos"))
-      .orderBy("vec_id_a", "vec_id_b")
   }
 
   /** Session windows (absent from the reference, whose windows are all

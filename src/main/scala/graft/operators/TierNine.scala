@@ -220,8 +220,11 @@ object TierNine {
     * recompute is one partial+final agg keyed by (cluster, dim). Ties in
     * the argmin break on lower cluster id (pinned row_number order).
     */
-  val q67 = Q("q67_kmeans_lloyd",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** Shared oracle-SQL prefix for the Lloyd step: seeds → assignment →
+    * 6-dp-rounded per-cluster dimension means (`cent`) → re-assignment
+    * (`a1`). Used by q67 (cluster sizes) and q70 (trained-IVF probe). */
+  private val lloydSql: String =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |seeds AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 4),
       |d0 AS (
       |  SELECT vec_id, cid,
@@ -248,31 +251,46 @@ object TierNine {
       |  SELECT vec_id, cid FROM (
       |    SELECT vec_id, cid,
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
-      |    FROM d1) WHERE rk = 1)
-      |SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS csize
-      |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      |    FROM d1) WHERE rk = 1)""".stripMargin
+
+  private def dotc(x: Column, y: Column) = call_function("graft_dot", x, y)
+
+  private def embOf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
-    val emb = Tables.load(s, dir, "embeddings")
+    Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    def assign(cents: DataFrame): DataFrame = {
-      val d = emb.crossJoin(broadcast(cents))
-        .withColumn("d",
-          dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("c"))
-            + dot(col("c"), col("c")))
-      d.withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
-        .filter(col("rk") === 1)
-        .select("vec_id", "cid")
-    }
+  }
+
+  /** Nearest-centroid assignment (squared L2 via the dot identity, ties on
+    * lower cid) — centroids broadcast, zero shuffle on the vector side. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d",
+        dotc(col("e"), col("e")) - lit(2) * dotc(col("e"), col("c"))
+          + dotc(col("c"), col("c")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cid")
+
+  /** One Lloyd step from the deterministic seeds: the 6-dp-rounded
+    * per-cluster dimension means (`cent` of [[lloydSql]]). */
+  private def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = embOf(s, dir)
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("e").as("c"))
-    val cent1 = assign(seeds).join(emb, "vec_id")
+    assignTo(emb, seeds).join(emb, "vec_id")
       .select(col("cid"), posexplode(col("e")).as(Seq("j", "v")))
       .groupBy("cid", "j").agg(round(avg("v"), 6).as("cv"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(j, cv))), x -> x.cv)").as("c"))
-    assign(cent1)
+  }
+
+  val q67 = Q("q67_kmeans_lloyd",
+    s"""WITH $lloydSql
+       |SELECT CAST(cid AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS csize
+       |FROM a1 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    assignTo(embOf(s, dir), lloydCentroids(s, dir))
       .groupBy("cid").agg(count(lit(1)).as("csize"))
       .select(col("cid").cast("long").as("cluster"), col("csize"))
       .orderBy("cluster")
@@ -316,5 +334,93 @@ object TierNine {
       .orderBy("bin")
   }
 
-  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68)
+  /** Vector-space cluster dedup — q55's clustering applied to the EMBEDDING
+    * modality: q35's exact cosine pairs (≥ 0.45) → connected components
+    * ([[Components.connected]], same contraction engine) → cluster-size
+    * histogram. The point is composability: the component machinery is
+    * modality-agnostic, so text near-dups (q55), vector near-dups (here),
+    * or any other pair source cluster through the identical code path.
+    *
+    * Scale: the pair stage here is the exact O(n²) anchor (q35); the
+    * production pair source is the bucketed LSH/IVF path (q29/q61, q43/q62
+    * — bucket id as join key), feeding the same `Components` call. The CC
+    * stage is O(diameter) rounds on the pair list, with the alternating-
+    * star fallback for pathological shapes.
+    */
+  val q69 = Q("q69_embedding_dedup_clusters",
+    """WITH RECURSIVE
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS ua, b.vec_id AS ub
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.e, b.e) /
+      |        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+      |        >= 0.45),
+      |edges AS (SELECT ua AS u, ub AS w FROM pairs
+      |          UNION SELECT ub, ua FROM pairs),
+      |nodes AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.w, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.w),
+      |lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+      |cl AS (SELECT lbl, CAST(count(*) AS BIGINT) AS csize FROM lab GROUP BY lbl)
+      |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+      |FROM cl GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+    val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
+    val pairs = TierFive.embeddingPairs(s, dir)
+      .select(col("vec_id_a").as("src"), col("vec_id_b").as("dst"))
+    Components.connected(nodes, pairs)
+      .groupBy("lbl").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("csize")
+  }
+
+  /** The trained-IVF ANN end to end: train the coarse quantizer (q67's
+    * Lloyd step), index every vector by its trained cell, probe the query's
+    * nearest cell, rank by exact cosine — the full production story
+    * train → index → probe in one declared plan (q43/q62 used label-group
+    * centroids as a stand-in; here the index comes from the engine's own
+    * training step).
+    *
+    * Scale: centroids broadcast everywhere (k×dim ≈ KBs); the cell
+    * assignment is the write-time partition key at 100 TB (cell id →
+    * partition/bucket), the probe scans 1/k of the corpus per probed cell,
+    * and the top-k is TakeOrderedAndProject.
+    */
+  val q70 = Q("q70_ann_ivf_trained",
+    s"""WITH $lloydSql,
+       |q0 AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+       |bd AS (
+       |  SELECT cid, list_dot_product(c, c) - 2 * list_dot_product(c, qv)
+       |           + list_dot_product(qv, qv) AS d
+       |  FROM cent CROSS JOIN q0),
+       |best AS (SELECT cid FROM bd ORDER BY d ASC, cid ASC LIMIT 1)
+       |SELECT vec_id, round(list_dot_product(e, qv) /
+       |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+       |FROM a1 JOIN v USING (vec_id) JOIN best USING (cid) CROSS JOIN q0
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    val emb = embOf(s, dir)
+    val cents = lloydCentroids(s, dir)
+    val q0 = emb.filter(col("vec_id") === 0).select(col("e").as("qv"))
+    val best = cents.crossJoin(broadcast(q0))
+      .withColumn("d",
+        dotc(col("c"), col("c")) - lit(2) * dotc(col("c"), col("qv"))
+          + dotc(col("qv"), col("qv")))
+      .orderBy(col("d").asc, col("cid").asc).limit(1)
+      .select("cid")
+    assignTo(emb, cents)
+      .join(broadcast(best), "cid")
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", dotc(col("e"), col("qv"))
+        / (sqrt(dotc(col("e"), col("e"))) * sqrt(dotc(col("qv"), col("qv")))))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70)
 }

@@ -137,4 +137,12 @@ class TierNineSpec extends SparkSpec {
       assert(b.getLong(3) >= a.getLong(4), s"bins ${a.getLong(0)}/${b.getLong(0)}")
     }
   }
+
+  test("q69 clusters partition the vector set (histogram mass = corpus size)") {
+    val rows = TierNine.q69.run(spark, sf).collect()
+    val nVecs = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == nVecs,
+      "Σ csize·n_clusters must cover every vector exactly once")
+    assert(rows.exists(_.getLong(0) > 1), "fixture must contain at least one real cluster")
+  }
 }
