@@ -262,16 +262,21 @@ object TierNine {
   }
 
   /** Nearest-centroid assignment (squared L2 via the dot identity, ties on
-    * lower cid) — centroids broadcast, zero shuffle on the vector side. */
+    * lower cid) — centroids broadcast, and the argmin is a partial+final
+    * `min(struct(d, cid))` aggregation, NOT a window: a vector's k
+    * candidate rows are born in one partition (broadcast expansion), so
+    * the map-side partial collapses them to one row BEFORE the vec_id
+    * shuffle — n rows move, none sort. A `row_number` window would shuffle
+    * and sort all n·k rows. Struct ordering is lexicographic (d ASC, then
+    * cid ASC) — the pinned tie-break, same as the oracle's row_number. */
   private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("d",
         dotc(col("e"), col("e")) - lit(2) * dotc(col("e"), col("c"))
           + dotc(col("c"), col("c")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)))
-      .filter(col("rk") === 1)
-      .select("vec_id", "cid")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
 
   /** One Lloyd step from the deterministic seeds: the 6-dp-rounded
     * per-cluster dimension means (`cent` of [[lloydSql]]). */
