@@ -65,13 +65,14 @@ object TierNine {
     * exact per-group CAP instead of a rate). This is the data-mixing
     * primitive: "at most N documents from any one domain".
     *
-    * Scale: one shuffle on `source`; the per-group ORDER BY under
-    * `row_number` sorts only within groups and spills per-task. For a
-    * pathological hot group (one domain = half the corpus) the two-phase
-    * refinement applies: pre-filter by hash threshold ≈ K/|group| (q48's
-    * rate shape) to O(K) candidates per group, then exact-rank the
-    * survivors — same deterministic result, bounded sort. Not needed at any
-    * test SF; documented as the >quota·10⁶-per-group escape hatch.
+    * Scale: one shuffle on `source`, and Catalyst already does the first
+    * phase of the classic two-phase refinement for us: the executed plan
+    * carries `WindowGroupLimit` BEFORE the exchange (rank-limit pushdown,
+    * audited round 6), so each input partition forwards at most K rows per
+    * source — the shuffle moves O(K · partitions) rows per group, not the
+    * group. For a group so hot that even that bound hurts, the manual
+    * pre-filter by hash threshold ≈ K/|group| (q48's rate shape) remains
+    * the escape hatch.
     */
   val q64 = Q("q64_source_quota",
     s"""SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
@@ -118,7 +119,9 @@ object TierNine {
     * max per bucket — the sketch is mergeable by construction), then
     * driver-scale arithmetic. This is the cheapest possible distinct-count
     * shape at 100 TB: no distinct shuffle of the key universe (q17's exact
-    * form), just 64 longs per partition.
+    * form), just 64 longs per partition. The `n_true` column is the
+    * VERIFICATION side only (it IS the exact-distinct shuffle) — a
+    * production run outputs the registers/estimate alone.
     */
   val q65 = Q("q65_hll_sketch",
     s"""WITH h0 AS (
@@ -427,5 +430,47 @@ object TierNine {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70)
+  /** Weighted corpus mixing — per-language sampling RATES (en 50 %, es
+    * 30 %, zh 20 %, others 10 %, in ppm), decided per document by the
+    * affine doc_id hash against the language's threshold: the "mixing
+    * ratios" step of training-data assembly (q48 is one flat rate, q64 an
+    * exact cap; this is the weighted-rates form). Deterministic and
+    * retry-stable like both. Output: per language, the target ppm, totals,
+    * and the achieved ppm (integer division).
+    *
+    * Scale: a stateless codegen'd per-row predicate + ONE partial+final
+    * aggregation — no shuffle of the kept rows themselves (a production
+    * job materializes `keep = 1` rows with zero extra stages). Hash-range
+    * note: P mod 10⁶ ≠ 0, so thresholds carry a ≤ 5·10⁻⁴ relative bias —
+    * irrelevant for mixing (and identical on both engines); a
+    * bias-critical consumer rescales by P div 10⁶ instead.
+    */
+  val q71 = Q("q71_weighted_mix",
+    s"""WITH k AS (
+       |  SELECT lang,
+       |    CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000
+       |              WHEN 'zh' THEN 200000 ELSE 100000 END AS target_ppm,
+       |    CASE WHEN ((((doc_id % $P) * $A0 + $B0) % $P) % 1000000) <
+       |      CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000
+       |                WHEN 'zh' THEN 200000 ELSE 100000 END
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM documents)
+       |SELECT lang, CAST(max(target_ppm) AS BIGINT) AS target_ppm,
+       |       CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS kept_ppm
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val rate = expr("CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 300000 " +
+      "WHEN 'zh' THEN 200000 ELSE 100000 END")
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), rate.as("target_ppm"),
+        when((idHash(col("doc_id")) % 1000000) < rate, 1L).otherwise(0L).as("keep"))
+      .groupBy("lang")
+      .agg(max("target_ppm").cast("long").as("target_ppm"),
+        count(lit(1)).as("n_total"), sum("keep").as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_total"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

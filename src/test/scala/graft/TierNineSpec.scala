@@ -138,6 +138,21 @@ class TierNineSpec extends SparkSpec {
     }
   }
 
+  test("q71 achieved mix tracks the target rates and is retry-stable") {
+    val rows = TierNine.q71.run(spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val (target, total, kept, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(kept <= total)
+      assert(ppm == kept * 1000000 / total)
+      // binomial noise at the fixture group sizes stays well inside ±0.25
+      assert(math.abs(ppm - target) <= 250000,
+        s"lang ${r.getString(0)}: achieved $ppm vs target $target")
+    }
+    val again = TierNine.q71.run(spark, "/root/testdata/sf0.01").collect().toSeq
+    assert(rows.toSeq == again, "hash-based mixing must be deterministic")
+  }
+
   test("q69 clusters partition the vector set (histogram mass = corpus size)") {
     val rows = TierNine.q69.run(spark, sf).collect()
     val nVecs = Tables.load(spark, sf, "embeddings").count()
