@@ -129,4 +129,39 @@ class SigIndexSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS sigidx_${n}_vocab")
     }
   }
+
+  test("large-vocabulary branch (docsets): chunked probe-then-append ≡ one-shot") {
+    // >64-token synthetic corpus (HighVocabSpec construction) forces the
+    // generic path: verification payloads live in the bucketed docsets
+    // table, and append must extend BOTH postings and docsets. Parity is
+    // in the frozen token space (batch tokens outside the corpus
+    // vocabulary drop on both sides identically).
+    val docs = (0 until 30).flatMap { i =>
+      val base = (0 until 20).map(k => (i * 7 + k * 3) % 100).toSet
+      Seq((2L * i, base), (2L * i + 1, base - base.head + ((i * 7 + 61) % 100)))
+    }.map { case (id, ts) =>
+      (id, ts.toSeq.sorted.map(t => f"tok$t%03d").mkString(" "))
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    SigIndex.build(corpus, "sigidx_lv")
+    assert(spark.catalog.tableExists("sigidx_lv_docsets"),
+      "fixture must exercise the generic (docsets) branch")
+    SigIndex.build(corpus, "sigidx_lvx")
+    val expected = pairSet(SigIndex.probe(spark, "sigidx_lvx", batch))
+    val chunk1 = batch.filter(col("doc_id") < 30)
+    val chunk2 = batch.filter(col("doc_id") >= 30)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    got ++= pairSet(SigIndex.probe(spark, "sigidx_lv", chunk1))
+    SigIndex.append(spark, "sigidx_lv", chunk1)
+    got ++= pairSet(SigIndex.probe(spark, "sigidx_lv", chunk2))
+    SigIndex.append(spark, "sigidx_lv", chunk2)
+    assert(got.nonEmpty, "fixture must produce near-dups touching the batch")
+    assert(got.toSet == expected,
+      s"inc ∖ one-shot: ${got.toSet -- expected}; one-shot ∖ inc: ${expected -- got}")
+    Seq("lv", "lvx").foreach { n =>
+      Seq("postings", "vocab", "docsets").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS sigidx_${n}_$t"))
+    }
+  }
 }
