@@ -44,6 +44,10 @@ object TierNine {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      // a token-less document yields zero chunks (DuckDB's range(0,0) is
+      // empty; Spark's sequence(0,-1,·) THROWS, so guard explicitly —
+      // pinned in ShortDocSpec)
+      .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, size(toks) - 1, 24), x -> slice(toks, x + 1, 32))"))

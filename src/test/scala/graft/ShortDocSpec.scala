@@ -62,4 +62,15 @@ class ShortDocSpec extends SparkSpec {
     val hist = TierSix.q50.run(spark, tmp).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hist.values.sum == 5L)
   }
+
+  test("q63 chunking / q68 packing: a token-less doc yields zero chunks, not a crash") {
+    import graft.operators.TierNine
+    val chunks = TierNine.q63.run(spark, tmp).collect()
+    assert(!chunks.exists(_.getLong(0) == 0L), "empty doc must produce no chunks")
+    // every other doc yields exactly one (short) chunk at size 32/stride 24
+    assert(chunks.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(chunks.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 32))
+    val bins = TierNine.q68.run(spark, tmp).collect()
+    assert(bins.map(_.getLong(1)).sum == 1 + 2 + 3 + 6, "empty doc contributes no tokens")
+  }
 }
