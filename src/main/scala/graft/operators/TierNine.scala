@@ -476,5 +476,68 @@ object TierNine {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70, q71)
+  /** Histogram-based quantile estimation — the 100 TB sketch path for
+    * q40's exact percentiles: one fixed-width histogram (width 5 over the
+    * non-negative `value` domain) per event_type, then nearest-rank
+    * selection with in-bucket linear interpolation. The THIRD exactly-
+    * oracle-checked sketch (after Count-Min q54 and HLL q65): bucket
+    * counts, cumulative ranks, and target ranks are all integers; the only
+    * float op is the final interpolation, mirrored expression-for-
+    * expression on both engines. Estimate error is bounded by the bucket
+    * width (±5), vs q40's exact-but-expensive `percentile`.
+    *
+    * Scale: ONE partial+final aggregation (map-side combine) to ≤100
+    * histogram rows per group; the cumulative window runs over those ≤100
+    * rows — the windows here sort sketch cells, never data. q40's exact
+    * percentile holds all values per group; this holds 100 longs.
+    */
+  val q72 = Q("q72_histogram_quantile",
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS b,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, b, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |sel AS (
+      |  SELECT event_type, max(n) AS n,
+      |         min(CASE WHEN cum >= (5*n+9) // 10 THEN b END) AS b50,
+      |         min(CASE WHEN cum >= (9*n+9) // 10 THEN b END) AS b90
+      |  FROM c GROUP BY 1)
+      |SELECT s.event_type,
+      |  round(5.0 * s.b50 + 5.0 * ((5*s.n+9) // 10 - (c5.cum - c5.cnt)) / c5.cnt, 6) AS p50_est,
+      |  round(5.0 * s.b90 + 5.0 * ((9*s.n+9) // 10 - (c9.cum - c9.cnt)) / c9.cnt, 6) AS p90_est
+      |FROM sel s
+      |JOIN c c5 ON c5.event_type = s.event_type AND c5.b = s.b50
+      |JOIN c c9 ON c9.event_type = s.event_type AND c9.b = s.b90
+      |ORDER BY s.event_type""".stripMargin) { (s, dir) =>
+    val h = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), floor(col("value") / 5).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val c = h
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("event_type").orderBy("b")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    val sel = c.groupBy("event_type").agg(
+      max("n").as("n"),
+      min(expr("CASE WHEN cum >= (5*n+9) div 10 THEN b END")).as("b50"),
+      min(expr("CASE WHEN cum >= (9*n+9) div 10 THEN b END")).as("b90"))
+    val c5 = c.select(col("event_type"), col("b").as("b50"),
+      col("cnt").as("cnt5"), col("cum").as("cum5"))
+    val c9 = c.select(col("event_type"), col("b").as("b90"),
+      col("cnt").as("cnt9"), col("cum").as("cum9"))
+    sel.join(c5, Seq("event_type", "b50")).join(c9, Seq("event_type", "b90"))
+      .select(col("event_type"),
+        round(lit(5.0) * col("b50")
+          + lit(5.0) * (expr("(5*n+9) div 10") - (col("cum5") - col("cnt5"))) / col("cnt5"), 6)
+          .as("p50_est"),
+        round(lit(5.0) * col("b90")
+          + lit(5.0) * (expr("(9*n+9) div 10") - (col("cum9") - col("cnt9"))) / col("cnt9"), 6)
+          .as("p90_est"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -153,6 +153,22 @@ class TierNineSpec extends SparkSpec {
     assert(rows.toSeq == again, "hash-based mixing must be deterministic")
   }
 
+  test("q72 histogram quantiles land in the exact rank's bucket (error ≤ width)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val byType = Tables.load(spark, sf01, "events")
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    TierNine.q72.run(spark, sf01).collect().foreach { r =>
+      val vals = byType(r.getString(0)); val n = vals.length
+      def exact(qn: Int): Double = vals((qn * n + 9) / 10 - 1) // nearest-rank value
+      assert(math.abs(r.getDouble(1) - exact(5)) <= 5.0,
+        s"${r.getString(0)} p50 ${r.getDouble(1)} vs exact ${exact(5)}")
+      assert(math.abs(r.getDouble(2) - exact(9)) <= 5.0,
+        s"${r.getString(0)} p90 ${r.getDouble(2)} vs exact ${exact(9)}")
+      assert(r.getDouble(1) <= r.getDouble(2), "p50 ≤ p90")
+    }
+  }
+
   test("q69 clusters partition the vector set (histogram mass = corpus size)") {
     val rows = TierNine.q69.run(spark, sf).collect()
     val nVecs = Tables.load(spark, sf, "embeddings").count()
