@@ -214,4 +214,62 @@ class StreamBatchParitySpec extends SparkSpec {
       TweetPipelines.parse(spark.createDataset(tweetJson).toDF("value")))
     assert(canon(streamed) == canon(batch))
   }
+
+  test("s19: fixed-width histogram maintained BY A STREAM ≡ batch cells (q72's sketch)") {
+    // histogram cells are order-independent sums — exactly maintainable as
+    // a streaming aggregation, like s17's Count-Min. The final streamed
+    // cell table must equal the batch groupBy over the same rows.
+    val rows = Tables.load(spark, sf, "events").select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def cells(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), floor(col("value") / 5).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val in = MemoryStream[(String, Double)]
+    val q = cells(in.toDF().toDF("event_type", "value")).writeStream
+      .format("memory").queryName("s19_out").outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      val streamed = spark.table("s19_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = cells(rows.toDF("event_type", "value")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("s20: HLL registers maintained BY A STREAM ≡ brute force (q65's sketch)") {
+    // registers are per-bucket maxes — merge-by-max makes the sketch
+    // streamable in complete mode; the live distinct-count monitor next to
+    // the batch q65. Final registers must equal the brute-force build.
+    val P = 2147483647L; val A0 = 2654435761L; val B0 = 40503L
+    val users = Tables.load(spark, sf, "events").select("user_id")
+      .collect().map(_.getLong(0)).toSeq
+    val expect = Array.fill(64)(0L)
+    users.foreach { u =>
+      val h0 = ((u % P) * A0 + B0) % P; val h = (h0 * h0) % P
+      val b = (h % 64).toInt; val w = h / 64
+      val rho = 26L - (if (w == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > expect(b)) expect(b) = rho
+    }
+    val in = MemoryStream[Long]
+    val regs = in.toDF()
+      .select((((col("value") % P) * A0 + B0) % P).as("h0"))
+      .select(((col("h0") * col("h0")) % P).as("h"))
+      .groupBy((col("h") % 64).as("bucket"))
+      .agg(max(lit(26) - when((col("h") / lit(64L)).cast("long") === 0, 0)
+        .otherwise(length(bin((col("h") / lit(64L)).cast("long"))))).as("reg"))
+    val q = regs.writeStream
+      .format("memory").queryName("s20_out").outputMode("complete").start()
+    try {
+      users.grouped(math.max(1, users.length / 3)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      val streamed = spark.table("s20_out").collect()
+        .map(r => r.getLong(0).toInt -> r.getInt(1).toLong).toMap
+      val expected = expect.zipWithIndex.collect { case (r, b) if r > 0 => b -> r }.toMap
+      assert(streamed == expected && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
