@@ -105,9 +105,14 @@ object TierSeven {
     *
     * Scale: two corpus-wide count aggs (bigram, prefix) + one ppm join,
     * then one shuffle of doc-bigram instances against the ppm table —
-    * partial+final aggs throughout; the ppm model table broadcasts when
-    * small (AQE decides; a web-scale bigram table stays a shuffle join on
-    * w1/w2, which is the honest shape). Int64 bounds: per-doc sums are
+    * partial+final aggs throughout. The model side's join strategy is
+    * AQE-decided by default and PINNABLE via the session conf
+    * `spark.graft.modelHint` (the `vocabHint` pattern): `broadcast`
+    * promises the bigram model is dictionary-sized and forces the
+    * map-side plan; `shuffle` promises it is web-scale and forces the
+    * shuffle-hash plan on w1/w2 — both gated in OperatorSpec, results
+    * identical either way (hints move the exchange, not the arithmetic).
+    * Int64 bounds: per-doc sums are
     * ppm ≤ 10⁶ × doc length — safe at any corpus size — but the MODEL
     * side computes `bcnt · 10⁶`, which wraps once a single bigram's
     * corpus count exceeds 2⁶³/10⁶ ≈ 9.2·10¹². A 100 TB corpus holds
@@ -142,11 +147,19 @@ object TierSeven {
             element_at(col("l"), k + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .persist() // model counts AND per-doc scoring read it
+    // model-side join pin: both the model-build join (bcnt ⋈ ucnt) and the
+    // scoring join (big ⋈ ppm) carry the same model-size promise
+    val hint = s.conf.getOption("spark.graft.modelHint").map(_.toLowerCase)
+    def pinned(model: org.apache.spark.sql.DataFrame) = hint match {
+      case Some("broadcast") => broadcast(model)
+      case Some("shuffle")   => model.hint("shuffle_hash")
+      case _                 => model
+    }
     val ucnt = big.groupBy("w1").agg(count(lit(1)).as("ucnt"))
     val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
-    val ppm = bcnt.join(ucnt, "w1")
+    val ppm = bcnt.join(pinned(ucnt), "w1")
       .select(col("w1"), col("w2"), expr("bcnt * 1000000 div ucnt").as("ppm"))
-    big.join(ppm, Seq("w1", "w2"))
+    big.join(pinned(ppm), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), expr("sum(ppm) div count(1)").as("lm_score"))
       .orderBy("doc_id")

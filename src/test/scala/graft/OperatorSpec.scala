@@ -127,6 +127,29 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
   }
 
+  test("q57 modelHint pins the model-side join strategy without changing results") {
+    // `broadcast` promises a dictionary-sized bigram model (map-side plan);
+    // `shuffle` promises a web-scale one (shuffle-hash on w1/w2). The hint
+    // moves the exchange, never the arithmetic — rows identical both ways.
+    def under(hint: String): (String, Seq[String]) = {
+      spark.conf.set("spark.graft.modelHint", hint)
+      try {
+        val df = graft.operators.TierSeven.q57.run(spark, sf)
+        (df.queryExecution.executedPlan.toString,
+          df.collect().map(_.toString).toSeq)
+      } finally spark.conf.unset("spark.graft.modelHint")
+    }
+    val (bPlan, bRows) = under("broadcast")
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(800))
+    assert(!bPlan.contains("ShuffledHashJoin") && !bPlan.contains("SortMergeJoin"),
+      "broadcast promise must leave no model-side shuffle join: " + bPlan.take(800))
+    val (sPlan, sRows) = under("shuffle")
+    assert(sPlan.contains("ShuffledHashJoin"), sPlan.take(800))
+    assert(!sPlan.contains("BroadcastHashJoin"),
+      "shuffle promise must not broadcast the model: " + sPlan.take(800))
+    assert(bRows == sRows, "hint changed the results")
+  }
+
   test("q46 top-k plans as TakeOrderedAndProject; q47 broadcasts the eval shingles") {
     val zipf = graft.operators.TierSix.q46.run(spark, sf).queryExecution.executedPlan.toString
     assert(zipf.contains("TakeOrderedAndProject"), zipf.take(800))
