@@ -72,29 +72,46 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Registration for the engine's native expressions. Idempotent; query
-  * functions call this so `call_function("graft_dot", …)` / SQL
-  * `graft_dot(a, b)` resolve in any session.
+/** Registration for the engine's SQL surface ([[SqlSurface]] — native
+  * expressions, sketch probes, and whole-plan table functions). Idempotent;
+  * query functions call this so `call_function("graft_dot", …)` / SQL
+  * `graft_dot(a, b)` / `SELECT … FROM graft_simhash_pairs('v')` resolve in
+  * any session.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    SqlSurface.scalars.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    SqlSurface.tables.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, name, builder)
+    }
+  }
 }
 
 /** `SparkSessionExtensions` entry point — the supported way to get the
-  * engine's native expressions into a session you don't build yourself:
+  * engine's SQL surface into a session you don't build yourself:
   * `--conf spark.sql.extensions=graft.expressions.GraftExtensions`.
   * [[GraftFunctions.register]] is the imperative equivalent for sessions
   * already running.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    SqlSurface.scalars.foreach { case (name, _, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SqlSurface.type].getName, name),
+        builder))
+    }
+    SqlSurface.tables.foreach { case (name, _, builder) =>
+      ext.injectTableFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SqlSurface.type].getName, name),
+        builder))
+    }
     // whole-operator extension: plans graft.plans.AsOfJoin natively, and
     // prunes columns through it (custom nodes are optimizer barriers)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1,0 +1,94 @@
+package graft.expressions
+
+import graft.functions.{Bloom, CountMin}
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The engine's SQL surface — every sketch/dedup probe the Scala API
+  * exposes, registered by name so a pure-SQL session can call it
+  * ([[GraftFunctions.register]] imperatively, [[GraftExtensions]] via
+  * `spark.sql.extensions`).
+  *
+  * Design rule: ONE definition per probe. Scalar builders receive the
+  * analyzer's unresolved child expressions, wrap them as Columns
+  * ([[GraftSqlBridge.column]]), compose the SAME Scala function the
+  * DataFrame API uses ([[Bloom.mightContainCol]], [[CountMin.estCol]]),
+  * and unwrap ([[GraftSqlBridge.expression]]) — so the SQL and Scala
+  * paths cannot drift, and everything stays inside whole-stage codegen
+  * (the compositions are built-in functions; the one native expression,
+  * [[DotProduct]], has `doGenCode`). Size parameters (bits/hashes,
+  * depth/width) must be INT literals: they shape the expression TREE
+  * (unrolled hash rows), not row-time values.
+  */
+object SqlSurface {
+
+  private def c(e: Expression): Column = GraftSqlBridge.column(e)
+  private def uncol(col: Column): Expression = GraftSqlBridge.expression(col)
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INT literal (it shapes the expression tree), got $other")
+  }
+
+  private def arity(fn: String, exprs: Seq[Expression], allowed: Int*): Unit =
+    if (!allowed.contains(exprs.length)) throw new IllegalArgumentException(
+      s"$fn expects ${allowed.mkString(" or ")} arguments, got ${exprs.length}")
+
+  /** (name, usage, builder) for every scalar function. */
+  val scalars: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      "graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - dot product (codegen'd)",
+      exprs => { arity("graft_dot", exprs, 2); DotProduct(exprs.head, exprs(1)) }),
+
+    ("graft_hamming",
+      "graft_hamming(a BIGINT, b BIGINT) - Hamming distance between bit signatures",
+      exprs => {
+        arity("graft_hamming", exprs, 2)
+        uncol(bit_count(c(exprs.head).bitwiseXOR(c(exprs(1)))).cast("bigint"))
+      }),
+
+    ("graft_bloom_maybe",
+      "graft_bloom_maybe(words ARRAY<BIGINT>, id BIGINT[, bits INT, hashes INT])" +
+        " - Bloom membership over a packed filter (default 512 bits, 3 hashes)",
+      exprs => {
+        arity("graft_bloom_maybe", exprs, 2, 4)
+        val bits = if (exprs.length == 4) intLit(exprs(2), "graft_bloom_maybe", "bits") else 512
+        val hashes = if (exprs.length == 4) intLit(exprs(3), "graft_bloom_maybe", "hashes") else 3
+        uncol(Bloom.mightContainCol(c(exprs.head), c(exprs(1)), bits, hashes))
+      }),
+
+    ("graft_cm_est",
+      "graft_cm_est(cells ARRAY<BIGINT>, id BIGINT[, depth INT, width INT])" +
+        " - Count-Min point estimate over a dense-packed sketch (default 4x64)",
+      exprs => {
+        arity("graft_cm_est", exprs, 2, 4)
+        val depth = if (exprs.length == 4) intLit(exprs(2), "graft_cm_est", "depth") else 4
+        val width = if (exprs.length == 4) intLit(exprs(3), "graft_cm_est", "width") else 64
+        uncol(CountMin.estCol(c(exprs.head), c(exprs(1)), depth, width))
+      }))
+
+  /** (name, usage, builder) for every table-valued function — whole-plan
+    * operators, reachable as `SELECT … FROM graft_xxx('view_name')`. The
+    * argument names a table/view visible to the ACTIVE session; the builder
+    * runs at analysis time on the driver, so `SparkSession.active` is the
+    * session analyzing the query. */
+  val tables: Seq[(String, String, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_simhash_pairs",
+      "graft_simhash_pairs(sigs STRING) - banded Hamming<=3 pair join over a" +
+        " (doc_id, simhash) table/view (TierSeven.hammingPairs)",
+      exprs => {
+        val view = exprs match {
+          case Seq(Literal(s: UTF8String, StringType)) => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_simhash_pairs expects one STRING literal naming a (doc_id, simhash) table/view")
+        }
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(
+          graft.operators.TierSeven.hammingPairs(spark.table(view)))
+      }))
+}

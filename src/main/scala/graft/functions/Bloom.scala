@@ -55,15 +55,23 @@ object Bloom {
     * stream would treat as stateful aggregation). Same hash family, same
     * guarantee: never false for a built key. */
   def mightContainCol(words: Array[Long], id: Column, bits: Int = 512,
-      hashes: Int = 3): Column = {
-    val packed = array(words.map(lit(_)): _*)
+      hashes: Int = 3): Column =
+    mightContainCol(array(words.map(lit(_)): _*), id, bits, hashes)
+
+  /** [[mightContainCol]] with the packed words as a COLUMN (`ARRAY<BIGINT>`,
+    * `bits/64` elements) instead of a Scala literal — the form the SQL
+    * surface registers as `graft_bloom_maybe(words, id[, bits, hashes])`:
+    * the filter can come from any expression (a literal, a broadcast-joined
+    * one-row table, a per-group filter column), and the test is the same
+    * pure codegen'd composition. */
+  def mightContainCol(packed: Column, id: Column, bits: Int,
+      hashes: Int): Column =
     (0 until hashes).map { j =>
       val p = pos(lit(j.toLong), id, bits)
       call_function("shiftrightunsigned",
         element_at(packed, (p / 64).cast("int") + 1), (p % 64).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)
-  }
 
   /** Append `maybe BOOLEAN` to `df`: true iff every hash position of `id`
     * is set in `filter` — guaranteed true for every key the filter was

@@ -45,6 +45,34 @@ object CountMin {
     * through map-side, no corpus shuffle. Internals ride `cm_`-prefixed
     * columns (the sketch's own j/cell/s are aliased on the way in), so
     * caller columns named j/cell/s are safe; `cm_*`/`est` are reserved. */
+  /** Pack the sketch into a dense `depth·width` long array (row-major by
+    * hash row j) — ≤ `depth·width` rows collected, broadcast-sized by
+    * construction. Empty cells are 0, matching [[probe]]'s
+    * `coalesce(·, 0)`. The packed form is what [[estCol]] (and the SQL
+    * surface's `graft_cm_est`) probes without a join. */
+  def toDense(sketch: DataFrame, depth: Int = 4, width: Int = 64): Array[Long] = {
+    val arr = new Array[Long](depth * width)
+    sketch.collect().foreach { r =>
+      arr(r.getLong(0).toInt * width + r.getLong(1).toInt) = r.getLong(2)
+    }
+    arr
+  }
+
+  /** Point estimate as a pure Column over a [[toDense]]-packed sketch —
+    * no fan-out, no join, no re-grouping: `least` over the `depth` cell
+    * lookups stays inside whole-stage codegen and composes STATELESSLY
+    * with streams (the DataFrame [[probe]]'s re-collapsing groupBy would
+    * be a stateful aggregation there). Same hash family, same estimate,
+    * and duplicate input rows pass through 1:1 (no distinct-rows
+    * precondition, unlike [[probe]]). */
+  def estCol(packed: Column, id: Column, depth: Int = 4, width: Int = 64): Column = {
+    val cells = (0 until depth).map { j =>
+      element_at(packed,
+        (AffineHash.slot(lit(j.toLong), id, width) + lit(j * width) + 1).cast("int"))
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+
   def probe(keys: DataFrame, id: Column, sketch: DataFrame,
       depth: Int = 4, width: Int = 64): DataFrame = {
     val out = keys.columns.toIndexedSeq.map(col)

@@ -13,6 +13,31 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Column ↔ Expression converters — what lets the engine register its
+    * COLUMN-composed probes (Bloom membership, Count-Min estimate) as SQL
+    * functions: a registry builder receives unresolved child Expressions,
+    * wraps them as Columns, composes the probe with the ONE shared Scala
+    * definition (no SQL-side reimplementation to drift), and unwraps the
+    * result back to the Expression the analyzer resolves. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): catalyst.expressions.Expression =
+    // the EAGER converter — ExpressionUtils.expression returns a lazy
+    // ColumnNodeExpression placeholder that only the classic Dataset API
+    // paths unwrap; an expression returned from a FunctionRegistry builder
+    // goes straight into the analyzer, which would leave the placeholder
+    // in the physical plan as an Unevaluable
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Imperative table-function registration (the `createOrReplaceTempFunction`
+    * twin of `SparkSessionExtensions.injectTableFunction`) — SQL
+    * `SELECT … FROM graft_xxx(…)` resolution for whole-plan operators. */
+  def registerTableFunction(spark: SparkSession, name: String,
+      builder: Seq[catalyst.expressions.Expression] => LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** The analyzed logical plan beneath a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 

@@ -39,6 +39,82 @@ class ExpressionSpec extends SparkSpec {
     // runtime resolution via the registry path is covered by the tests above
   }
 
+  // ── the SQL surface: every sketch/dedup probe reachable from pure SQL ──
+  // One definition per probe (SqlSurface builders wrap the SAME Scala
+  // compositions the DataFrame API uses), so these tests are parity pins:
+  // SQL result ≡ Scala result, bit for bit.
+
+  test("graft_hamming from SQL ≡ bit_count(xor) and the q59 join's distances") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_hamming(11L, 8L) AS a,  -- 11^8 = 3 -> 2 bits
+        |       graft_hamming(-1L, 0L) AS b,  -- all 64 bits differ
+        |       graft_hamming(5L, 5L) AS c""".stripMargin).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 64L, 0L)))
+  }
+
+  test("graft_bloom_maybe from SQL ≡ Bloom.mightContainCol (packed filter via a 1-row view)") {
+    GraftFunctions.register(spark)
+    import graft.functions.Bloom
+    val blocked = spark.range(100).select((col("id") * 7 + 3).as("id"))
+    val words = Bloom.toBits(Bloom.build(blocked, col("id"), bits = 1024, hashes = 3), bits = 1024)
+    spark.range(1).select(array(words.map(lit(_)): _*).as("w"))
+      .createOrReplaceTempView("bloom_words")
+    spark.range(800).createOrReplaceTempView("bloom_probe_ids")
+    val sql = spark.sql(
+      """SELECT id, graft_bloom_maybe(w, id, 1024, 3) AS maybe
+        |FROM bloom_probe_ids CROSS JOIN bloom_words""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val scala = spark.range(800)
+      .select(col("id"), Bloom.mightContainCol(words, col("id"), bits = 1024, hashes = 3).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sql == scala)
+    val blockedIds = blocked.collect().map(_.getLong(0)).toSet
+    blockedIds.filter(_ < 800).foreach(id => assert(sql(id), s"false negative for $id"))
+  }
+
+  test("graft_cm_est from SQL ≡ CountMin.probe, and never underestimates") {
+    GraftFunctions.register(spark)
+    import graft.functions.CountMin
+    val counts = spark.range(200)
+      .select(col("id"), (col("id") % 13 + 1).as("f"))
+    val sketch = CountMin.build(counts, col("id"), col("f"))
+    val dense = CountMin.toDense(sketch)
+    spark.range(1).select(array(dense.map(lit(_)): _*).as("c"))
+      .createOrReplaceTempView("cm_cells")
+    spark.range(200).createOrReplaceTempView("cm_probe_ids")
+    val sql = spark.sql(
+      """SELECT id, graft_cm_est(c, id) AS est
+        |FROM cm_probe_ids CROSS JOIN cm_cells""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProbe = CountMin.probe(spark.range(200).toDF("id"), col("id"), sketch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == viaProbe, "scalar estimate must equal the join-based probe")
+    val truth = counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sql.foreach { case (id, est) => assert(est >= truth(id), s"CMS underestimated key $id") }
+  }
+
+  test("graft_simhash_pairs table function from SQL ≡ TierSeven.hammingPairs") {
+    GraftFunctions.register(spark)
+    val sigs = graft.operators.TierFour.simhashSigs(spark, sf)
+    sigs.createOrReplaceTempView("sql_sigs")
+    val sql = spark.sql("SELECT * FROM graft_simhash_pairs('sql_sigs')")
+      .collect().map(_.toString).sorted.toSeq
+    val scala = graft.operators.TierSeven.hammingPairs(sigs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == scala && sql.nonEmpty)
+  }
+
+  test("SQL-surface size parameters must be literals (they shape the expression tree)") {
+    GraftFunctions.register(spark)
+    spark.range(1).select(array(lit(0L)).as("w")).createOrReplaceTempView("one_word")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_maybe(w, id, cast(id AS INT), 3) FROM one_word CROSS JOIN range(2)")
+        .collect()
+    }
+    assert(err.getMessage.contains("INT literal"), err.getMessage)
+  }
+
   test("graft_dot runs inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val v = Tables.load(spark, sf, "embeddings")
