@@ -539,5 +539,38 @@ object TierNine {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+  /** SimHash near-dup SCREEN, batch anchor — [[TierSeven.hammingScreen]]
+    * checking an incoming batch (every 7th document's signature) against
+    * the full corpus signature store: for each incoming doc, every corpus
+    * signature within Hamming distance ≤ 3 (exact recall by q59's
+    * pigeonhole). Self-matches at distance 0 are the "seen before"
+    * signal — this is the admission screen a growing corpus runs on every
+    * new batch BEFORE ingesting it (q60 is the MinHash flavor against a
+    * persisted index; this is the signature-store flavor, and the same
+    * stateless plan screens a live STREAM — s21 proves streamed ≡ this).
+    */
+  val q73 = Q("q73_simhash_screen",
+    s"""WITH sigs AS (${TierFour.simhashSelect}),
+       |inc AS (SELECT doc_id, simhash FROM sigs WHERE doc_id % 7 = 0),
+       |cc AS (
+       |  SELECT doc_id, simhash, j,
+       |         (simhash >> (j*16)) & CASE WHEN j = 3 THEN 32767 ELSE 65535 END AS ck
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS j)),
+       |ci AS (
+       |  SELECT doc_id, simhash, j,
+       |         (simhash >> (j*16)) & CASE WHEN j = 3 THEN 32767 ELSE 65535 END AS ck
+       |  FROM inc CROSS JOIN (SELECT unnest(range(4)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id,
+       |         i.simhash AS si, c.simhash AS sc
+       |  FROM ci i JOIN cc c ON i.j = c.j AND i.ck = c.ck)
+       |SELECT doc_id, corpus_id, CAST(bit_count(xor(si, sc)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(si, sc)) <= 3
+       |ORDER BY doc_id, corpus_id""".stripMargin) { (s, dir) =>
+    val sigs = TierFour.simhashSigs(s, dir).persist() // both sides read it
+    TierSeven.hammingScreen(sigs.filter(col("doc_id") % 7 === 0), sigs)
+      .orderBy("doc_id", "corpus_id")
+  }
+
+  val all: Seq[Q] = Seq(q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

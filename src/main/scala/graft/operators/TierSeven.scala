@@ -263,5 +263,43 @@ object TierSeven {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The banded Hamming NEAR-DUP SCREEN — [[hammingPairs]]'s asymmetric
+    * twin: check an INCOMING `(doc_id, simhash)` frame against a CORPUS
+    * signature store, emitting `(doc_id, corpus_id, hamming)` for every
+    * corpus signature within distance ≤ 3 (exact recall by the same
+    * pigeonhole argument). No sort, no aggregation, no distinct — every
+    * stage is stateless, so the SAME plan screens a live STREAM against a
+    * static signature table (stream-static equi-join on the chunk key;
+    * s21 parity-specs it against this batch form), closing the gap
+    * between the batch dedup family and the streaming surface: s08 was
+    * exact-hash only, this is near-dup. A re-ingested document matches
+    * itself at distance 0 — the screen's "seen before" signal.
+    *
+    * Scale: the corpus side is the persisted signature store (8 bytes +
+    * id per document — the [[SigIndex]] posture); the chunk value is the
+    * join key, so candidates are bucket-joins, never all-pairs, and each
+    * pair is emitted from its FIRST matching chunk (pure integer codegen
+    * on the carried signatures — no dedup shuffle on the join output).
+    */
+  def hammingScreen(incoming: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def chunk(c: org.apache.spark.sql.Column, j: Int) =
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
+    def chunks(df: org.apache.spark.sql.DataFrame, id: String, sig: String,
+        j: String, ck: String) =
+      df.select(col("doc_id").as(id), col("simhash").as(sig),
+        posexplode(array((0 until 4).map(k => chunk(col("simhash"), k)): _*))
+          .as(Seq(j, ck)))
+    val x = chunks(incoming, "in_id", "in_sig", "j", "ck")
+    val y = chunks(corpus, "corpus_id", "corpus_sig", "j_b", "ck_b")
+    val earlierMatched = (0 until 3).map(k =>
+      (col("j") > k) && chunk(col("in_sig"), k) === chunk(col("corpus_sig"), k))
+      .reduce(_ || _)
+    x.join(y, col("j") === col("j_b") && col("ck") === col("ck_b") && !earlierMatched)
+      .withColumn("hamming", expr("cast(bit_count(in_sig ^ corpus_sig) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select(col("in_id").as("doc_id"), col("corpus_id"), col("hamming"))
+  }
+
   val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
 }

@@ -272,4 +272,43 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(streamed == expected && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("s21: SimHash near-dup screen on a STREAM ≡ batch hammingScreen ≡ brute force") {
+    // the near-dup admission gate as a stream: incoming signatures checked
+    // against a STATIC corpus signature store via the pigeonhole chunk join
+    // (TierSeven.hammingScreen) — stateless (no watermark, no state store),
+    // exact recall at d ≤ 3, so the streamed matches must equal both the
+    // batch run of the same plan and a brute-force distance scan.
+    import graft.operators.TierSeven
+    // corpus: spread signatures + a tight near-dup family around 0x0F0F...
+    val base = 0x0F0F0F0F0F0F0F0L
+    val corpus: Seq[(Long, Long)] =
+      (0 until 40).map(i => (100L + i, (i.toLong * 2654435761L) & Long.MaxValue)) ++
+        Seq((200L, base), (201L, base ^ 1L), (202L, base ^ (1L << 40)))
+    // incoming: exact re-ingest (d=0), d=2, d=3, d≥4 from EVERY corpus sig
+    // (15L<<50 keeps clear of 201/202's flipped low/mid bits), and fresh
+    val incoming: Seq[(Long, Long)] = Seq(
+      (900L, base), (901L, base ^ 3L), (902L, base ^ 7L),
+      (903L, base ^ (15L << 50)), (904L, 0x123456789ABCDEFL))
+    val corpusDf = corpus.toDF("doc_id", "simhash")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b).toLong
+    val brute = (for {
+      (i, si) <- incoming; (c, sc) <- corpus; if ham(si, sc) <= 3
+    } yield (i, c, ham(si, sc))).toSet
+    val batch = TierSeven.hammingScreen(incoming.toDF("doc_id", "simhash"), corpusDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == brute, "batch screen must equal brute force")
+    assert(brute.exists(_._3 == 0L) && !brute.exists(t => t._1 == 903L),
+      "fixture must cover re-ingest and the d=4 miss")
+    val in = MemoryStream[(Long, Long)]
+    val q = TierSeven.hammingScreen(
+        in.toDF().select(col("_1").as("doc_id"), col("_2").as("simhash")), corpusDf)
+      .writeStream.format("memory").queryName("s21_out").outputMode("append").start()
+    try {
+      incoming.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("s21_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == brute, "streamed screen must equal brute force")
+    } finally q.stop()
+  }
 }
