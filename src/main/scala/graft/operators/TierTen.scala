@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 10 — round-6 close-out: the corpus LIFECYCLE operators around the
+  * dedup/filter/mix core — diffing two corpus snapshots (the incremental-
+  * training question "what changed since the last crawl?"), carving the
+  * deterministic train/valid/test split, profiling sources for the mixing
+  * decision, and measuring cross-document boilerplate. Determinism follows
+  * the established conventions: affine-modular integer hashing
+  * ([[TierFour.A0]] family), integer `div` means/ratios, pinned orders,
+  * content compared through sha-256 digests that both engines compute
+  * identically.
+  */
+object TierTen {
+  import TierFour.{A0, B0, P}
+
+  /** Corpus snapshot diff — the incremental-training primitive: given the
+    * PREVIOUS snapshot and the CURRENT one, classify every document as
+    * added / removed / modified / unchanged and count per language. The
+    * fixtures derive both snapshots deterministically from `documents`
+    * (old = ids ∉ 5ℤ, new = ids ∉ 7ℤ, every 11th doc edited in new), so
+    * the oracle pins all four classes.
+    *
+    * Scale: this is the inventory's one FULL OUTER join, and the shape is
+    * what survives 100 TB — each side projects to `(doc_id, lang, digest)`
+    * BEFORE the join, so the shuffle carries 32-byte sha-256 digests
+    * instead of document bodies, and the join key is the id (hash
+    * partition, no skew: ids are unique per side). Comparing digests
+    * instead of bodies is exactly the q22 exact-dedup convention.
+    */
+  val q74 = Q("q74_snapshot_diff",
+    """WITH old AS (
+      |  SELECT doc_id, lang, sha256(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+      |new AS (
+      |  SELECT doc_id, lang,
+      |         sha256(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |j AS (
+      |  SELECT coalesce(o.lang, n.lang) AS lang,
+      |         CASE WHEN o.doc_id IS NULL THEN 'added'
+      |              WHEN n.doc_id IS NULL THEN 'removed'
+      |              WHEN o.h <> n.h THEN 'modified'
+      |              ELSE 'unchanged' END AS status
+      |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+      |SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("o_id"), col("lang").as("o_lang"),
+        sha2(col("text"), 256).as("o_h"))
+    val nw = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("n_id"), col("lang").as("n_lang"),
+        sha2(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")), 256).as("n_h"))
+    old.join(nw, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_lang"), col("n_lang")).as("lang"),
+        when(col("o_id").isNull, "added")
+          .when(col("n_id").isNull, "removed")
+          .when(col("o_h") =!= col("n_h"), "modified")
+          .otherwise("unchanged").as("status"))
+      .groupBy("lang", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "status")
+  }
+
+  /** Deterministic train/valid/test split — 98/1/1 by affine hash of
+    * doc_id into 1000 buckets. Unlike q48 (flat sample) and q71 (weighted
+    * rates), a SPLIT must PARTITION the corpus: every document lands in
+    * exactly one split, assignments survive retries/re-runs/cluster moves
+    * (pure codegen'd arithmetic, no randomness, no sort), and adding data
+    * never moves an existing document between splits — the property that
+    * keeps eval sets uncontaminated across corpus versions. Per-split ×
+    * language counts are the sanity dashboard (the split should be
+    * language-balanced because the hash ignores language).
+    */
+  val q75 = Q("q75_train_test_split",
+    s"""WITH b AS (
+       |  SELECT lang, ((doc_id % $P) * $A0 + $B0) % $P % 1000 AS bkt
+       |  FROM documents),
+       |s AS (
+       |  SELECT lang, CASE WHEN bkt < 980 THEN 'train'
+       |                    WHEN bkt < 990 THEN 'valid'
+       |                    ELSE 'test' END AS split
+       |  FROM b)
+       |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        (((col("doc_id") % P) * A0 + B0) % P % 1000).as("bkt"))
+      .select(col("lang"),
+        when(col("bkt") < 980, "train")
+          .when(col("bkt") < 990, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
+  /** Per-source corpus profile — the input to every mixing/quota decision
+    * (q64/q71 consume caps and rates; THIS is where they come from): doc
+    * count, total/mean size, language spread, and the within-source exact-
+    * duplicate count (docs minus distinct digests — a high-dup source gets
+    * down-weighted or re-crawled). Mean is integer `div` (cross-engine
+    * determinism); duplicates compare sha-256 digests, never bodies.
+    *
+    * Scale: one partial+final aggregation by source; the two DISTINCT
+    * aggregates (lang, digest) expand the input ×2 before the shuffle —
+    * the standard multi-distinct plan. Output is |sources| rows.
+    */
+  val q76 = Q("q76_source_stats",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+      |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_exact_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"),
+        countDistinct("lang").as("n_langs"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_exact_dups"))
+      .orderBy("source")
+  }
+
+  /** Cross-document boilerplate ratio — what fraction of each document is
+    * made of 8-token shingles that ALSO appear in some other document
+    * (headers, footers, templates — the stuff near-dup detectors miss when
+    * whole documents differ but share furniture). Per doc: distinct-shingle
+    * count and the shared share in ppm (integer `div`). Complements q49
+    * (repetition WITHIN a doc) and q47 (overlap with a fixed eval set);
+    * this is corpus-wide overlap.
+    *
+    * Scale: shingle → document-frequency is one partial+final agg keyed by
+    * the shingle; the per-doc rollup joins each doc's distinct shingles
+    * against that df table on the shingle (hash-partitioned both times —
+    * at 100 TB replace the raw-string key with a 64-bit rolling hash, the
+    * q33 fingerprint, to shrink the shuffle; semantics unchanged modulo
+    * hash collisions). Docs under 8 tokens carry no shingles and are
+    * excluded in both engines.
+    */
+  val q77 = Q("q77_boilerplate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS sh
+      |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS i
+      |        FROM t WHERE len(toks) >= 8)),
+      |d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+      |         AS boilerplate_ppm
+      |FROM s JOIN d USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 8), i -> array_join(slice(toks, i + 1, 8), ' '))"))
+        .as("sh"))
+      .distinct()
+      .persist() // df counts AND the per-doc rollup read it
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        expr("sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 div count(1)")
+          .as("boilerplate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77)
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TierTen
+import org.apache.spark.sql.functions._
+
+/** Tier-10 corpus-lifecycle operators: properties the DuckDB oracle can't
+  * express (cross-query arithmetic, brute-force differentials, plan gates).
+  */
+class TierTenSpec extends SparkSpec {
+
+  test("q74 snapshot diff: classes partition both snapshots (membership arithmetic)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val old = docs.filter(_ % 5 != 0).toSet
+    val nw = docs.filter(_ % 7 != 0).toSet
+    val expected = Map(
+      "added" -> (nw -- old).size.toLong,
+      "removed" -> (old -- nw).size.toLong,
+      "modified" -> (old & nw).count(_ % 11 == 0).toLong,
+      "unchanged" -> (old & nw).count(_ % 11 != 0).toLong)
+    val got = TierTen.q74.run(spark, sf).collect()
+      .groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(got == expected.filter(_._2 > 0))
+  }
+
+  test("q74 plan: full outer join on ids, document bodies never reach the shuffle") {
+    val plan = TierTen.q74.run(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.take(800))
+    // both sides project (id, lang, sha2 digest) BEFORE exchanging — the raw
+    // text column exists only below the scans, never as a join/exchange output
+    val joinOn = plan.linesIterator.filter(l => l.contains("FullOuter")).mkString
+    assert(!joinOn.contains("text"), joinOn)
+  }
+
+  test("q75 split partitions the corpus: disjoint by construction, exhaustive by count") {
+    val rows = TierTen.q75.run(spark, sf).collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "every doc lands in exactly one split")
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySplit("train") > total * 9 / 10, s"train share off: $bySplit")
+    // stability: re-running assigns identically (pure arithmetic, no randomness)
+    assert(TierTen.q75.run(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
+  test("q76 source stats: mean is integer div of the totals; dups bounded by docs") {
+    TierTen.q76.run(spark, sf).collect().foreach { r =>
+      val (n, total, mean, dups) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(mean == total / n)
+      assert(dups >= 0 && dups < n)
+    }
+  }
+
+  test("q77 boilerplate ≡ brute force (shingle sets computed in Scala)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val shingles = docs.collect { case (id, toks) if toks.length >= 8 =>
+      id -> toks.sliding(8).map(_.mkString(" ")).toSet
+    }.toMap
+    val dfCount = shingles.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = shingles.map { case (id, ss) =>
+      val shared = ss.count(dfCount(_) >= 2).toLong
+      (id, ss.size.toLong, shared * 1000000L / ss.size)
+    }.toSet
+    val got = TierTen.q77.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q75/q77 plans: no CartesianProduct, no single-partition exchange") {
+    Seq(TierTen.q75, TierTen.q77).foreach { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
+      assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(800)}")
+    }
+  }
+}
