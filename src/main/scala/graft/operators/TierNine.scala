@@ -285,6 +285,21 @@ object TierNine {
       .agg(min(struct(col("d"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"))
 
+  /** The trained-IVF INDEX as rows ready to LAY OUT by cell —
+    * `(cell, vec_id, e)` with cell = q67's Lloyd-trained nearest centroid.
+    * Writing this frame `Warehouse.writePartitioned(_, path, "cell")`
+    * turns the q70 probe into a one-directory scan: the cell filter is a
+    * PARTITION filter, so 100 TB of vectors cost one cell's worth of I/O
+    * per probe — the "cell id = write-time partition key" posture in
+    * [[q70]]'s scaladoc, executed and gated in AnnRecallSpec (pruned
+    * file set + pruned-store probe ≡ q70's answer). */
+  def ivfIndex(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = embOf(s, dir)
+    assignTo(emb, lloydCentroids(s, dir))
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(emb, "vec_id")
+  }
+
   /** One Lloyd step from the deterministic seeds: the 6-dp-rounded
     * per-cluster dimension means (`cent` of [[lloydSql]]). */
   private def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {

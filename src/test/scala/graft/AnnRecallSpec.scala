@@ -30,6 +30,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivf4 >= 0.6, s"IVF nprobe=4 recall $ivf4 under the 0.6 floor")
   }
 
+  test("trained-IVF store partitioned by cell: probe reads ONE cell directory ≡ q70") {
+    // the write-time layout half of q70's story: persist the trained index
+    // hive-partitioned by cell, and the probe's cell filter becomes a
+    // PARTITION filter — one directory of I/O per probe at any corpus size
+    import graft.operators.TierNine
+    import graft.sources.Warehouse
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    Warehouse.writePartitioned(TierNine.ivfIndex(spark, sf01), path, "cell")
+    val store = spark.read.parquet(path)
+    // a vector's own assignment IS its nearest centroid — q70's `best` for
+    // query 0 (getAs[Number]: hive partition-value inference types cell INT)
+    val bestCell = store.filter(col("vec_id") === 0)
+      .select("cell").head().getAs[Number](0).longValue
+    val probed = store.filter(col("cell") === bestCell)
+    probed.collect() // execute so the scan's pruning metrics populate
+    val scan = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      scan.metadata.toString.take(600))
+    assert(scan.metrics("numFiles").value == 1,
+      s"probe must read ONE cell's file, read ${scan.metrics("numFiles").value}")
+    // end-to-end: ranking the pruned store's survivors ≡ the declared q70
+    graft.expressions.GraftFunctions.register(spark)
+    def dot(x: String, y: String) = call_function("graft_dot", col(x), col(y))
+    val q0 = store.filter(col("vec_id") === 0).select(col("e").as("qv"))
+    val got = probed.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        round(dot("e", "qv") / (sqrt(dot("e", "e")) * sqrt(dot("qv", "qv"))), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val declared = TierNine.q70.run(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == declared, "pruned-store probe must reproduce q70 exactly")
+  }
+
   test("trained-IVF probe (q70) reports its single-cell recall vs exact") {
     val exact = ids(TierThree.q24.run(spark, sf01))
     val trained = ids(TierNine.q70.run(spark, sf01)).intersect(exact).size / 10.0
