@@ -21,6 +21,41 @@ object TextOps {
   def tok(s: SparkSession, dir: String): DataFrame =
     tokOf(Tables.load(s, dir, "documents"))
 
+  /** Per-row SimHash signature — the SKETCH-AT-INGEST flavor: one 63-bit
+    * signature from a bare text Column, no vocabulary, no explode, no
+    * aggregation, so a STREAM can sign documents as they arrive and feed
+    * [[TierSeven.hammingAdmit]]/[[TierSeven.hammingScreen]] directly (s22
+    * runs the whole admission pipeline on a stream). Bit j's hash keys on
+    * `xxhash64(token)` through the engine's affine family — deterministic
+    * across runs/retries, but a DIFFERENT key than q27's vocabulary rank,
+    * so signatures are not comparable across the two flavors: sign the
+    * corpus and its arrivals with the same one. Token-order and
+    * concatenation-with-self invariant (margins scale, signs don't);
+    * token-less text signs as 0.
+    *
+    * Cost note: built on higher-order functions (CodegenFallback,
+    * interpreted per token) — right for ingest-rate streams; batch
+    * backfills over a full corpus should prefer q27's explode+groupBy
+    * shape, which stays in codegen and shuffles once.
+    */
+  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import TierFour.{A0, B0, P}
+    val toks = filter(split(text, " "), t => t =!= "")
+    // acc_j = Σ_tokens (2·bit_j(xxhash64(tok)) − 1), j = 1..63
+    val accs = aggregate(
+      toks, array_repeat(lit(0L), 63),
+      (acc, t) => {
+        val h = pmod(xxhash64(t), lit(P))
+        zip_with(acc, sequence(lit(1L), lit(63L)), (a, j) =>
+          a + when(((lit(A0) * j) % P * h + (lit(B0) * j) % P) % P % 2 === 1, lit(1L))
+            .otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(accs, sequence(lit(0), lit(62)), (a, j) =>
+        when(a > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
+  }
+
   /** Distinct (doc_id, token) pairs from an arbitrary (doc_id, text)
     * relation — lets the dedup pipeline run over a pre-filtered corpus
     * (e.g. q53's exact-dedup survivors) instead of the raw table. */

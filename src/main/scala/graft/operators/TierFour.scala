@@ -496,10 +496,25 @@ object TierFour {
         round((length(col("text")).cast("double") - noSpace)
           / nullif0(length(col("text")).cast("double")), 6)
           .as("space_ratio"),
-        (when(size(toks).between(20, 400), 1).otherwise(0)
-          + when(stopRatio <= 0.2, 1).otherwise(0)
-          + when(avgLen.between(3, 8), 1).otherwise(0)).cast("long").as("quality"))
+        qualityCol(col("text")).as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** q31's 0–3 quality score as a pure per-row Column — the STATELESS form
+    * a streaming ingest gate applies before the expensive screens (s22);
+    * the declared q31 pins the identical arithmetic (plus the ratio
+    * breakdown) against the oracle. Gates: 20–400 tokens, stopword ratio
+    * ≤ 0.2, mean token length 3–8. */
+  def qualityCol(text: Column): Column = {
+    val nullif0 = (c: Column) => when(c === 0, lit(null)).otherwise(c)
+    val toks = filter(split(text, " "), x => x =!= "")
+    val nTok = nullif0(size(toks).cast("double"))
+    val stopRatio =
+      size(filter(split(text, " "), x => x.isin(stopwords: _*))).cast("double") / nTok
+    val avgLen = length(regexp_replace(text, " ", "")).cast("double") / nTok
+    (when(size(toks).between(20, 400), 1).otherwise(0)
+      + when(stopRatio <= 0.2, 1).otherwise(0)
+      + when(avgLen.between(3, 8), 1).otherwise(0)).cast("long")
   }
 
   /** Token counting three ways: whitespace tokens, a BPE-ish regex pass

@@ -301,5 +301,31 @@ object TierSeven {
       .select(col("in_id").as("doc_id"), col("corpus_id"), col("hamming"))
   }
 
+  /** The near-dup ADMISSION form of [[hammingScreen]] — returns the
+    * incoming rows that have NO corpus signature within Hamming distance
+    * ≤ 3, as one stateless LEFT ANTI join (stream-static anti joins are
+    * supported, so this is the drop-duplicates-at-the-door decision a live
+    * ingest makes per document — s22 runs it inside the full admission
+    * pipeline). The incoming side is NOT exploded: the corpus side carries
+    * its (j, ck) chunk postings and the join predicate picks the incoming
+    * signature's j-th chunk with an `element_at` over the four chunk
+    * values — one row in, one-or-zero rows out, no re-grouping. `incoming`
+    * must carry a `simhash` column ([[TextOps.simhashCol]] at ingest, or
+    * q27's batch build); other columns pass through untouched.
+    */
+  def hammingAdmit(incoming: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def chunk(c: org.apache.spark.sql.Column, j: Int) =
+      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
+    val y = corpus.select(col("simhash").as("corpus_sig"),
+      posexplode(array((0 until 4).map(j => chunk(col("simhash"), j)): _*))
+        .as(Seq("j_b", "ck_b")))
+    val inChunks = array((0 until 4).map(j => chunk(incoming("simhash"), j)): _*)
+    incoming.join(y,
+      element_at(inChunks, col("j_b").cast("int") + 1) === col("ck_b")
+        && bit_count(incoming("simhash").bitwiseXOR(col("corpus_sig"))) <= 3,
+      "left_anti")
+  }
+
   val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
 }

@@ -56,4 +56,39 @@ class SimhashPairSpec extends SparkSpec {
       assert(run(sigs) == brute(sigs), s"seed $seed diverged")
     }
   }
+
+  test("hammingAdmit ≡ incoming minus hammingScreen's matched docs (anti-join form)") {
+    val base = 0x0F0F_0F0F_0F0F_0F0L
+    val corpus = ((0 until 30).map(i => (100L + i, (i.toLong * 0x9E3779B97F4AL) & Long.MaxValue))
+      ++ Seq((200L, base))).toDF("doc_id", "simhash")
+    val incoming = Seq(
+      (900L, base ^ 5L),                  // d=2 → screened out
+      (901L, base ^ (15L << 50)),         // d=4 from base → admitted
+      (902L, 0x123456789ABCDEFL)).toDF("doc_id", "simhash")
+    val admitted = TierSeven.hammingAdmit(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val matched = TierSeven.hammingScreen(incoming, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == all -- matched)
+    assert(admitted.contains(901L) && !admitted.contains(900L))
+  }
+
+  test("simhashCol: per-row ingest signature is order/repetition invariant, 0 on empty") {
+    import graft.operators.TextOps
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"),          // permutation of 1
+      (3L, "alpha beta gamma delta epsilon zeta alpha beta gamma delta epsilon zeta"), // 1 doubled
+      (4L, "totally different words entirely here now"),
+      (5L, ""), (6L, "   "))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.simhashCol(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(1L) == rows(2L), "token order must not change the signature")
+    assert(rows(1L) == rows(3L), "doubling every margin must not change signs")
+    assert(rows(4L) != rows(1L))
+    assert(rows(5L) == 0L && rows(6L) == 0L)
+    assert(rows(1L) >= 0L, "63-bit signature stays nonnegative")
+  }
 }

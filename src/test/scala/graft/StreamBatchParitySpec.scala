@@ -311,4 +311,84 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(streamed == brute, "streamed screen must equal brute force")
     } finally q.stop()
   }
+
+  test("s22: the FULL ingest admission pipeline on a stream ≡ batch (quality → exact Bloom → near-dup anti-join)") {
+    // the capstone composition: a live document stream passes the stateless
+    // quality gate (q31's column), the exact-duplicate Bloom screen (corpus
+    // text digests), signs itself per-row (TextOps.simhashCol), and clears
+    // the near-dup anti-join against the corpus signature store — no state
+    // store anywhere, so admission is pure flow. Streamed admissions must
+    // equal the identical batch composition on the same rows.
+    import graft.functions.Bloom
+    import graft.operators.{TextOps, TierFour, TierSeven}
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val sigStore = corpus
+      .select(col("doc_id"), TextOps.simhashCol(col("text")).as("simhash"))
+      .persist()
+    val words = Bloom.toBits(
+      Bloom.build(corpus, xxhash64(col("text")), bits = 1024, hashes = 3), bits = 1024)
+    // fixtures: a quality reject, an exact re-ingest of a GOOD corpus doc,
+    // a near-dup (single-token edit within Hamming ≤ 3 — searched
+    // deterministically below), and a fresh document
+    val goodDocs = corpus
+      .filter(TierFour.qualityCol(col("text")) >= 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(goodDocs.nonEmpty, "fixture needs a quality-passing corpus doc")
+    val (srcId, srcText) = goodDocs.head
+    val corpusSigs = sigStore.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edits = goodDocs.take(10).flatMap { case (id, t) =>
+      val toks = t.split(" ")
+      toks.indices.take(40).map { p =>
+        (id, t.split(" ").updated(p, "graftedit").mkString(" "))
+      }
+    }
+    val editSigs = edits.map(_._2).toSeq.toDF("text")
+      .select(col("text"), TextOps.simhashCol(col("text")).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def minDist(sig: Long): Int =
+      corpusSigs.values.map(c => java.lang.Long.bitCount(sig ^ c)).min
+    val nearDup = editSigs.collectFirst {
+      case (t, sig) if minDist(sig) >= 1 && minDist(sig) <= 3 => t
+    }
+    assert(nearDup.isDefined, "no single-token edit landed within Hamming 1..3")
+    // fresh candidates: pick the first that isn't a Bloom false positive
+    // (one-sided error is the filter's contract — the pipeline hands such
+    // docs to exact verification or accepts the over-drop; the spec needs
+    // a clean admission) and is ≥ 4 from every corpus signature
+    val freshCandidates = (0 until 8).map(k =>
+      (0 until 25).map(i => s"zq${k}g${i}xv${(i * 7 + k) % 13}w").mkString(" "))
+    val freshScan = freshCandidates.toDF("text")
+      .select(col("text"),
+        Bloom.mightContainCol(words, xxhash64(col("text")), bits = 1024, hashes = 3).as("fp"),
+        TextOps.simhashCol(col("text")).as("sig"))
+      .collect()
+    val fresh = freshScan.collectFirst {
+      case r if !r.getBoolean(1) && minDist(r.getLong(2)) >= 4 => r.getString(0)
+    }.getOrElse(fail("no fresh candidate cleared the Bloom + distance screen"))
+    val incoming = Seq(
+      (9001L, "a a a a a"),      // quality reject (short, stopwordy, 1-char tokens)
+      (9002L, srcText),          // exact duplicate of corpus doc srcId
+      (9003L, nearDup.get),      // near-duplicate — dropped by the anti-join
+      (9004L, fresh))            // clean admission
+    def pipeline(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TierSeven.hammingAdmit(
+        df.filter(TierFour.qualityCol(col("text")) >= 2)
+          .filter(!Bloom.mightContainCol(words, xxhash64(col("text")), bits = 1024, hashes = 3))
+          .withColumn("simhash", TextOps.simhashCol(col("text"))),
+        sigStore)
+    val batchAdmitted = pipeline(incoming.toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchAdmitted == Set(9004L),
+      s"batch pipeline must admit only the fresh doc, got $batchAdmitted " +
+        s"(near-dup minDist=${minDist(editSigs.toMap.apply(nearDup.get))})")
+    val in = MemoryStream[(Long, String)]
+    val q = pipeline(in.toDF().select(col("_1").as("doc_id"), col("_2").as("text")))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("s22_out").outputMode("append").start()
+    try {
+      incoming.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("s22_out").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchAdmitted, "streamed admissions must equal batch")
+    } finally { q.stop(); sigStore.unpersist() }
+  }
 }
