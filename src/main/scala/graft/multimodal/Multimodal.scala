@@ -27,6 +27,16 @@ final case class AssetFeatures(
     n_frames: Int,
     features: Array[Float])
 
+/** One sampled frame of a video-modality asset — the 1:N output shape of
+  * [[Multimodal.sampleFrames]]; downstream stages treat each frame as an
+  * independent asset-ish row (decode → features → dedup/similarity).
+  */
+final case class Frame(
+    asset_id: Long,
+    frame_no: Int,
+    n_bytes: Long,
+    bytes: Array[Byte])
+
 /** Multimodal column plumbing (north-star addendum; the reference has no
   * media path at all). The Spark-side mechanics — schema, batch-shaped
   * per-partition decode, feature extraction signature, partitioning — are
@@ -52,6 +62,14 @@ object Multimodal {
     */
   trait Codec extends Serializable {
     def decode(modality: String, bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+
+    /** Re-encode `bytes` at target `w × h` (image resize / audio resample).
+      * Stubbed deterministically below; a real codec decodes, scales,
+      * re-encodes. */
+    def resize(modality: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+
+    /** Split a (video-ish) payload into per-frame payloads, in order. */
+    def frames(modality: String, bytes: Array[Byte]): Seq[Array[Byte]]
   }
 
   /** Deterministic fake standing in for the real decoder (no media libs in
@@ -67,6 +85,27 @@ object Multimodal {
       while (i < n) { hist((bytes(i) & 0xff) >>> 5) += 1f; i += 1 }
       if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n.toFloat; j += 1 } }
       (n % 640 + 16, n % 480 + 16, n % 30 + 1, hist)
+    }
+
+    /** Stub resize: uniform byte-stride downsample to ≈ the target pixel
+      * share of the original — deterministic, monotone in `w·h`, and the
+      * output re-decodes (it is just bytes). */
+    def resize(modality: String, bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (w0, h0, _, _) = decode(modality, bytes)
+      val stride = math.max(1L, w0.toLong * h0 / math.max(1L, w.toLong * h)).toInt
+      bytes.indices.collect { case i if i % stride == 0 => bytes(i) }.toArray
+    }
+
+    /** Stub frame split: the decode rule's frame count, near-equal chunks,
+      * loss-free (concatenating all frames restores the payload — pinned in
+      * MultimodalSpec). */
+    def frames(modality: String, bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val (_, _, nf, _) = decode(modality, bytes)
+      val size = math.max(1, (bytes.length + nf - 1) / nf)
+      bytes.grouped(size).toSeq.take(nf) match {
+        case s if bytes.isEmpty => Seq(Array.emptyByteArray)
+        case s => s
+      }
     }
   }
 
@@ -105,6 +144,50 @@ object Multimodal {
           AssetFeatures(a.asset_id, a.modality, a.bytes.length.toLong, w, h, f, feats)
         }
       }
+    }
+  }
+
+  /** Batch-shaped distributed RESIZE — same task shape as [[decodeFeatures]]
+    * (skew-safe repartition by id, per-batch codec hook), 1:1 rows out with
+    * the payload re-encoded at `w × h` and the meta stamped `resized=WxH`.
+    * Output is an asset table again, so the stages compose (resize →
+    * decode → features → similarity). */
+  def resizeAssets(
+      spark: SparkSession,
+      assets: Dataset[Asset],
+      w: Int,
+      h: Int,
+      codec: Codec = StubCodec,
+      batchSize: Int = 64): Dataset[Asset] = {
+    import spark.implicits._
+    assets.repartition(col("asset_id")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { a =>
+        Asset(a.asset_id, a.modality, codec.resize(a.modality, a.bytes, w, h),
+          a.meta + ("resized" -> s"${w}x${h}"))
+      })
+    }
+  }
+
+  /** Batch-shaped distributed FRAME SAMPLING — the 1:N multimodal op: each
+    * (video-ish) asset explodes into every `every`-th decoded frame, frame
+    * numbers preserved from the full sequence. Repartitioning by id BEFORE
+    * the explode keeps a handful of giant videos from skewing one task;
+    * the fan-out happens executor-side (iterator flatMap, nothing buffers
+    * a whole video's frames beyond the codec's own split). */
+  def sampleFrames(
+      spark: SparkSession,
+      assets: Dataset[Asset],
+      every: Int = 1,
+      codec: Codec = StubCodec,
+      batchSize: Int = 64): Dataset[Frame] = {
+    import spark.implicits._
+    require(every >= 1, s"every must be >= 1, got $every")
+    assets.repartition(col("asset_id")).mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { a =>
+        codec.frames(a.modality, a.bytes).iterator.zipWithIndex.collect {
+          case (fb, i) if i % every == 0 => Frame(a.asset_id, i, fb.length.toLong, fb)
+        }
+      })
     }
   }
 }
