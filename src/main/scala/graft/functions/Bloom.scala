@@ -36,6 +36,20 @@ object Bloom {
       .select(pos(col("bf_j"), col("bf_id"), bits).as("bf_pos"))
       .distinct()
 
+  /** Merge two filters built with the SAME (bits, hashes): the filter is a
+    * bit SET, so the merge is set union and `union(build(A), build(B)) ≡
+    * build(A ∪ B)` EXACTLY (SketchSpec pins the law) — build blocklists per
+    * partition/source, union the ≤`bits`-row tables, screen once. The
+    * packed-word form merges as bitwise OR ([[unionBits]]). */
+  def union(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).distinct()
+
+  /** [[union]] over [[toBits]]-packed filters: word-wise OR. */
+  def unionBits(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length, s"word counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (x, y) => x | y }
+  }
+
   /** Pack the filter into `bits/64` longs — ≤ `bits` rows collected, which
     * is metadata-scale BY CONSTRUCTION however many keys were built in
     * (that bound is the whole point of a Bloom filter). */

@@ -45,6 +45,16 @@ object CountMin {
     * through map-side, no corpus shuffle. Internals ride `cm_`-prefixed
     * columns (the sketch's own j/cell/s are aliased on the way in), so
     * caller columns named j/cell/s are safe; `cm_*`/`est` are reserved. */
+  /** Merge two sketches built with the SAME (depth, width): cells are sums,
+    * so the merge is cell-wise addition and `merge(build(A), build(B)) ≡
+    * build(A ⊎ B)` EXACTLY (SketchSpec pins the law). This is the property
+    * that makes the sketch distributable at 100 TB — build per
+    * partition/day/source, merge the broadcast-sized cell tables, never
+    * re-scan — and it is the same algebra the streaming build (s17) runs
+    * incrementally. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("j", "cell").agg(sum(col("s")).as("s"))
+
   /** Pack the sketch into a dense `depth·width` long array (row-major by
     * hash row j) — ≤ `depth·width` rows collected, broadcast-sized by
     * construction. Empty cells are 0, matching [[probe]]'s

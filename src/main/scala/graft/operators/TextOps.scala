@@ -56,6 +56,20 @@ object TextOps {
       lit(0L), (s, x) => s + x)
   }
 
+  /** Distinct (id, trigram) pairs — the word-3-gram shingles of the
+    * contamination scans (q47 vs a fixed eval set, q78 across splits).
+    * Documents under 3 tokens carry no shingles (explicit guard: Spark's
+    * `sequence()` throws on a descending range where DuckDB's `range()`
+    * returns empty). */
+  def trigrams(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), filter(split(col(text), " "), x => x =!= "").as("l"))
+      .filter(size(col("l")) >= 3)
+      .select(col(id),
+        explode(transform(sequence(lit(0), size(col("l")) - 3),
+          k => concat_ws(" ", element_at(col("l"), k + 1),
+            element_at(col("l"), k + 2), element_at(col("l"), k + 3)))).as("t"))
+      .distinct()
+
   /** Distinct (doc_id, token) pairs from an arbitrary (doc_id, text)
     * relation — lets the dedup pipeline run over a pre-filtered corpus
     * (e.g. q53's exact-dedup survivors) instead of the raw table. */

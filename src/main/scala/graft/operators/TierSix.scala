@@ -106,13 +106,7 @@ object TierSix {
       |       CAST(count(*) AS BIGINT) AS n_hits
       |FROM dt JOIN et USING (t) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     def trigrams(df: org.apache.spark.sql.DataFrame, id: String, text: String) =
-      df.select(col(id), filter(split(col(text), " "), x => x =!= "").as("l"))
-        .filter(size(col("l")) >= 3) // guard: sequence() descends on short docs
-        .select(col(id),
-          explode(transform(sequence(lit(0), size(col("l")) - 3),
-            k => concat_ws(" ", element_at(col("l"), k + 1),
-              element_at(col("l"), k + 2), element_at(col("l"), k + 3)))).as("t"))
-        .distinct()
+      TextOps.trigrams(df, id, text)
     val ev = s.sql(
       """SELECT * FROM VALUES
         |  (0, 'data table join fast query scan row value'),

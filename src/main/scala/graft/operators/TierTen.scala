@@ -172,5 +172,57 @@ object TierTen {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77)
+  /** Cross-split decontamination — q75's split composed with q47's trigram
+    * scan, against the corpus' OWN eval splits instead of a fixed benchmark
+    * list: a train-split document is contaminated when it shares any word
+    * trigram with any valid/test-split document, the leak that silently
+    * inflates eval scores. Output: per-language train size and contaminated
+    * count (the pipeline drops or rewrites those before packing).
+    *
+    * Scale: train-side shingles never collect anywhere; the eval shingle
+    * set is ~2 % of the corpus (the split ratio) joined on the shingle —
+    * AQE broadcasts it while it fits and degrades to a shuffle semi-join
+    * when it doesn't, both correct (q47 is the broadcast-pinned tiny-eval
+    * variant). Two narrow aggs, no Expand (q47's two-level lesson).
+    */
+  val q78 = Q("q78_split_decontaminate",
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, text, ((doc_id % $P) * $A0 + $B0) % $P % 1000 AS bkt
+       |  FROM documents),
+       |tr AS (SELECT doc_id, lang, text FROM b WHERE bkt < 980),
+       |ev AS (SELECT doc_id, text FROM b WHERE bkt >= 980),
+       |et AS (
+       |  SELECT DISTINCT t FROM (
+       |    SELECT unnest(list_transform(range(len(l) - 2),
+       |      k -> l[k+1] || ' ' || l[k+2] || ' ' || l[k+3])) AS t
+       |    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM ev))),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(l) - 2),
+       |      k -> l[k+1] || ' ' || l[k+2] || ' ' || l[k+3])) AS t
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       |          FROM tr))),
+       |cont AS (SELECT DISTINCT doc_id FROM dt JOIN et USING (t))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |FROM tr GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val withSplit = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        (((col("doc_id") % P) * A0 + B0) % P % 1000).as("bkt"))
+    val train = withSplit.filter(col("bkt") < 980)
+    val evalT = TextOps.trigrams(withSplit.filter(col("bkt") >= 980), "doc_id", "text")
+      .select("t").distinct()
+    val contaminated = TextOps.trigrams(train, "doc_id", "text")
+      .join(evalT, Seq("t"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("c", lit(1))
+    train.join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78)
 }

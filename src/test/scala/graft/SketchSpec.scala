@@ -104,6 +104,36 @@ class SketchSpec extends SparkSpec {
     est.foreach { case (i, n, e) => assert(e >= n, s"CMS under-estimate for $i") }
   }
 
+  test("merge laws: CMS merge ≡ build over the multiset union; Bloom union ≡ build over the set union") {
+    // the distributable-sketch algebra: build per partition/day/source,
+    // merge the broadcast-sized sketch tables, never re-scan the data
+    import graft.functions.{Bloom, CountMin}
+    import spark.implicits._
+    val aRows = (1L to 120L).map(i => (i, i % 5 + 1))
+    val bRows = (80L to 220L).map(i => (i, i % 3 + 2)) // overlapping keys
+    val a = aRows.toDF("id", "n"); val b = bRows.toDF("id", "n")
+    // CMS: cells are sums — merge must equal the one-shot build over the
+    // per-key SUMMED frequencies (a key in both inputs adds its counts)
+    val both = (aRows ++ bRows).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq.map { case (k, v) => (k, v) }
+      .toDF("id", "n")
+    val merged = CountMin.merge(
+      CountMin.build(a, col("id"), col("n")), CountMin.build(b, col("id"), col("n")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = CountMin.build(both, col("id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == oneShot && merged.nonEmpty)
+    // Bloom: bit set — union must equal the build over the key union,
+    // in both the row and the packed-word form
+    val fa = Bloom.build(a, col("id")); val fb = Bloom.build(b, col("id"))
+    val fu = Bloom.union(fa, fb).collect().map(_.getLong(0)).toSet
+    val fAll = Bloom.build(a.select("id").unionAll(b.select("id")), col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(fu == fAll && fu.nonEmpty)
+    assert(Bloom.unionBits(Bloom.toBits(fa), Bloom.toBits(fb)).toSeq ==
+      Bloom.toBits(Bloom.union(fa, fb)).toSeq)
+  }
+
   test("approxQuantile brackets the exact median") {
     val events = Tables.load(spark, sf, "events")
     val Array(q50) = Sketches.approxQuantiles(events, "value", Array(0.5))

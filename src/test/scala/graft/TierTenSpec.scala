@@ -68,6 +68,28 @@ class TierTenSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("q78 decontamination ≡ brute force, and its train counts ≡ q75's train split") {
+    val P = 2147483647L; val A0 = 2654435761L; val B0 = 40503L
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bkt(id: Long) = ((id % P) * A0 + B0) % P % 1000
+    def tris(t: String) = t.split(" ").filter(_.nonEmpty).sliding(3)
+      .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val evalTris = docs.filter(d => bkt(d._1) >= 980).flatMap(d => tris(d._3)).toSet
+    val train = docs.filter(d => bkt(d._1) < 980)
+    val expected = train.groupBy(_._2).view.mapValues { ds =>
+      (ds.size.toLong, ds.count(d => tris(d._3).exists(evalTris)).toLong)
+    }.toMap
+    val got = TierTen.q78.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected && got.nonEmpty)
+    val q75train = TierTen.q75.run(spark, sf).collect()
+      .filter(_.getString(0) == "train").map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got.view.mapValues(_._1).toMap == q75train,
+      "q78's train universe must be exactly q75's train split")
+  }
+
   test("q75/q77 plans: no CartesianProduct, no single-partition exchange") {
     Seq(TierTen.q75, TierTen.q77).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
