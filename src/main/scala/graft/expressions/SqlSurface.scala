@@ -70,6 +70,22 @@ object SqlSurface {
         val depth = if (exprs.length == 4) intLit(exprs(2), "graft_cm_est", "depth") else 4
         val width = if (exprs.length == 4) intLit(exprs(3), "graft_cm_est", "width") else 64
         uncol(CountMin.estCol(c(exprs.head), c(exprs(1)), depth, width))
+      }),
+
+    ("graft_simhash",
+      "graft_simhash(text STRING) - per-row 63-bit ingest SimHash signature" +
+        " (TextOps.simhashCol; xxhash64-keyed, vocabulary-free)",
+      exprs => {
+        arity("graft_simhash", exprs, 1)
+        uncol(graft.operators.TextOps.simhashCol(c(exprs.head)))
+      }),
+
+    ("graft_quality",
+      "graft_quality(text STRING) - q31's 0-3 document quality score" +
+        " (TierFour.qualityCol: length / stopword / token-length gates)",
+      exprs => {
+        arity("graft_quality", exprs, 1)
+        uncol(graft.operators.TierFour.qualityCol(c(exprs.head)))
       }))
 
   /** (name, usage, builder) for every table-valued function — whole-plan

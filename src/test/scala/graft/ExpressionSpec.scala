@@ -105,6 +105,21 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_simhash / graft_quality from SQL ≡ their Scala columns (the ingest gate in pure SQL)") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id, graft_simhash(text) AS sig, graft_quality(text) AS q
+        |FROM docs_sql""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val scala = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextOps.simhashCol(col("text")).as("sig"),
+        graft.operators.TierFour.qualityCol(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sql == scala && sql.nonEmpty)
+  }
+
   test("SQL-surface size parameters must be literals (they shape the expression tree)") {
     GraftFunctions.register(spark)
     spark.range(1).select(array(lit(0L)).as("w")).createOrReplaceTempView("one_word")
