@@ -101,4 +101,43 @@ object Cumulative {
   def runningCount(spark: SparkSession, events: DataFrame, partitions: Int = 0): DataFrame =
     rowNumber(spark, events.select(col("event_id"), col("ts")),
       Seq(col("ts"), col("event_id")), "running_cnt", partitions)
+
+  /** Append `outName` = INCLUSIVE BIGINT running sum of `value` over the
+    * given TOTAL order — `sum(value) OVER (ORDER BY …)` without the
+    * single-partition window: the same two-pass shape as [[rowNumber]],
+    * with per-partition SUMS as the offset array (still ≤ #partitions longs
+    * to the driver). `value` must be integral (cast upstream — float
+    * accumulation order would change the answer); same ownership contract
+    * and [[releaseAll]] cache discipline as [[rowNumber]]. CumulativeSpec
+    * pins row-for-row equality with the window form.
+    */
+  def runningSum(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      value: Column, outName: String, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val in = df.withColumn("__rs_v", value.cast(LongType)).persist()
+    val parted = in
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist() // pin sampled range boundaries across the two passes
+    retained.synchronized { retained += parted }
+    val perPartition = parted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("__rs_v")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    in.unpersist()
+    val offsets = (0 until p).scanLeft(0L) {
+      case (acc, pid) => acc + perPartition.getOrElse(pid, 0L)
+    }.toArray
+    val outSchema = StructType(in.schema.fields :+ StructField(outName, LongType))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    parted.mapPartitions { it =>
+      var acc = offsets(TaskContext.getPartitionId())
+      val vIdx = outSchema.fieldIndex("__rs_v")
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }.drop("__rs_v")
+  }
 }

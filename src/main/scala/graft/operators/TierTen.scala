@@ -224,5 +224,53 @@ object TierTen {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78)
+  /** Vocabulary coverage curve — the tokenizer-design question "how many
+    * vocabulary entries cover X % of all token instances?" for X ∈
+    * {50, 90, 99}: rank tokens by corpus frequency (ties on the token —
+    * a total order) and report the minimal covering prefix size plus the
+    * instances it covers. All-integer: inclusion test is
+    * `(cum − freq)·100 < pct·total` (exclusive prefix still short of the
+    * target), safe to ~9·10¹⁶ instances under the ×100 scaling.
+    *
+    * Scale: the cumulative sum over the frequency-ranked vocabulary runs
+    * through [[Cumulative.runningSum]] — the two-pass distributed prefix
+    * sum, NOT a partitionless window (a web corpus has 10⁹⁺ distinct
+    * tokens); the 1-row total and the 3-row target table broadcast.
+    */
+  val q79 = Q("q79_vocab_coverage",
+    """WITH f AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1),
+      |c AS (
+      |  SELECT freq, sum(freq) OVER (ORDER BY freq DESC, token) AS cum FROM f),
+      |t AS (SELECT sum(freq) AS total FROM f)
+      |SELECT CAST(v.pct AS BIGINT) AS pct,
+      |       CAST(count(CASE WHEN (cum - freq) * 100 < v.pct * total THEN 1 END) AS BIGINT)
+      |         AS n_tokens,
+      |       CAST(max(CASE WHEN (cum - freq) * 100 < v.pct * total THEN cum END) AS BIGINT)
+      |         AS covered
+      |FROM c CROSS JOIN t CROSS JOIN (VALUES (50), (90), (99)) AS v(pct)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val freq = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val cum = Cumulative.runningSum(s, freq,
+      Seq(col("freq").desc, col("token")), col("freq"), "cum")
+    // the global total IS the last cumulative value — one agg over the
+    // already-partitioned cache, no second tokenize pass
+    val total = cum.agg(max("cum").as("total"))
+    val targets = s.sql("SELECT * FROM VALUES (50L), (90L), (99L) AS t(pct)")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(targets))
+      .groupBy("pct")
+      .agg(
+        count(when((col("cum") - col("freq")) * 100 < col("pct") * col("total"), 1))
+          .as("n_tokens"),
+        max(when((col("cum") - col("freq")) * 100 < col("pct") * col("total"), col("cum")))
+          .as("covered"))
+      .orderBy("pct")
+  }
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79)
 }

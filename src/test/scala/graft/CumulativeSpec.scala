@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Cumulative, TierOne}
+import org.apache.spark.sql.functions._
 
 /** The two-pass distributed running total equals the single-partition
   * window-function formulation row-for-row (q09's scale path). */
@@ -16,5 +17,20 @@ class CumulativeSpec extends SparkSpec {
       .sortBy(t => (t._3))
     assert(twoPass.length == windowed.length)
     assert(twoPass.toSeq == windowed.toSeq)
+  }
+
+  test("two-pass runningSum ≡ window-function cumulative sum (integral values)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"),
+        (col("value") * 100).cast("long").as("v"))
+    val windowed = df
+      .withColumn("cum", sum("v").over(Window.orderBy(col("ts"), col("event_id"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val twoPass = Cumulative.runningSum(spark, df,
+        Seq(col("ts"), col("event_id")), col("v"), "cum", partitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(twoPass == windowed && twoPass.nonEmpty)
+    Cumulative.releaseAll()
   }
 }

@@ -90,11 +90,15 @@ class TierTenSpec extends SparkSpec {
       "q78's train universe must be exactly q75's train split")
   }
 
-  test("q75/q77 plans: no CartesianProduct, no single-partition exchange") {
-    Seq(TierTen.q75, TierTen.q77).foreach { q =>
+  test("tier-10 + screen plans: no CartesianProduct, no single-partition exchange") {
+    Seq(TierTen.q74, TierTen.q75, TierTen.q76, TierTen.q77, TierTen.q78,
+      graft.operators.TierNine.q73).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
       assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(800)}")
     }
+    // q78's contamination probe is a SEMI join (no payload columns move)
+    val p78 = TierTen.q78.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p78.contains("LeftSemi"), p78.take(800))
   }
 }
