@@ -73,4 +73,24 @@ class ShortDocSpec extends SparkSpec {
     val bins = TierNine.q68.run(spark, tmp).collect()
     assert(bins.map(_.getLong(1)).sum == 1 + 2 + 3 + 6, "empty doc contributes no tokens")
   }
+
+  test("tier-10 on the degenerate corpus: no shingle crashes, splits/diffs stay total") {
+    import graft.operators.TierTen
+    // q77: no doc reaches 8 tokens — empty output, not a crash
+    assert(TierTen.q77.run(spark, tmp).collect().isEmpty)
+    // q78: no trigrams on either side of the split → zero contamination,
+    // but every train doc still counted
+    val dec = TierTen.q78.run(spark, tmp).collect()
+    assert(dec.map(_.getLong(1)).sum <= 5 && dec.forall(_.getLong(2) == 0L))
+    // q75: the split stays a partition of all 5 docs
+    assert(TierTen.q75.run(spark, tmp).collect().map(_.getLong(2)).sum == 5L)
+    // q74: snapshot diff classifies every doc (empty text hashes fine)
+    assert(TierTen.q74.run(spark, tmp).collect().map(_.getLong(2)).sum > 0)
+    // q79: token-less doc contributes nothing; coverage rows stay 3
+    val cov = TierTen.q79.run(spark, tmp).collect()
+    assert(cov.length == 3 && cov.forall(_.getLong(1) > 0))
+    // q76: empty doc's n_chars=0 keeps the div-mean defined (count>0)
+    val stats = graft.operators.TierTen.q76.run(spark, tmp).collect()
+    assert(stats.map(_.getLong(1)).sum == 5L)
+  }
 }
