@@ -94,4 +94,26 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
+
+  /** Symmetric per-vector int8 quantization — the STORAGE side of the ANN
+    * family: `code_i = round(127 · v_i / max|v|)` shrinks the vector store
+    * 4× (ARRAY<TINYINT> vs ARRAY<FLOAT>), and because cosine is
+    * scale-invariant PER VECTOR, ranking by cosine over the codes is the
+    * exact ranking over the originals up to the int rounding — no
+    * per-dimension stats table, no calibration pass, each row quantizes
+    * independently (stream-safe). AnnRecallSpec pins the recall floor of
+    * a brute-force top-10 over codes vs the exact q24. The all-zero
+    * vector codes to all-zero. Engine-side only (not oracle-declared:
+    * `round` half-up on DOUBLE is not specified identically across
+    * engines). */
+  def quantizeInt8(vec: Column): Column = {
+    val m = aggregate(vec, lit(0.0), (a, x) => greatest(a, abs(x)))
+    transform(vec, x =>
+      when(m === 0.0, lit(0)).otherwise(round(x * 127.0 / m)).cast("tinyint"))
+  }
+
+  /** Codes back to DOUBLE in [−1, 1] (the per-vector scale cancels in any
+    * cosine, so `code/127` is all a similarity query needs). */
+  def dequantize(codes: Column): Column =
+    transform(codes, c => c.cast("double") / 127.0)
 }

@@ -67,6 +67,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(got == declared, "pruned-store probe must reproduce q70 exactly")
   }
 
+  test("int8-quantized store: 4x smaller codes keep brute-force top-10 recall ≥ 0.8") {
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions._
+    graft.expressions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, sf01, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val codes = emb.select(col("vec_id"), Ann.quantizeInt8(col("e")).as("qe"))
+    assert(codes.schema("qe").dataType.simpleString == "array<tinyint>",
+      "codes must store as TINYINT (4x smaller than FLOAT)")
+    val deq = codes.select(col("vec_id"), Ann.dequantize(col("qe")).as("e"))
+    def dot(x: String, y: String) = call_function("graft_dot", col(x), col(y))
+    val q0 = deq.filter(col("vec_id") === 0).select(col("e").as("qv"))
+    val top = deq.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+        (dot("e", "qv") / (sqrt(dot("e", "e")) * sqrt(dot("qv", "qv")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+    val exact = ids(TierThree.q24.run(spark, sf01))
+    val recall = ids(top).intersect(exact).size / 10.0
+    info(s"int8 store recall: $recall")
+    assert(recall >= 0.8, s"int8 recall $recall under the 0.8 floor")
+    // the all-zero vector codes to all-zero (no division blowup)
+    val z = spark.sql("SELECT array(0.0d, 0.0d) AS e")
+      .select(Ann.quantizeInt8(col("e")).as("q")).head().getSeq[Byte](0)
+    assert(z == Seq(0, 0))
+  }
+
   test("trained-IVF probe (q70) reports its single-cell recall vs exact") {
     val exact = ids(TierThree.q24.run(spark, sf01))
     val trained = ids(TierNine.q70.run(spark, sf01)).intersect(exact).size / 10.0
