@@ -74,10 +74,10 @@ object SqlSurface {
 
     ("graft_simhash",
       "graft_simhash(text STRING) - per-row 63-bit ingest SimHash signature" +
-        " (TextOps.simhashCol; xxhash64-keyed, vocabulary-free)",
+        " (native codegen'd expression; xxhash64-keyed, vocabulary-free)",
       exprs => {
         arity("graft_simhash", exprs, 1)
-        uncol(graft.operators.TextOps.simhashCol(c(exprs.head)))
+        SimHash(exprs.head)
       }),
 
     ("graft_quality",

@@ -33,12 +33,22 @@ object TextOps {
     * concatenation-with-self invariant (margins scale, signs don't);
     * token-less text signs as 0.
     *
-    * Cost note: built on higher-order functions (CodegenFallback,
-    * interpreted per token) — right for ingest-rate streams; batch
-    * backfills over a full corpus should prefer q27's explode+groupBy
-    * shape, which stays in codegen and shuffles once.
+    * Implemented as the native codegen'd [[graft.expressions.SimHash]]
+    * expression (one static call per row — the declarative higher-order-
+    * function form below is CodegenFallback, interpreted 63 lanes per
+    * token); [[simhashColReference]] keeps that form as the differential
+    * the spec pins the expression against, bit for bit.
     */
-  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.SimHash(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** The declarative (aggregate/zip_with) formulation of [[simhashCol]] —
+    * semantically identical, kept as the independent reference the native
+    * expression is differentialed against (SimhashPairSpec). Not for hot
+    * paths: Spark's higher-order functions are CodegenFallback. */
+  private[graft] def simhashColReference(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import TierFour.{A0, B0, P}
     val toks = filter(split(text, " "), t => t =!= "")
     // acc_j = Σ_tokens (2·bit_j(xxhash64(tok)) − 1), j = 1..63

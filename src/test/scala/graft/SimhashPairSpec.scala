@@ -91,4 +91,28 @@ class SimhashPairSpec extends SparkSpec {
     assert(rows(5L) == 0L && rows(6L) == 0L)
     assert(rows(1L) >= 0L, "63-bit signature stays nonnegative")
   }
+
+  test("native SimHash expression ≡ declarative reference bit-for-bit, inside codegen, null-safe") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(col("doc_id"),
+      TextOps.simhashCol(col("text")).as("fast"),
+      TextOps.simhashColReference(col("text")).as("slow"))
+    both.collect().foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)} diverged"))
+    // the expression fuses into whole-stage codegen (the reference form
+    // can't — higher-order functions are CodegenFallback)
+    val plan = docs.select(TextOps.simhashCol(col("text")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_simhash"), plan.take(500))
+    // null in, null out; interpreted eval path agrees (constant folding
+    // evaluates literals without codegen)
+    graft.expressions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_simhash(CAST(null AS STRING)) AS n,
+        |       graft_simhash('alpha beta') AS v""".stripMargin).head()
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) >= 0L)
+  }
 }
