@@ -86,6 +86,14 @@ object SqlSurface {
       exprs => {
         arity("graft_quality", exprs, 1)
         uncol(graft.operators.TierFour.qualityCol(c(exprs.head)))
+      }),
+
+    ("graft_quantize_int8",
+      "graft_quantize_int8(vec ARRAY<DOUBLE>) - symmetric per-vector int8" +
+        " codes, round(127*v/max|v|) (native codegen'd expression)",
+      exprs => {
+        arity("graft_quantize_int8", exprs, 1)
+        QuantizeInt8(exprs.head)
       }))
 
   /** (name, usage, builder) for every table-valued function — whole-plan

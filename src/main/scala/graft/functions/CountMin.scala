@@ -37,14 +37,6 @@ object CountMin {
       .groupBy(col("j"), AffineHash.slot(col("j"), col("cm_id"), width).as("cell"))
       .agg(sum(col("cm_f")).as("s"))
 
-  /** Probe: append `est` (the CMS point estimate, min over the depth rows;
-    * 0 for a key hashing only to empty cells) to `keys`, whose rows MUST
-    * be distinct — the fan-out re-collapses by grouping on every caller
-    * column, so duplicate rows would silently merge. `depth`/`width` must
-    * match the [[build]] call. The sketch is broadcast — `keys` streams
-    * through map-side, no corpus shuffle. Internals ride `cm_`-prefixed
-    * columns (the sketch's own j/cell/s are aliased on the way in), so
-    * caller columns named j/cell/s are safe; `cm_*`/`est` are reserved. */
   /** Merge two sketches built with the SAME (depth, width): cells are sums,
     * so the merge is cell-wise addition and `merge(build(A), build(B)) ≡
     * build(A ⊎ B)` EXACTLY (SketchSpec pins the law). This is the property
@@ -83,6 +75,14 @@ object CountMin {
     if (cells.size == 1) cells.head else least(cells: _*)
   }
 
+  /** Probe: append `est` (the CMS point estimate, min over the depth rows;
+    * 0 for a key hashing only to empty cells) to `keys`, whose rows MUST
+    * be distinct — the fan-out re-collapses by grouping on every caller
+    * column, so duplicate rows would silently merge. `depth`/`width` must
+    * match the [[build]] call. The sketch is broadcast — `keys` streams
+    * through map-side, no corpus shuffle. Internals ride `cm_`-prefixed
+    * columns (the sketch's own j/cell/s are aliased on the way in), so
+    * caller columns named j/cell/s are safe; `cm_*`/`est` are reserved. */
   def probe(keys: DataFrame, id: Column, sketch: DataFrame,
       depth: Int = 4, width: Int = 64): DataFrame = {
     val out = keys.columns.toIndexedSeq.map(col)

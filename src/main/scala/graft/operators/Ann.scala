@@ -104,13 +104,14 @@ object Ann {
     * independently (stream-safe). AnnRecallSpec pins the recall floor of
     * a brute-force top-10 over codes vs the exact q24. The all-zero
     * vector codes to all-zero. Engine-side only (not oracle-declared:
-    * `round` half-up on DOUBLE is not specified identically across
-    * engines). */
-  def quantizeInt8(vec: Column): Column = {
-    val m = aggregate(vec, lit(0.0), (a, x) => greatest(a, abs(x)))
-    transform(vec, x =>
-      when(m === 0.0, lit(0)).otherwise(round(x * 127.0 / m)).cast("tinyint"))
-  }
+    * round-half-up on DOUBLE is not specified identically across
+    * engines). Planned as the native [[graft.expressions.QuantizeInt8]]
+    * — a declarative `transform`-referencing-`aggregate` form would
+    * re-evaluate the max-abs pass per ELEMENT (O(d²) interpreted steps
+    * per row; higher-order functions are CodegenFallback). */
+  def quantizeInt8(vec: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.QuantizeInt8(org.apache.spark.sql.GraftSqlBridge.expression(vec)))
 
   /** Codes back to DOUBLE in [−1, 1] (the per-vector scale cancels in any
     * cosine, so `code/127` is all a similarity query needs). */

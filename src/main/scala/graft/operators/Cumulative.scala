@@ -107,15 +107,18 @@ object Cumulative {
     * single-partition window: the same two-pass shape as [[rowNumber]],
     * with per-partition SUMS as the offset array (still ≤ #partitions longs
     * to the driver). `value` must be integral (cast upstream — float
-    * accumulation order would change the answer); same ownership contract
+    * accumulation order would change the answer); a NULL value counts as 0
+    * — the one deviation from the window form, which emits NULL cum until
+    * the first non-null (an NPE here would otherwise surface on the
+    * executor mid-scan); same ownership contract
     * and [[releaseAll]] cache discipline as [[rowNumber]]. CumulativeSpec
-    * pins row-for-row equality with the window form.
+    * pins row-for-row equality with the window form on non-null values.
     */
   def runningSum(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
       value: Column, outName: String, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val in = df.withColumn("__rs_v", value.cast(LongType)).persist()
+    val in = df.withColumn("__rs_v", coalesce(value.cast(LongType), lit(0L))).persist()
     val parted = in
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

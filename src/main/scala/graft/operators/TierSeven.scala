@@ -239,15 +239,27 @@ object TierSeven {
     hammingPairs(TierFour.simhashSigs(s, dir))
   }
 
+  /** The pigeonhole banding scheme shared by [[hammingPairs]],
+    * [[hammingScreen]] and [[hammingAdmit]] (and mirrored in q59/q73's
+    * SQL): a 63-bit signature splits into 4 chunks of 16/16/16/15 bits,
+    * so Hamming distance ≤ 3 forces at least one chunk to match exactly.
+    * ONE definition — the exact-recall guarantee holds only while every
+    * path bands identically. */
+  private[operators] def chunk(c: org.apache.spark.sql.Column, j: Int): org.apache.spark.sql.Column =
+    shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
+
+  /** A signature frame exploded to one row per (j, chunk-value) posting. */
+  private def chunkPostings(sigs: org.apache.spark.sql.DataFrame,
+      id: String, sig: String, j: String, ck: String): org.apache.spark.sql.DataFrame =
+    sigs.select(col("doc_id").as(id), col("simhash").as(sig),
+      posexplode(array((0 until 4).map(k => chunk(col("simhash"), k)): _*))
+        .as(Seq(j, ck)))
+
   /** The banded Hamming pair join over any `(doc_id, simhash)` frame —
     * see [[q59]]'s scaladoc; SimhashPairSpec differentials it against
     * brute force on random signatures. */
   def hammingPairs(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def chunk(c: org.apache.spark.sql.Column, j: Int) =
-      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j => chunk(col("simhash"), j)): _*))
-        .as(Seq("j", "ck")))
+    val chunks = chunkPostings(sigs, "doc_id", "simhash", "j", "ck")
     val x = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sa"),
       col("j"), col("ck"))
     val y = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sb"),
@@ -283,15 +295,8 @@ object TierSeven {
     */
   def hammingScreen(incoming: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def chunk(c: org.apache.spark.sql.Column, j: Int) =
-      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
-    def chunks(df: org.apache.spark.sql.DataFrame, id: String, sig: String,
-        j: String, ck: String) =
-      df.select(col("doc_id").as(id), col("simhash").as(sig),
-        posexplode(array((0 until 4).map(k => chunk(col("simhash"), k)): _*))
-          .as(Seq(j, ck)))
-    val x = chunks(incoming, "in_id", "in_sig", "j", "ck")
-    val y = chunks(corpus, "corpus_id", "corpus_sig", "j_b", "ck_b")
+    val x = chunkPostings(incoming, "in_id", "in_sig", "j", "ck")
+    val y = chunkPostings(corpus, "corpus_id", "corpus_sig", "j_b", "ck_b")
     val earlierMatched = (0 until 3).map(k =>
       (col("j") > k) && chunk(col("in_sig"), k) === chunk(col("corpus_sig"), k))
       .reduce(_ || _)
@@ -303,29 +308,34 @@ object TierSeven {
 
   /** The near-dup ADMISSION form of [[hammingScreen]] — returns the
     * incoming rows that have NO corpus signature within Hamming distance
-    * ≤ 3, as one stateless LEFT ANTI join (stream-static anti joins are
-    * supported, so this is the drop-duplicates-at-the-door decision a live
-    * ingest makes per document — s22 runs it inside the full admission
-    * pipeline). The incoming side is NOT exploded: the corpus side carries
-    * its (j, ck) chunk postings and the join predicate picks the incoming
-    * signature's j-th chunk with an `element_at` over the four chunk
-    * values — one row in, one-or-zero rows out, no re-grouping. `incoming`
-    * must carry a `simhash` column ([[TextOps.simhashCol]] at ingest, or
-    * q27's batch build); other columns pass through untouched.
+    * ≤ 3, as FOUR chained stateless LEFT ANTI joins, one per pigeonhole
+    * chunk: anti-join j drops every incoming row whose j-th chunk matches
+    * a corpus posting within distance 3, so the survivors matched no chunk
+    * — exactly "no corpus signature within 3" (pigeonhole). Each join is
+    * a genuine EQUI-join (`chunk_j(simhash) = ck`, a computed key Catalyst
+    * extracts — an earlier single-join form indexed the incoming chunks by
+    * the corpus side's j and planned a BroadcastNestedLoopJoin, the
+    * all-pairs shape this operator exists to avoid; plan-gated in
+    * SimhashPairSpec now). Stream-static anti joins are supported, so this
+    * is the drop-duplicates-at-the-door decision a live ingest makes per
+    * document (s22 runs it inside the full admission pipeline); the
+    * incoming side never explodes — one row in, one-or-zero rows out, no
+    * re-grouping. `incoming` must carry a `simhash` column
+    * ([[TextOps.simhashCol]] at ingest, or q27's batch build); other
+    * columns pass through untouched. The corpus side is read once per
+    * chunk (4 scans of the signature store — at scale, a store bucketed by
+    * (j, ck) like [[SigIndex]]'s postings serves each as a pruned read).
     */
   def hammingAdmit(incoming: org.apache.spark.sql.DataFrame,
-      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def chunk(c: org.apache.spark.sql.Column, j: Int) =
-      shiftrightunsigned(c, j * 16).bitwiseAND(lit(if (j == 3) 32767L else 65535L))
-    val y = corpus.select(col("simhash").as("corpus_sig"),
-      posexplode(array((0 until 4).map(j => chunk(col("simhash"), j)): _*))
-        .as(Seq("j_b", "ck_b")))
-    val inChunks = array((0 until 4).map(j => chunk(incoming("simhash"), j)): _*)
-    incoming.join(y,
-      element_at(inChunks, col("j_b").cast("int") + 1) === col("ck_b")
-        && bit_count(incoming("simhash").bitwiseXOR(col("corpus_sig"))) <= 3,
-      "left_anti")
-  }
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    (0 until 4).foldLeft(incoming) { (admitted, j) =>
+      val postings = corpus.select(col("simhash").as("corpus_sig"),
+        chunk(col("simhash"), j).as("ck_b"))
+      admitted.join(postings,
+        chunk(admitted("simhash"), j) === col("ck_b")
+          && bit_count(admitted("simhash").bitwiseXOR(col("corpus_sig"))) <= 3,
+        "left_anti")
+    }
 
   val all: Seq[Q] = Seq(q55, q56, q57, q58, q59)
 }

@@ -120,6 +120,23 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_quantize_int8 from SQL ≡ Ann.quantizeInt8, inside codegen") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .createOrReplaceTempView("emb_sql")
+    val sql = spark.sql("SELECT vec_id, graft_quantize_int8(e) AS q FROM emb_sql")
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [") && plan.contains("graft_quantize_int8("),
+      "must fuse into codegen: " + plan.take(400))
+    val a = sql.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    val b = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        graft.operators.Ann.quantizeInt8(col("embedding").cast("array<double>")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("SQL-surface size parameters must be literals (they shape the expression tree)") {
     GraftFunctions.register(spark)
     spark.range(1).select(array(lit(0L)).as("w")).createOrReplaceTempView("one_word")

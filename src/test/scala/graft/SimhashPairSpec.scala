@@ -72,6 +72,14 @@ class SimhashPairSpec extends SparkSpec {
     val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == all -- matched)
     assert(admitted.contains(901L) && !admitted.contains(900L))
+    // every anti-join must be a genuine EQUI-join on the chunk key — an
+    // earlier form indexed the incoming chunks by the corpus side's j and
+    // planned the all-pairs BroadcastNestedLoopJoin this operator exists
+    // to avoid
+    val plan = TierSeven.hammingAdmit(incoming, corpus)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
   }
 
   test("simhashCol: per-row ingest signature is order/repetition invariant, 0 on empty") {
