@@ -272,5 +272,35 @@ object TierTen {
       .orderBy("pct")
   }
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79)
+  /** The trained-IVF ANN served FROM ITS PERSISTED LAYOUT — q70's exact
+    * semantics (same oracle SQL), but the probe reads the store a 100 TB
+    * deployment would actually serve: [[TierNine.ivfIndex]] written
+    * hive-partitioned by cell, so the nearest-cell filter is a PARTITION
+    * filter and a probe costs one directory of I/O regardless of corpus
+    * size (AnnRecallSpec gates `numFiles = 1` on this layout). The best
+    * cell needs no centroid math at probe time: query vector 0's own
+    * stored assignment IS its nearest centroid — a broadcast self-semi-join
+    * on the 1-row cell, fully declarative (no driver-side cell lookup).
+    */
+  val q80 = Q("q80_ann_ivf_store",
+    TierNine.q70.oracle.get) { (s, dir) =>
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_store").getAbsolutePath
+    graft.sources.Warehouse.writePartitioned(TierNine.ivfIndex(s, dir), path, "cell")
+    graft.expressions.GraftFunctions.register(s)
+    val store = s.read.parquet(path)
+    def dot(x: String, y: String) =
+      call_function("graft_dot", col(x), col(y))
+    val q0 = store.filter(col("vec_id") === 0)
+    store.join(broadcast(q0.select(col("cell"))), "cell")
+      .crossJoin(broadcast(q0.select(col("e").as("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(dot("e", "qv") / (sqrt(dot("e", "e")) * sqrt(dot("qv", "qv"))), 6)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80)
 }
