@@ -302,5 +302,66 @@ object TierTen {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80)
+  /** Ordered-sequence FUNNEL over the event stream — "view, then a click
+    * after it, then a purchase after that" per user, the canonical product
+    * funnel and the one sequence-pattern shape the inventory lacked.
+    * Existence of an increasing subsequence ⟺ the GREEDY earliest chain
+    * completes (for a fixed stage order), so each stage is `min(ts)` after
+    * the previous stage's timestamp — no per-user event arrays, no 3-way
+    * self-join (which explodes on hot users). Output: per stage, users
+    * reaching it and the summed ms from funnel entry (integer epoch math).
+    *
+    * Scale: three user-keyed aggregations chained by user-keyed joins —
+    * after the first shuffle on user_id every later join and groupBy
+    * reuses that partitioning; per-stage state is one timestamp per user.
+    */
+  val q81 = Q("q81_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS cts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS pts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY 1)
+      |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(0 AS BIGINT) AS total_ms
+      |FROM v
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT),
+      |       CAST(sum(epoch_ms(cts) - epoch_ms(vts)) AS BIGINT)
+      |FROM c JOIN v USING (user_id)
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT),
+      |       CAST(sum(epoch_ms(pts) - epoch_ms(vts)) AS BIGINT)
+      |FROM p JOIN v USING (user_id)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    def stageAfter(prev: org.apache.spark.sql.DataFrame, prevTs: String,
+        eventType: String, outTs: String) =
+      events.filter(col("event_type") === eventType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("vts"))
+    val c = stageAfter(v, "vts", "click", "cts")
+    val p = stageAfter(c, "cts", "purchase", "pts")
+    def stageRow(stage: String, df: org.apache.spark.sql.DataFrame, ts: String) =
+      df.join(v, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          // NTZ → TIMESTAMP is exact under the pinned UTC session
+          coalesce(sum(unix_millis(col(ts).cast("timestamp"))
+            - unix_millis(col("vts").cast("timestamp"))), lit(0L)).as("total_ms"))
+        .select(lit(stage).as("stage"), col("n_users"), col("total_ms"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"), lit(0L).as("total_ms"))
+      .unionAll(stageRow("2_click", c, "cts"))
+      .unionAll(stageRow("3_purchase", p, "pts"))
+      .orderBy("stage")
+  }
+
+  val all: Seq[Q] = Seq(q74, q75, q76, q77, q78, q79, q80, q81)
 }

@@ -90,6 +90,37 @@ class TierTenSpec extends SparkSpec {
       "q78's train universe must be exactly q75's train split")
   }
 
+  test("q81 funnel ≡ greedy brute force; stage counts monotone") {
+    val events = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[java.time.LocalDateTime](2)))
+    val byUser = events.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, after: Option[java.time.LocalDateTime]) =
+      byUser(u).filter(e => e._2 == tpe && after.forall(a => e._3.isAfter(a)))
+        .map(_._3).sortBy(_.toString).headOption
+    var (nv, nc, np, cMs, pMs) = (0L, 0L, 0L, 0L, 0L)
+    // floor each timestamp to ms BEFORE differencing — the engine's
+    // unix_millis and the oracle's epoch_ms both truncate per timestamp,
+    // which differs from flooring the difference when sub-ms parts cross
+    def ms(a: java.time.LocalDateTime, b: java.time.LocalDateTime) =
+      b.toInstant(java.time.ZoneOffset.UTC).toEpochMilli -
+        a.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    byUser.keys.foreach { u =>
+      firstAfter(u, "view", None).foreach { v =>
+        nv += 1
+        firstAfter(u, "click", Some(v)).foreach { c =>
+          nc += 1; cMs += ms(v, c)
+          firstAfter(u, "purchase", Some(c)).foreach { p => np += 1; pMs += ms(v, p) }
+        }
+      }
+    }
+    val got = TierTen.q81.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("1_view" -> ((nv, 0L)), "2_click" -> ((nc, cMs)),
+      "3_purchase" -> ((np, pMs))))
+    assert(nv >= nc && nc >= np && np > 0, s"funnel must narrow: $nv/$nc/$np")
+  }
+
   test("tier-10 + screen plans: no CartesianProduct, no single-partition exchange") {
     Seq(TierTen.q74, TierTen.q75, TierTen.q76, TierTen.q77, TierTen.q78,
       graft.operators.TierNine.q73).foreach { q =>
