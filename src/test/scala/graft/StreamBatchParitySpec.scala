@@ -391,4 +391,40 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(streamed == batchAdmitted, "streamed admissions must equal batch")
     } finally { q.stop(); sigStore.unpersist() }
   }
+
+  test("s23: LIVE funnel (transformWithState) aggregates to exactly the batch q81") {
+    // per-user greedy stage state on the stream: each stage completion
+    // emits once; summing the emitted hits must reproduce the batch
+    // funnel bit for bit (in-order replay — the processor's documented
+    // delivery assumption)
+    import graft.streaming.FunnelProcessor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+        .sortBy(_._2.getTime)
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = FunnelProcessor.funnel(
+          in.toDF().select(col("_1").as("user_id"), col("_2").as("ts"),
+            col("_3").as("event_type")))
+        .toDF()
+        .writeStream.format("memory").queryName("s23_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 5)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val streamed = spark.table("s23_out").collect()
+          .map(r => (r.getString(1), r.getLong(2)))
+          .groupBy(_._1).view
+          .mapValues(hs => (hs.length.toLong, hs.map(_._2).sum)).toMap
+        val batch = graft.operators.TierTen.q81.run(spark, sf).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
 }
