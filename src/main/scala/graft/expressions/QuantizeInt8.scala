@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
   * production embedding widths. This is two tight passes (max-abs, then
   * codes) in one static call. The all-zero vector codes to all-zero;
   * null in, null out; elements are assumed non-null (dense embeddings).
-  * Rounding is Java `Math.round` (half-up) — engine-side only, not
+  * Rounding is HALF_UP AWAY FROM ZERO (−63.5 → −64), matching SQL
+  * `round()` — NOT Java `Math.round`, whose half-up-toward-+∞ would code
+  * negative exact halves one step differently; pinned by an independent
+  * Scala brute force in ExpressionSpec. Engine-side only, not
   * oracle-declared ([[graft.operators.Ann.quantizeInt8]] documents why).
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
@@ -54,7 +57,9 @@ object QuantizeInt8 {
     if (m > 0.0) {
       i = 0
       while (i < n) {
-        out(i) = math.round(a.getDouble(i) * 127.0 / m).toByte
+        val x = a.getDouble(i) * 127.0 / m
+        // HALF_UP away from zero (SQL round semantics)
+        out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
         i += 1
       }
     }

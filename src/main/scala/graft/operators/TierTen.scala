@@ -284,8 +284,10 @@ object TierTen {
     */
   val q80 = Q("q80_ann_ivf_store",
     TierNine.q70.oracle.get) { (s, dir) =>
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_store").getAbsolutePath
+    // unique dir per run: a fixed shared path would let concurrent
+    // Verify/Bench runs overwrite each other's store mid-probe
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_store").toString
     graft.sources.Warehouse.writePartitioned(TierNine.ivfIndex(s, dir), path, "cell")
     graft.expressions.GraftFunctions.register(s)
     val store = s.read.parquet(path)
@@ -331,11 +333,11 @@ object TierTen {
       |FROM v
       |UNION ALL
       |SELECT '2_click', CAST(count(*) AS BIGINT),
-      |       CAST(sum(epoch_ms(cts) - epoch_ms(vts)) AS BIGINT)
+      |       CAST(coalesce(sum(epoch_ms(cts) - epoch_ms(vts)), 0) AS BIGINT)
       |FROM c JOIN v USING (user_id)
       |UNION ALL
       |SELECT '3_purchase', CAST(count(*) AS BIGINT),
-      |       CAST(sum(epoch_ms(pts) - epoch_ms(vts)) AS BIGINT)
+      |       CAST(coalesce(sum(epoch_ms(pts) - epoch_ms(vts)), 0) AS BIGINT)
       |FROM p JOIN v USING (user_id)
       |ORDER BY stage""".stripMargin) { (s, dir) =>
     val events = Tables.load(s, dir, "events")

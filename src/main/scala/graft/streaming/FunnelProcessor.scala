@@ -42,7 +42,8 @@ final class FunnelProcessor
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, java.sql.Timestamp, String)],
       timerValues: TimerValues): Iterator[FunnelHit] = {
-    var s = if (state.exists()) state.get() else FunnelState(-1L, -1L, -1L)
+    val before = if (state.exists()) state.get() else FunnelState(-1L, -1L, -1L)
+    var s = before
     val out = Seq.newBuilder[FunnelHit]
     // micro-batch rows carry no order guarantee — sort; ties are harmless
     // (every stage comparison is strict)
@@ -59,18 +60,22 @@ final class FunnelProcessor
         case _ => ()
       }
     }
-    state.update(s)
+    if (s != before) state.update(s) // no RocksDB write for no-progress batches
     out.result().iterator
   }
 }
 
 object FunnelProcessor {
 
-  /** Stage-completion stream over `(user_id, ts, event_type)` rows. */
+  /** Stage-completion stream over `(user_id, ts, event_type)` rows. Only
+    * funnel-relevant event types pass the shuffle — without the filter,
+    * signup/error-only users would still be shuffled and grow the state
+    * store with keys that can never enter the funnel. */
   def funnel(events: DataFrame): Dataset[FunnelHit] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id"), col("ts").cast("timestamp"), col("event_type"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .as[(Long, java.sql.Timestamp, String)]
       .groupByKey(_._1)
       .transformWithState(new FunnelProcessor,

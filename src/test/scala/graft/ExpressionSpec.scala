@@ -120,7 +120,7 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
-  test("graft_quantize_int8 from SQL ≡ Ann.quantizeInt8, inside codegen") {
+  test("graft_quantize_int8 from SQL ≡ independent brute force, inside codegen") {
     GraftFunctions.register(spark)
     Tables.load(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -129,12 +129,25 @@ class ExpressionSpec extends SparkSpec {
     val plan = sql.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [") && plan.contains("graft_quantize_int8("),
       "must fuse into codegen: " + plan.take(400))
-    val a = sql.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
-    val b = Tables.load(spark, sf, "embeddings")
-      .select(col("vec_id"),
-        graft.operators.Ann.quantizeInt8(col("embedding").cast("array<double>")).as("q"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
-    assert(a == b && a.nonEmpty)
+    val got = sql.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    // independent reference (Ann.quantizeInt8 delegates to the SAME
+    // expression — comparing those two would be a tautology)
+    def ref(v: Array[Double]): Seq[Byte] = {
+      val m = if (v.isEmpty) 0.0 else v.map(math.abs).max
+      if (m == 0.0) v.map(_ => 0: Byte).toSeq
+      else v.map { x =>
+        val s = x * 127.0 / m
+        (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toByte
+      }.toSeq
+    }
+    val expected = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> ref(r.getSeq[Double](1).toArray)).toMap
+    assert(got == expected && got.nonEmpty)
+    // rounding is HALF_UP away from zero: -1.0 at max|v|=2 → -63.5 → -64
+    val halves = spark.sql("SELECT graft_quantize_int8(array(2.0d, -1.0d)) AS q")
+      .head().getSeq[Byte](0)
+    assert(halves == Seq(127, -64), s"got $halves")
   }
 
   test("SQL-surface size parameters must be literals (they shape the expression tree)") {

@@ -406,7 +406,9 @@ class StreamBatchParitySpec extends SparkSpec {
         .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"))
         .collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
-        .sortBy(_._2.getTime)
+        // full-precision order — an ms-keyed sort could split same-ms
+        // events for one user across chunks out of (nanos) order
+        .sortBy(t => (t._2.getTime, t._2.getNanos))
       val in = MemoryStream[(Long, java.sql.Timestamp, String)]
       val q = FunnelProcessor.funnel(
           in.toDF().select(col("_1").as("user_id"), col("_2").as("ts"),
