@@ -1,0 +1,282 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 11 — the RETRIEVAL and MODEL-APPLY surface of a training-data
+  * pipeline: BM25 ranked retrieval (the lexical search every contamination /
+  * curation workflow starts from), a hashed-feature linear quality classifier
+  * applied as a broadcast model join (the fastText-filter shape of
+  * CCNet/GPT-3-style corpus filtering), the text NORMALIZATION pass that
+  * precedes every tokenizer, and the per-vector kNN JOIN inside trained IVF
+  * cells (the kNN-graph backbone of semantic dedup). Determinism follows the
+  * established conventions: integer `div` scoring in a pinned operation
+  * order ([[TierSix.q51]]'s ppm convention), the [[TierFour.A0]] affine
+  * family for hashing, element-order-deterministic `graft_dot` for float
+  * math, ranking on ROUNDED cosines.
+  */
+object TierEleven {
+  import TierFour.{A0, B0, P}
+
+  /** BM25 ranked retrieval for a fixed query ("spark window hash") — the
+    * lexical-search primitive. All-integer scoring in a pinned order so
+    * both engines agree bit for bit: idf_ppm = (N·10⁶) div df (q51's
+    * monotone idf), length norm in parts-per-thousand with k1 = 1.2,
+    * b = 0.75 scaled ×1000, per-term score = (tf·2200·idf_ppm) div den.
+    *
+    * Scale: the broadcast query-term join is the FILTER — only documents
+    * containing a query term survive the scan-side join, so the tf/score
+    * stages see the posting lists, never the corpus (the inverted-index
+    * access path, expressed declaratively). One doc_id-keyed shuffle joins
+    * tf with doc length; df and totals are broadcast one-row/|q|-row
+    * frames. Operating bound (Int64): tf·2200·idf_ppm < 2⁶³ requires
+    * tf·N < 4.2e15 — at N = 10¹¹ docs that allows tf ≤ 42 000 occurrences
+    * of one query term in one document; beyond it, compute the product in
+    * DECIMAL(38,0) on both engines (ranking unchanged — score is monotone
+    * in tf·idf).
+    */
+  val q82 = Q("q82_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+      |               (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_toks),
+      |q AS (SELECT unnest(['spark', 'window', 'hash']) AS token),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks JOIN q USING (token) GROUP BY 1, 2),
+      |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id,
+      |         sum((tf * 2200 * ((n * 1000000) // df)) //
+      |             (tf * 1000 +
+      |              (1200 * (250 + (750 * ((dl * 1000) // (total_toks // n))) // 1000)) // 1000))
+      |           AS score
+      |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score
+      |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("total_toks")))
+    val qterms = s.sql(
+      "SELECT * FROM VALUES ('spark'), ('window'), ('hash') AS t(token)")
+    val tf = toks.join(broadcast(qterms), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_t",
+        expr("""(tf * 2200 * ((n * 1000000) div df)) div
+               |(tf * 1000 +
+               | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
+               |""".stripMargin.replace("\n", " ")))
+      .groupBy("doc_id").agg(sum("score_t").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText-filter apply
+    * shape (CCNet / GPT-3-style corpus filtering): token → dense vocab id
+    * (distributed two-pass rank, [[Cumulative.rowNumber]]) → affine hash
+    * into 4096 feature buckets → sum the bucket weights over all token
+    * OCCURRENCES → threshold at 0 into keep/drop. The weight table stands
+    * in for trained parameters (derived deterministically from the bucket
+    * id — this sandbox trains nothing) but the PLUMBING is the production
+    * shape: the model ships as a (bucket, weight) table and is applied as
+    * a BROADCAST join against the feature stream — swap the 4096 rows for
+    * a real .bin export and nothing else changes.
+    *
+    * Scale: vocab rank is the one corpus-vocabulary pass (shared machinery
+    * with q26); features then flow scan → broadcast vocab join → broadcast
+    * weight join → one doc_id-keyed partial+final sum. Token-less
+    * documents score 0 via the left join from `documents`.
+    */
+  val q83 = Q("q83_quality_classifier",
+    s"""WITH toks AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS tid
+       |  FROM (SELECT DISTINCT token FROM toks)),
+       |wts AS (
+       |  SELECT b AS bucket,
+       |         CAST(((b * $A0 + $B0) % $P) % 2001 - 1000 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(4096)) AS b)),
+       |feat AS (
+       |  SELECT doc_id, ((tid % $P) * $A0 + $B0) % $P % 4096 AS bucket
+       |  FROM toks JOIN vocab USING (token)),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_c
+       |  FROM feat JOIN wts USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(sc.score_c, 0) AS score_c,
+       |       CASE WHEN coalesce(sc.score_c, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = Cumulative.rowNumber(s,
+        toks.select("token").distinct(), Seq(col("token")), "tid")
+    val wts = s.range(4096)
+      .select(col("id").as("bucket"),
+        expr(s"CAST(((id * $A0 + $B0) % $P) % 2001 - 1000 AS BIGINT)").as("w"))
+    val sc = toks.join(broadcast(vocab), "token")
+      .select(col("doc_id"),
+        expr(s"((tid % $P) * $A0 + $B0) % $P % 4096").as("bucket"))
+      .join(broadcast(wts), "bucket")
+      .groupBy("doc_id").agg(sum("w").as("score_c"))
+    docs.select("doc_id").join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score_c"), lit(0L)).as("score_c"))
+      .withColumn("label",
+        when(col("score_c") >= 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
+  /** Text normalization — the pass every tokenizer assumes has already run:
+    * strip markup to whitespace, collapse whitespace runs, trim. The
+    * fixture INJECTS deterministic noise first (doc_id%3 → <p>…</p> wrap,
+    * doc_id%4 → doubled spaces, doc_id%5 → leading/trailing pad), then
+    * cleans, so `restored` audits the round trip against the pristine
+    * text — the corpus is whitespace-normal by construction (verified at
+    * sf0.001/0.01/0.1), so every row restores. Cleaning is idempotent
+    * (clean∘clean = clean, spec-pinned).
+    *
+    * Scale: three codegen'd regex/string ops per row, zero shuffles, runs
+    * at scan speed; the ORDER BY is the oracle convention. The regexes
+    * avoid engine-divergent classes (`<[^>]*>`, literal-space `+` runs —
+    * no \s, whose Java/RE2 semantics differ at Unicode edges).
+    */
+  val q84 = Q("q84_text_normalize",
+    """WITH noisy AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN doc_id % 5 = 0 THEN '  ' || s2 || '  ' ELSE s2 END AS noisy
+      |  FROM (
+      |    SELECT doc_id, text,
+      |           CASE WHEN doc_id % 4 = 0 THEN replace(s1, ' ', '  ') ELSE s1 END AS s2
+      |    FROM (
+      |      SELECT doc_id, text,
+      |             CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>' ELSE text END AS s1
+      |      FROM documents))),
+      |c AS (
+      |  SELECT doc_id, text, noisy,
+      |         trim(regexp_replace(regexp_replace(noisy, '<[^>]*>', ' ', 'g'),
+      |                             '  +', ' ', 'g')) AS clean
+      |  FROM noisy)
+      |SELECT doc_id, CAST(length(noisy) AS BIGINT) AS n_noisy,
+      |       CAST(length(clean) AS BIGINT) AS n_clean,
+      |       CAST(CASE WHEN clean = text THEN 1 ELSE 0 END AS BIGINT) AS restored
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("s1",
+        when(col("doc_id") % 3 === 0, concat(lit("<p>"), col("text"), lit("</p>")))
+          .otherwise(col("text")))
+      .withColumn("s2",
+        when(col("doc_id") % 4 === 0, regexp_replace(col("s1"), " ", "  "))
+          .otherwise(col("s1")))
+      .withColumn("noisy",
+        when(col("doc_id") % 5 === 0, concat(lit("  "), col("s2"), lit("  ")))
+          .otherwise(col("s2")))
+      .withColumn("clean",
+        trim(regexp_replace(regexp_replace(col("noisy"), "<[^>]*>", " "), "  +", " ")))
+      .select(col("doc_id"),
+        length(col("noisy")).cast("long").as("n_noisy"),
+        length(col("clean")).cast("long").as("n_clean"),
+        when(col("clean") === col("text"), 1L).otherwise(0L).as("restored"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vector nearest neighbor WITHIN its trained IVF cell — the kNN
+    * JOIN that builds the kNN graph semantic dedup and clustering consume
+    * (q24/q29/q43/q70 answer one query; a pipeline needs every vector's
+    * neighbor). Cell = q67's Lloyd-trained assignment, so the candidate
+    * space is each cell's members — the IVF contract applied symmetrically.
+    * Ranking is on the 6-dp-ROUNDED cosine with nn_id ASC tie-break
+    * (identical bits both engines: `graft_dot` sums in element order).
+    * Vectors alone in their cell emit no row (no neighbor at this probe
+    * width; multi-probe widening is q62's pattern).
+    *
+    * Scale: one shuffle keys both sides by cell id; within a cell the pair
+    * space is |cell|² — bounded because k grows with the corpus (k ≈ √n
+    * keeps cells ~√n). The argmax is a partial+final `min(struct)` — pair
+    * rows are born cell-local, so map-side partials collapse each vector's
+    * candidates BEFORE the vec_id shuffle; no window sort ever sees the
+    * pair space. Fixture k = 4 (seeds = vec_id < 4, q67's convention).
+    */
+  val q85 = Q("q85_ann_knn_join",
+    s"""WITH ${TierNine.lloydSql},
+       |pr AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
+       |         round(list_dot_product(xv.e, yv.e) /
+       |           (sqrt(list_dot_product(xv.e, xv.e)) *
+       |            sqrt(list_dot_product(yv.e, yv.e))), 6) AS cos
+       |  FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |  JOIN v xv ON xv.vec_id = x.vec_id
+       |  JOIN v yv ON yv.vec_id = y.vec_id),
+       |top AS (
+       |  SELECT vec_id, nn_id, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rk
+       |  FROM pr)
+       |SELECT vec_id, nn_id, cos FROM top WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    knnJoin(s, dir, probe2 = false)
+  }
+
+  /** The q85 kNN join with an optional SECOND probe: each query vector also
+    * searches its 2nd-nearest Lloyd cell (q62's multi-probe pattern applied
+    * to the join shape). The widening is two aggregation passes — own cell
+    * via [[TierNine.assignTo]]'s partial+final `min(struct)`, the runner-up
+    * by excluding it and min-ing again — never a `collect_list` of all k
+    * distances, so it holds at production k. Candidates stay distinct by
+    * construction: a neighbor lives in exactly one cell and the two probed
+    * cells differ. Measured on the fixture (AnnRecallSpec): global-top-1
+    * recall 0.446 single-probe → 0.738 two-probe; 0.714 single-probe in
+    * the near-dup regime (neighbor cos ≥ 0.45) the operator targets.
+    */
+  private[graft] def knnJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      probe2: Boolean): org.apache.spark.sql.DataFrame = {
+    val emb = TierNine.embOf(s, dir)
+    val cents = TierNine.lloydCentroids(s, dir)
+    val own = TierNine.assignTo(emb, cents)
+    val xAsg =
+      if (!probe2) own
+      else own.unionAll(
+        emb.crossJoin(broadcast(cents))
+          .withColumn("d",
+            TierNine.dotc(col("e"), col("e"))
+              - lit(2) * TierNine.dotc(col("e"), col("c"))
+              + TierNine.dotc(col("c"), col("c")))
+          .join(own.withColumnRenamed("cid", "cid1"), "vec_id")
+          .filter(col("cid") =!= col("cid1"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d"), col("cid"))).as("b"))
+          .select(col("vec_id"), col("b.cid").as("cid")))
+    val xs = xAsg.join(emb, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e").as("xe"),
+        sqrt(TierNine.dotc(col("e"), col("e"))).as("nx"))
+    val ys = own.join(emb, "vec_id")
+      .select(col("cid"), col("vec_id").as("nn_id"), col("e").as("ye"),
+        sqrt(TierNine.dotc(col("e"), col("e"))).as("ny"))
+    xs.join(ys, Seq("cid"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos",
+        round(TierNine.dotc(col("xe"), col("ye")) / (col("nx") * col("ny")), 6))
+      // min(struct(-cos, nn_id, cos)): highest rounded cosine, then lowest
+      // nn_id — the oracle's row_number order, as a partial+final agg
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("cos")).as("nc"), col("nn_id"), col("cos"))).as("b"))
+      .select(col("vec_id"), col("b.nn_id").as("nn_id"), col("b.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85)
+}

@@ -230,7 +230,7 @@ object TierNine {
   /** Shared oracle-SQL prefix for the Lloyd step: seeds → assignment →
     * 6-dp-rounded per-cluster dimension means (`cent`) → re-assignment
     * (`a1`). Used by q67 (cluster sizes) and q70 (trained-IVF probe). */
-  private val lloydSql: String =
+  private[operators] val lloydSql: String =
     """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       |seeds AS (SELECT vec_id AS cid, e AS c FROM v WHERE vec_id < 4),
       |d0 AS (
@@ -260,9 +260,9 @@ object TierNine {
       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
       |    FROM d1) WHERE rk = 1)""".stripMargin
 
-  private def dotc(x: Column, y: Column) = call_function("graft_dot", x, y)
+  private[operators] def dotc(x: Column, y: Column) = call_function("graft_dot", x, y)
 
-  private def embOf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[operators] def embOf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -276,7 +276,7 @@ object TierNine {
     * shuffle — n rows move, none sort. A `row_number` window would shuffle
     * and sort all n·k rows. Struct ordering is lexicographic (d ASC, then
     * cid ASC) — the pinned tie-break, same as the oracle's row_number. */
-  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("d",
         dotc(col("e"), col("e")) - lit(2) * dotc(col("e"), col("c"))
@@ -302,7 +302,7 @@ object TierNine {
 
   /** One Lloyd step from the deterministic seeds: the 6-dp-rounded
     * per-cluster dimension means (`cent` of [[lloydSql]]). */
-  private def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[operators] def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = embOf(s, dir)
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("e").as("c"))
