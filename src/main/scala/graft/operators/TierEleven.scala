@@ -278,5 +278,87 @@ object TierEleven {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q85)
+  /** The q83 weight table as a plain array: w(b) for buckets 0..4095 —
+    * deterministic stand-ins for trained parameters (see [[q83]]). */
+  private[graft] def pseudoWeights: Array[Long] =
+    Array.tabulate(4096)(b => ((b.toLong * A0 + B0) % P) % 2001L - 1000L)
+
+  /** Stateless per-row classifier score — the STRING-HASH form of [[q83]]
+    * (fastText hashes token strings; q83's vocab-rank form is the
+    * oracle-checkable twin): token → `xxhash64` → pmod-4096 bucket → weight
+    * looked up in ONE literal array (the [[graft.functions.Bloom]]
+    * packed-literal pattern) → sum via `aggregate`. No vocab table, no
+    * joins, no state — a pure column expression, so the SAME gate screens
+    * a live stream (s24 parity-pins streamed ≡ batch admissions). The
+    * higher-order fold is CodegenFallback (the graft_dot lesson); if this
+    * gate ever dominates an ingest profile, the remedy is the same: a
+    * native Expression with one static call per row, `SimHash`-style.
+    */
+  private[graft] def scoreCol(weights: Array[Long], text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val arr = typedlit(weights.toSeq)
+    aggregate(
+      filter(split(text, " "), t => t =!= ""),
+      lit(0L),
+      (acc, t) => acc + element_at(arr, (pmod(xxhash64(t), lit(4096)) + 1).cast("int")))
+  }
+
+  /** PII redaction — detect and mask emails / phone numbers / IP addresses
+    * (the scrub pass every published-corpus pipeline runs before release).
+    * The fixture INJECTS deterministic PII first (%3 email, %4 phone, %5
+    * IP — mid-text, never terminal, so match counting via split is
+    * engine-agnostic), then counts per class and redacts with typed mask
+    * tokens. Patterns stick to portable regex (explicit classes and `{n}`
+    * counts — no `\d`/`\b`, whose Java/RE2 semantics differ); counts are
+    * `len(split_by_pattern) − 1`, replacement is global on both engines.
+    *
+    * Scale: pure per-row codegen'd regex work, zero shuffles, scan speed —
+    * the same posture as q84, and the two compose (normalize, then scrub).
+    */
+  val q86 = Q("q86_pii_redact",
+    """WITH noisy AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN s2 || ' node 192.168.1.77 up' ELSE s2 END AS noisy
+      |  FROM (
+      |    SELECT doc_id,
+      |           CASE WHEN doc_id % 4 = 0 THEN s1 || ' call 555-123-4567 ok' ELSE s1 END AS s2
+      |    FROM (
+      |      SELECT doc_id,
+      |             CASE WHEN doc_id % 3 = 0 THEN text || ' contact bob@example.com now' ELSE text END AS s1
+      |      FROM documents))),
+      |c AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(noisy, '[a-z0-9.]+@[a-z0-9.]+')) - 1 AS BIGINT) AS n_email,
+      |         CAST(len(string_split_regex(noisy, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) - 1 AS BIGINT) AS n_phone,
+      |         CAST(len(string_split_regex(noisy, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) - 1 AS BIGINT) AS n_ip,
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(noisy, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+      |             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |           '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '[IP]', 'g') AS redacted
+      |  FROM noisy)
+      |SELECT doc_id, n_email, n_phone, n_ip, redacted
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("s1",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact bob@example.com now"))).otherwise(col("text")))
+      .withColumn("s2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("s1"), lit(" call 555-123-4567 ok"))).otherwise(col("s1")))
+      .withColumn("noisy",
+        when(col("doc_id") % 5 === 0,
+          concat(col("s2"), lit(" node 192.168.1.77 up"))).otherwise(col("s2")))
+      .select(col("doc_id"),
+        (size(split(col("noisy"), "[a-z0-9.]+@[a-z0-9.]+")) - 1).cast("long").as("n_email"),
+        (size(split(col("noisy"), "[0-9]{3}-[0-9]{3}-[0-9]{4}")) - 1).cast("long").as("n_phone"),
+        (size(split(col("noisy"), "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+")) - 1).cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("noisy"), "[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]"),
+            "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+          "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+", "[IP]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86)
 }

@@ -429,4 +429,36 @@ class StreamBatchParitySpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
+
+  test("s24: stateless classifier gate on a stream ≡ batch (string-hash scoreCol)") {
+    // the quality-classifier admission as pure flow: scoreCol is one column
+    // expression (literal weight array, xxhash64 bucketing, higher-order
+    // fold) — no vocab table, no joins, no state store — so the identical
+    // gate screens a live stream and must admit exactly the batch set
+    import graft.operators.TierEleven
+    val w = TierEleven.pseudoWeights
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val batchScores = docs
+      .select(col("doc_id"), TierEleven.scoreCol(w, col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the gate must actually split the corpus to mean anything
+    assert(batchScores.values.exists(_ >= 0) && batchScores.values.exists(_ < 0))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .withColumn("s", TierEleven.scoreCol(w, col("text")))
+      .filter(col("s") >= 0)
+      .select("doc_id", "s")
+      .writeStream.format("memory").queryName("s24_out").outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      val streamed = spark.table("s24_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchAdmitted = batchScores.filter(_._2 >= 0)
+      assert(streamed == batchAdmitted,
+        s"streamed gate must equal batch: ${streamed.size} vs ${batchAdmitted.size}")
+    } finally q.stop()
+  }
 }

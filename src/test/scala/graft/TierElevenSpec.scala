@@ -134,6 +134,26 @@ class TierElevenSpec extends SparkSpec {
     assert(r >= 0.7, s"near-dup regime recall $r over ${strong.size} vectors")
   }
 
+  test("q86 PII redaction: counts follow the injection arithmetic; masks are complete") {
+    val rows = TierEleven.q86.run(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 1L else 0L), s"email count @$id")
+      assert(r.getLong(2) == (if (id % 4 == 0) 1L else 0L), s"phone count @$id")
+      assert(r.getLong(3) == (if (id % 5 == 0) 1L else 0L), s"ip count @$id")
+      val red = r.getString(4)
+      assert(!red.contains("@"), s"unmasked email @$id")
+      assert(!red.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"), s"unmasked phone @$id")
+      assert(!red.matches(".*[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+.*"), s"unmasked ip @$id")
+    }
+    // rows with no injected PII pass through byte-identical
+    val texts = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter { r =>
+      val id = r.getLong(0); id % 3 != 0 && id % 4 != 0 && id % 5 != 0
+    }.foreach(r => assert(r.getString(4) == texts(r.getLong(0))))
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
