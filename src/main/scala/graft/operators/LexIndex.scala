@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.sources.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED INDEX — the incremental shape of lexical retrieval
+  * ([[SigIndex]]'s pattern applied to BM25): a corpus is tokenized ONCE and
+  * its posting lists written as a bucketed table; every later query reads
+  * only the matching token buckets and never touches document bodies.
+  *
+  * Layout:
+  *   - `<name>_postings` `(token, doc_id, tf, dl)` — bucketed by `token`.
+  *     Document length rides the posting (the impact-ordered-list trick) so
+  *     scoring needs NO doc-side join. A probe filters `token IN (...)`,
+  *     which Spark prunes to the matching BUCKETS at plan time
+  *     (`SelectedBucketsCount` in the scan — gated in LexIndexSpec): query
+  *     cost scales with the posting lists touched, not the corpus.
+  *   - `<name>_dict` `(token, df)` — the lexicon; the probe's slice of it
+  *     is |query| rows, broadcast.
+  *   - `<name>_stats` one row `(n, total_toks)` — corpus totals for the
+  *     BM25 length norm, broadcast.
+  *
+  * Unlike [[SigIndex]] there is no frozen vocabulary: tokens join as
+  * strings, so new query terms simply miss (df = 0 ⇒ no postings).
+  * [[TierEleven.q87]] oracle-checks build+probe end to end — with
+  * [[TierEleven.q82]]'s own SQL, because serving from the store must not
+  * change a single scored bit (the q80 store-equivalence convention).
+  */
+object LexIndex {
+
+  /** Tokenize `docs` (any `(doc_id, text)` frame) and persist the index
+    * tables. Pays one corpus tokenize + one bucketing shuffle; every later
+    * [[probe]] is bucket-pruned scan + broadcast joins. */
+  def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    Seq("postings", "dict", "stats").foreach(t => SigIndex.dropStale(spark, s"${name}_$t"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    Warehouse.writeBucketed(
+      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
+      s"${name}_postings", buckets, "token")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_dict")
+    docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("total_toks")))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
+    tf.unpersist()
+  }
+
+  /** BM25 top-`k` over the persisted index — [[TierEleven.q82]]'s exact
+    * integer formula, fed from posting lists instead of the corpus. The
+    * `isin` filter is the index lookup: it prunes the bucketed scan to the
+    * query terms' buckets. */
+  def probe(spark: SparkSession, name: String, terms: Seq[String], k: Int = 10): DataFrame = {
+    val post = spark.table(s"${name}_postings").filter(col("token").isin(terms: _*))
+    val dict = spark.table(s"${name}_dict").filter(col("token").isin(terms: _*))
+    val stats = spark.table(s"${name}_stats")
+    post.join(broadcast(dict), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t",
+        expr("""(tf * 2200 * ((n * 1000000) div df)) div
+               |(tf * 1000 +
+               | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
+               |""".stripMargin.replace("\n", " ")))
+      .groupBy("doc_id").agg(sum("score_t").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

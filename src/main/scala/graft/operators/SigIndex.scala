@@ -39,7 +39,7 @@ object SigIndex {
     * session's `saveAsTable` fails with LOCATION_ALREADY_EXISTS on a
     * location whose table entry died with the previous session, so a
     * rebuild must sweep both. */
-  private def dropStale(spark: SparkSession, table: String): Unit = {
+  private[operators] def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.{LexIndex, TierEleven}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index: store-served BM25 must equal the direct
+  * computation, and the probe must actually behave like an index — a
+  * bucket-pruned postings scan, no document bodies, no corpus re-tokenize.
+  */
+class LexIndexSpec extends SparkSpec {
+
+  private val name = "lexidx_spec"
+  private lazy val built: Unit =
+    LexIndex.build(
+      Tables.load(spark, sf, "documents").select("doc_id", "text"), name)
+
+  test("probe from the store ≡ q82 computed from the corpus, bit for bit") {
+    built
+    val fromStore = LexIndex.probe(spark, name, Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val direct = TierEleven.q82.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromStore == direct)
+  }
+
+  test("probe plan: bucket-pruned postings scan, no bodies, no re-tokenize") {
+    built
+    val plan = LexIndex.probe(spark, name, Seq("spark", "window", "hash"))
+      .queryExecution.executedPlan.toString
+    // the index lookup IS bucket pruning: only the query terms' buckets scan
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).toSeq
+    assert(hits.nonEmpty, s"no bucket pruning in plan:\n${plan.take(1500)}")
+    assert(hits.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"scan reads every bucket: ${hits.map(_.matched)}")
+    // an index probe never touches the corpus: no text column, no split()
+    assert(!plan.contains("documents.parquet"), "probe must not rescan the corpus")
+    assert(!plan.toLowerCase.contains("split("), "probe must not re-tokenize")
+  }
+
+  test("unknown query terms miss cleanly (no postings, empty result)") {
+    built
+    assert(LexIndex.probe(spark, name, Seq("zzqx")).isEmpty)
+  }
+}
