@@ -61,11 +61,7 @@ object LexIndex {
     val stats = spark.table(s"${name}_stats")
     post.join(broadcast(dict), "token")
       .crossJoin(broadcast(stats))
-      .withColumn("score_t",
-        expr("""(tf * 2200 * ((n * 1000000) div df)) div
-               |(tf * 1000 +
-               | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
-               |""".stripMargin.replace("\n", " ")))
+      .withColumn("score_t", expr(TierEleven.bm25ScoreSql))
       .groupBy("doc_id").agg(sum("score_t").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

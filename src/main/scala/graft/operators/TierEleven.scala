@@ -35,6 +35,16 @@ object TierEleven {
     * DECIMAL(38,0) on both engines (ranking unchanged — score is monotone
     * in tf·idf).
     */
+  /** The exact-integer BM25 term score, shared verbatim by q82 (direct)
+    * and [[LexIndex.probe]] (store-served) — one definition, because the
+    * q87 contract is that serving from the store changes no scored bit.
+    * Expects columns tf, df, dl, n, total_toks. */
+  private[operators] val bm25ScoreSql: String =
+    """(tf * 2200 * ((n * 1000000) div df)) div
+      |(tf * 1000 +
+      | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
+      |""".stripMargin.replace("\n", " ")
+
   val q82 = Q("q82_bm25",
     """WITH toks AS (
       |  SELECT doc_id, token FROM (
@@ -71,11 +81,7 @@ object TierEleven {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .withColumn("score_t",
-        expr("""(tf * 2200 * ((n * 1000000) div df)) div
-               |(tf * 1000 +
-               | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
-               |""".stripMargin.replace("\n", " ")))
+      .withColumn("score_t", expr(bm25ScoreSql))
       .groupBy("doc_id").agg(sum("score_t").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
@@ -125,9 +131,12 @@ object TierEleven {
       .filter(col("token") =!= "")
     val vocab = Cumulative.rowNumber(s,
         toks.select("token").distinct(), Seq(col("token")), "tid")
+    // one Scala source of truth for the stand-in weights (pseudoWeights —
+    // scoreCol's array and this model table must never drift); the oracle
+    // SQL restates the formula as the intentional second engine
     val wts = s.range(4096)
       .select(col("id").as("bucket"),
-        expr(s"CAST(((id * $A0 + $B0) % $P) % 2001 - 1000 AS BIGINT)").as("w"))
+        element_at(typedlit(pseudoWeights.toSeq), (col("id") + 1).cast("int")).as("w"))
     val sc = toks.join(broadcast(vocab), "token")
       .select(col("doc_id"),
         expr(s"((tid % $P) * $A0 + $B0) % $P % 4096").as("bucket"))
@@ -245,16 +254,18 @@ object TierEleven {
       s: org.apache.spark.sql.SparkSession, dir: String,
       probe2: Boolean): org.apache.spark.sql.DataFrame = {
     val emb = TierNine.embOf(s, dir)
-    val cents = TierNine.lloydCentroids(s, dir)
-    val own = TierNine.assignTo(emb, cents)
+    // persist: cents (Lloyd training — a multi-pass corpus aggregation) and
+    // own feed two-to-three consumers each; without the pin every consumer
+    // re-trains. Swept by Verify/Bench's per-query cache sweep (the q26
+    // convention for shared intermediates).
+    val cents = TierNine.lloydCentroids(s, dir).persist()
+    val own = TierNine.assignTo(emb, cents).persist()
     val xAsg =
       if (!probe2) own
       else own.unionAll(
-        emb.crossJoin(broadcast(cents))
-          .withColumn("d",
-            TierNine.dotc(col("e"), col("e"))
-              - lit(2) * TierNine.dotc(col("e"), col("c"))
-              + TierNine.dotc(col("c"), col("c")))
+        // runner-up cell: the SAME candidate frame assignTo min-aggs over
+        // (shared tie-break semantics), minus each vector's own cell
+        TierNine.candidates(emb, cents)
           .join(own.withColumnRenamed("cid", "cid1"), "vec_id")
           .filter(col("cid") =!= col("cid1"))
           .groupBy("vec_id")

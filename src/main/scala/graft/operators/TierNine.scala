@@ -276,11 +276,17 @@ object TierNine {
     * shuffle — n rows move, none sort. A `row_number` window would shuffle
     * and sort all n·k rows. Struct ordering is lexicographic (d ASC, then
     * cid ASC) — the pinned tie-break, same as the oracle's row_number. */
-  private[operators] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+  /** Per-(vector, centroid) squared-L2 candidate frame via the dot
+    * identity — the shared expansion assignTo and the multi-probe widening
+    * ([[TierEleven.knnJoin]]) both min-agg over. */
+  private[operators] def candidates(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("d",
         dotc(col("e"), col("e")) - lit(2) * dotc(col("e"), col("c"))
           + dotc(col("c"), col("c")))
+
+  private[operators] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    candidates(emb, cents)
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"))

@@ -25,16 +25,15 @@ class TierElevenSpec extends SparkSpec {
     val dfm = terms.map(t => t -> docToks.count(_._2.contains(t)).toLong).toMap
     val scored = docToks.flatMap { case (id, toks) =>
       val dl = toks.length.toLong
-      val s = terms.map { t =>
-        val tf = toks.count(_ == t).toLong
-        if (tf == 0L) 0L
-        else {
-          val idf = (n * 1000000L) / dfm(t)
-          val norm = 250L + (750L * ((dl * 1000L) / avgdl)) / 1000L
-          (tf * 2200L * idf) / (tf * 1000L + (1200L * norm) / 1000L)
-        }
-      }.sum
-      if (s > 0L) Some(id -> s) else None
+      val matched = terms.map(t => t -> toks.count(_ == t).toLong).filter(_._2 > 0L)
+      // membership = "contains a query term" (both engines emit a row even
+      // when the integer score truncates to 0), NOT "score > 0"
+      if (matched.isEmpty) None
+      else Some(id -> matched.map { case (t, tf) =>
+        val idf = (n * 1000000L) / dfm(t)
+        val norm = 250L + (750L * ((dl * 1000L) / avgdl)) / 1000L
+        (tf * 2200L * idf) / (tf * 1000L + (1200L * norm) / 1000L)
+      }.sum)
     }
     val expect = scored.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
     val got = TierEleven.q82.run(spark, sf).collect()
@@ -49,8 +48,16 @@ class TierElevenSpec extends SparkSpec {
   }
 
   test("q83 classifier ≡ plain-Scala hashed-feature scoring") {
-    val vocab = docToks.flatMap(_._2).distinct.sorted.zipWithIndex
-      .map { case (t, i) => t -> (i + 1).toLong }.toMap
+    // both engines order strings by raw UTF-8 bytes; Scala's default sort
+    // is UTF-16 code-unit order, which diverges for supplementary-plane
+    // text — sort the brute force the way the engines do
+    val vocab = docToks.flatMap(_._2).distinct
+      .sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
+      .zipWithIndex.map { case (t, i) => t -> (i + 1).toLong }.toMap
     def bucket(tid: Long): Long = ((tid % P) * A0 + B0) % P % 4096L
     def w(b: Long): Long = ((b * A0 + B0) % P) % 2001L - 1000L
     val expect = docToks.map { case (id, toks) =>
