@@ -51,6 +51,57 @@ object LexIndex {
     tf.unpersist()
   }
 
+  /** Absorb a new batch into the index — the incremental loop
+    * ([[SigIndex.append]]'s economics, lexical flavor): the batch's
+    * postings APPEND (one file per touched bucket, no corpus rewrite,
+    * bucket-pruned probes intact), while the two small side tables MERGE —
+    * the lexicon by summed document frequencies via a temp-table + rename
+    * swap (its merged plan reads the table it replaces, so it must
+    * materialize before the old table drops; the swap is a metadata +
+    * directory move, not a second data pass), and the one-row stats
+    * driver-side. No frozen vocabulary: unseen batch tokens simply extend
+    * the lexicon. Batch doc_ids must be new (an existing id would
+    * double-count its postings). Refreshes the caller session's tables —
+    * the foreachBatch cloned-session staleness lesson (SigIndex s18).
+    *
+    * Scoring note: an append changes n/total_toks/df, so scores move
+    * corpus-wide — that is BM25's definition, not an artifact; [[probe]]
+    * after append ≡ a from-scratch [[build]] over the union
+    * (LexIndexSpec pins it).
+    */
+  def append(spark: SparkSession, name: String, newDocs: DataFrame,
+      buckets: Int = 32): Unit = {
+    val toks = newDocs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist()
+    Warehouse.appendBucketed(
+      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
+      s"${name}_postings", buckets, "token")
+    val tmp = s"${name}_dict_tmp"
+    SigIndex.dropStale(spark, tmp)
+    spark.table(s"${name}_dict")
+      .unionAll(tf.groupBy("token").agg(count(lit(1)).as("df")))
+      .groupBy("token").agg(sum("df").as("df"))
+      .write.format("parquet").saveAsTable(tmp)
+    SigIndex.dropStale(spark, s"${name}_dict")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${name}_dict")
+    val old = spark.table(s"${name}_stats").collect()(0)
+    val add = newDocs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("t")))
+      .collect()(0)
+    tf.unpersist(); dl.unpersist()
+    SigIndex.dropStale(spark, s"${name}_stats")
+    spark.sql(
+      s"""SELECT CAST(${old.getLong(0) + add.getLong(0)} AS BIGINT) AS n,
+         |       CAST(${old.getLong(1) + add.getLong(1)} AS BIGINT) AS total_toks
+         |""".stripMargin)
+      .write.format("parquet").saveAsTable(s"${name}_stats")
+    Seq("postings", "dict", "stats")
+      .foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
   /** BM25 top-`k` over the persisted index — [[TierEleven.q82]]'s exact
     * integer formula, fed from posting lists instead of the corpus. The
     * `isin` filter is the index lookup: it prunes the bucketed scan to the

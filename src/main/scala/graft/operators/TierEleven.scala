@@ -387,5 +387,40 @@ object TierEleven {
     LexIndex.probe(s, "lexidx_q87", Seq("spark", "window", "hash"))
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87)
+  /** Cohort retention — q81's sibling on the analytics side: users
+    * cohorted by FIRST-ACTIVITY day, then counted per (cohort, day-offset)
+    * cell of the classic retention matrix. All-integer day arithmetic
+    * (epoch-ms div 86400000 — q81's ms-floor convention) keeps both
+    * engines bit-identical; `(user, day)` de-dups BEFORE the cell count so
+    * a user's many same-day events count once.
+    *
+    * Scale: first-activity is one user-keyed partial+final min; the
+    * day-level activity set de-dups on (user_id, day) — hash shuffle, no
+    * sort; the join back to cohorts is user-keyed on both sides (aligned
+    * partitioning); the final cell count aggregates to |cohorts|·|offsets|
+    * rows. No windows, no per-user arrays — hot users cost their distinct
+    * DAYS, not their event count.
+    */
+  val q88 = Q("q88_retention",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+      |SELECT CAST(cohort AS BIGINT) AS cohort_day,
+      |       CAST(day - cohort AS BIGINT) AS day_offset,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM d JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val d = graft.Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
+      .distinct()
+    val f = d.groupBy("user_id").agg(min("day").as("cohort"))
+    d.join(f, "user_id")
+      .groupBy(col("cohort").as("cohort_day"),
+        (col("day") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88)
 }

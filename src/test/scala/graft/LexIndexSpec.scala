@@ -42,4 +42,25 @@ class LexIndexSpec extends SparkSpec {
     built
     assert(LexIndex.probe(spark, name, Seq("zzqx")).isEmpty)
   }
+
+  test("incremental append ≡ from-scratch rebuild over the union") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val incName = "lexidx_inc"
+    LexIndex.build(docs.filter(col("doc_id") % 5 =!= 0), incName)
+    LexIndex.append(spark, incName, docs.filter(col("doc_id") % 5 === 0))
+    val incremental = LexIndex.probe(spark, incName, Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the truth: one build over everything (scores shift corpus-wide on
+    // append — BM25's n/df/avgdl move — so only the full union compares)
+    val fullName = "lexidx_full"
+    LexIndex.build(docs, fullName)
+    val rebuilt = LexIndex.probe(spark, fullName, Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(incremental == rebuilt)
+    // and the appended side must actually be reachable: some % 5 == 0 doc
+    // scores somewhere in the full posting lists
+    val appendedSeen = spark.table(s"${incName}_postings")
+      .filter(col("doc_id") % 5 === 0).limit(1).count()
+    assert(appendedSeen == 1L, "appended postings must be visible to probes")
+  }
 }

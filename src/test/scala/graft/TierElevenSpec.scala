@@ -161,6 +161,27 @@ class TierElevenSpec extends SparkSpec {
     }.foreach(r => assert(r.getString(4) == texts(r.getLong(0))))
   }
 
+  test("q88 retention ≡ plain-Scala brute force; matrix invariants hold") {
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_millis(cast(ts as timestamp))"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 86400000L))
+    val byUser = events.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = byUser.toSeq.flatMap { case (_, days) =>
+      val cohort = days.min
+      days.toSeq.map(d => (cohort, d - cohort))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TierEleven.q88.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // invariants: every cohort has its day-0 cell, and no later cell exceeds it
+    val cohorts = got.keys.map(_._1).toSet
+    cohorts.foreach { c =>
+      val day0 = got((c, 0L))
+      assert(got.collect { case ((`c`, k), n) if k > 0 => n }.forall(_ <= day0),
+        s"cohort $c retains more users than it started with")
+    }
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
