@@ -63,4 +63,34 @@ class LexIndexSpec extends SparkSpec {
       .filter(col("doc_id") % 5 === 0).limit(1).count()
     assert(appendedSeen == 1L, "appended postings must be visible to probes")
   }
+
+  test("s25: streaming ingest (foreachBatch append) — final probe ≡ full rebuild") {
+    // the live ingest loop: arriving micro-batches absorb into the index
+    // on the stream's CLONED session (the s18 staleness class — append's
+    // caller-session refresh is what this exercises); after the stream
+    // drains, a probe must equal a from-scratch build over everything
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    LexIndex.build(docs.filter(col("doc_id") % 3 === 0), "lexidx_s25")
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val chunks = rest.grouped(math.max(1, (rest.length + 2) / 3)).toSeq
+    assert(chunks.length >= 2, "fixture must yield multiple micro-batches")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        LexIndex.append(spark, "lexidx_s25", b)
+      }.start()
+    try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = LexIndex.probe(spark, "lexidx_s25", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    LexIndex.build(docs, "lexidx_s25x")
+    val rebuilt = LexIndex.probe(spark, "lexidx_s25x", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == rebuilt)
+  }
 }
