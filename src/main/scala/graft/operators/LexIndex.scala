@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *     is |query| rows, broadcast.
   *   - `<name>_stats` one row `(n, total_toks)` — corpus totals for the
   *     BM25 length norm, broadcast.
+  *   - `<name>_ledger` `(batch_id)` — absorbed stream batch ids, the
+  *     idempotence record for at-least-once replay (see [[append]]).
   *
   * Unlike [[SigIndex]] there is no frozen vocabulary: tokens join as
   * strings, so new query terms simply miss (df = 0 ⇒ no postings).
@@ -29,40 +31,76 @@ import org.apache.spark.sql.functions._
   */
 object LexIndex {
 
+  /** One tokenize pass shared by [[build]] and [[append]] — the
+    * append ≡ rebuild contract (LexIndexSpec) requires both paths to
+    * tokenize identically, so there is exactly one definition.
+    * Returns `(tf, dl)`: per-(doc, token) counts and per-doc lengths;
+    * `tf` arrives persisted (it feeds postings + dict + dl), caller
+    * unpersists. */
+  private def tokenStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    (tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
   /** Tokenize `docs` (any `(doc_id, text)` frame) and persist the index
     * tables. Pays one corpus tokenize + one bucketing shuffle; every later
     * [[probe]] is bucket-pruned scan + broadcast joins. */
   def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
-    Seq("postings", "dict", "stats").foreach(t => SigIndex.dropStale(spark, s"${name}_$t"))
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    Seq("postings", "dict", "stats", "ledger", "dict_tmp", "dict_old")
+      .foreach(t => SigIndex.dropStale(spark, s"${name}_$t"))
+    val (tf, dl) = tokenStats(docs)
     Warehouse.writeBucketed(
       tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
       s"${name}_postings", buckets, "token")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_dict")
+    // coalesce: an EMPTY corpus (the bootstrap "build empty, stream
+    // everything in" shape) sums dl to NULL, and append's driver-side
+    // stats merge reads this row as primitive longs
     docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum("dl").as("total_toks")))
+      .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("total_toks")))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_stats")
     tf.unpersist()
   }
+
+  /** Has `batchId` already been absorbed? (No ledger table = nothing
+    * absorbed yet.) */
+  private def absorbed(spark: SparkSession, name: String, batchId: Long): Boolean =
+    spark.catalog.tableExists(s"${name}_ledger") &&
+      spark.table(s"${name}_ledger")
+        .filter(col("batch_id") === batchId).limit(1).count() > 0
 
   /** Absorb a new batch into the index — the incremental loop
     * ([[SigIndex.append]]'s economics, lexical flavor): the batch's
     * postings APPEND (one file per touched bucket, no corpus rewrite,
     * bucket-pruned probes intact), while the two small side tables MERGE —
-    * the lexicon by summed document frequencies via a temp-table + rename
-    * swap (its merged plan reads the table it replaces, so it must
-    * materialize before the old table drops; the swap is a metadata +
-    * directory move, not a second data pass), and the one-row stats
-    * driver-side. No frozen vocabulary: unseen batch tokens simply extend
-    * the lexicon. Batch doc_ids must be new (an existing id would
-    * double-count its postings). Refreshes the caller session's tables —
-    * the foreachBatch cloned-session staleness lesson (SigIndex s18).
+    * the lexicon by summed document frequencies via a temp-table swap
+    * (its merged plan reads the table it replaces, so it must materialize
+    * before the old table moves), and the one-row stats driver-side. No
+    * frozen vocabulary: unseen batch tokens simply extend the lexicon.
+    * Batch doc_ids must be new (an existing id would double-count its
+    * postings). Refreshes the caller session's tables — the foreachBatch
+    * cloned-session staleness lesson (SigIndex s18).
+    *
+    * REPLAY SAFETY: foreachBatch delivery is at-least-once — a batch whose
+    * epoch didn't commit is re-delivered after restart, and a blind
+    * re-append would silently double-count postings/df/n (BM25 scores
+    * corrupt with no error). Pass foreachBatch's `batchId`: absorbed ids
+    * are recorded in `<name>_ledger` AFTER the append completes and
+    * replayed ids are skipped (s25 replays a batch to pin this). The
+    * ledger closes the common replay window (completed batch, uncommitted
+    * epoch); a crash MID-append still needs a rebuild — multi-table
+    * atomicity is a transactional table format's job (Delta/Iceberg in
+    * production), not plain parquet's.
+    *
+    * The dict swap itself never strands the index without a lexicon: the
+    * merged table materializes fully, THEN the old table moves aside, the
+    * new one renames in, and only then does the old drop.
     *
     * Scoring note: an append changes n/total_toks/df, so scores move
     * corpus-wide — that is BM25's definition, not an artifact; [[probe]]
@@ -70,34 +108,44 @@ object LexIndex {
     * (LexIndexSpec pins it).
     */
   def append(spark: SparkSession, name: String, newDocs: DataFrame,
-      buckets: Int = 32): Unit = {
-    val toks = newDocs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).persist()
+      buckets: Int = 32, batchId: Option[Long] = None): Unit = {
+    if (batchId.exists(absorbed(spark, name, _))) return
+    // the batch is read by the postings write AND the stats count — pin it
+    // so a source-backed micro-batch isn't re-scanned per consumer
+    val docs = newDocs.persist()
+    val (tf, dl0) = tokenStats(docs)
+    val dl = dl0.persist()
     Warehouse.appendBucketed(
       tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
       s"${name}_postings", buckets, "token")
+    // lexicon merge via swap: materialize to _tmp (the plan reads _dict),
+    // move _dict aside, move _tmp in, drop the old — at every step a
+    // complete lexicon exists under some name
     val tmp = s"${name}_dict_tmp"
-    SigIndex.dropStale(spark, tmp)
+    val oldT = s"${name}_dict_old"
+    Seq(tmp, oldT).foreach(t => SigIndex.dropStale(spark, t))
     spark.table(s"${name}_dict")
       .unionAll(tf.groupBy("token").agg(count(lit(1)).as("df")))
       .groupBy("token").agg(sum("df").as("df"))
       .write.format("parquet").saveAsTable(tmp)
-    SigIndex.dropStale(spark, s"${name}_dict")
+    spark.sql(s"ALTER TABLE ${name}_dict RENAME TO $oldT")
     spark.sql(s"ALTER TABLE $tmp RENAME TO ${name}_dict")
+    SigIndex.dropStale(spark, oldT)
     val old = spark.table(s"${name}_stats").collect()(0)
-    val add = newDocs.agg(count(lit(1)).as("n"))
+    val add = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("t")))
       .collect()(0)
-    tf.unpersist(); dl.unpersist()
+    tf.unpersist(); dl.unpersist(); docs.unpersist()
     SigIndex.dropStale(spark, s"${name}_stats")
     spark.sql(
       s"""SELECT CAST(${old.getLong(0) + add.getLong(0)} AS BIGINT) AS n,
          |       CAST(${old.getLong(1) + add.getLong(1)} AS BIGINT) AS total_toks
          |""".stripMargin)
       .write.format("parquet").saveAsTable(s"${name}_stats")
+    batchId.foreach { id =>
+      spark.sql(s"SELECT CAST($id AS BIGINT) AS batch_id")
+        .write.mode("append").format("parquet").saveAsTable(s"${name}_ledger")
+    }
     Seq("postings", "dict", "stats")
       .foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
   }

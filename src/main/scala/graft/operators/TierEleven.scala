@@ -410,10 +410,15 @@ object TierEleven {
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM d JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // persist: d feeds the join's left side AND the cohort min, and the
+    // (user, day) partitioning can't serve the user-only join key — without
+    // the pin the events scan + de-dup shuffle run twice (swept by
+    // Verify/Bench per-query, the q85 convention)
     val d = graft.Tables.load(s, dir, "events")
       .select(col("user_id"),
         expr("unix_millis(cast(ts as timestamp)) div 86400000").as("day"))
       .distinct()
+      .persist()
     val f = d.groupBy("user_id").agg(min("day").as("cohort"))
     d.join(f, "user_id")
       .groupBy(col("cohort").as("cohort_day"),

@@ -80,17 +80,44 @@ class LexIndexSpec extends SparkSpec {
     val chunks = rest.grouped(math.max(1, (rest.length + 2) / 3)).toSeq
     assert(chunks.length >= 2, "fixture must yield multiple micro-batches")
     val in = MemoryStream[(Long, String)]
+    var lastBatch: Option[(Long, Seq[(Long, String)])] = None
     val q = in.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        LexIndex.append(spark, "lexidx_s25", b)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        lastBatch = Some(id -> b.collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+        LexIndex.append(spark, "lexidx_s25", b, batchId = Some(id))
       }.start()
     try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
     finally q.stop()
-    val streamed = LexIndex.probe(spark, "lexidx_s25", Seq("spark", "window", "hash"))
+    val terms = Seq("spark", "window", "hash")
+    val streamed = LexIndex.probe(spark, "lexidx_s25", terms)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     LexIndex.build(docs, "lexidx_s25x")
-    val rebuilt = LexIndex.probe(spark, "lexidx_s25x", Seq("spark", "window", "hash"))
+    val rebuilt = LexIndex.probe(spark, "lexidx_s25x", terms)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(streamed == rebuilt)
+    // at-least-once replay: re-deliver the final batch with its original
+    // batchId (the post-crash epoch-replay shape) — the ledger must skip
+    // it, leaving every score bit unchanged
+    val (id, rows2) = lastBatch.get
+    import spark.implicits._
+    LexIndex.append(spark, "lexidx_s25", rows2.toDF("doc_id", "text"), batchId = Some(id))
+    val replayed = LexIndex.probe(spark, "lexidx_s25", terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == rebuilt, "replayed batch must be skipped, not double-counted")
+  }
+
+  test("bootstrap: build on an EMPTY corpus, stream everything in") {
+    // the production cold-start: an empty index absorbs its whole corpus
+    // incrementally; the empty build's stats row must read as (0, 0), not
+    // NULL (the first append would NPE otherwise)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    LexIndex.build(docs.filter(lit(false)), "lexidx_boot")
+    LexIndex.append(spark, "lexidx_boot", docs, batchId = Some(0L))
+    val boot = LexIndex.probe(spark, "lexidx_boot", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    LexIndex.build(docs, "lexidx_bootx")
+    val full = LexIndex.probe(spark, "lexidx_bootx", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(boot == full)
   }
 }
