@@ -427,5 +427,75 @@ object TierEleven {
       .orderBy("cohort_day", "day_offset")
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88)
+  /** Repeated-span detection — the EXACT-SUBSTRING dedup family (the
+    * suffix-array method of "Deduplicating Training Data Makes Language
+    * Models Better", re-expressed relationally): positions whose 8-token
+    * shingle occurs ≥ 2 times anywhere in the corpus are flagged, and runs
+    * of CONSECUTIVE flagged positions assemble into maximal repeated spans
+    * (`p − row_number` gaps-and-islands), reported when ≥ 16 tokens. The
+    * fixture appends a fixed 19-token boilerplate tail to every 7th doc —
+    * deterministic cross-doc repeats with random (unflagged) boundaries.
+    *
+    * Scale: shingle df is one shuffle on the shingle string; the islands
+    * window partitions BY DOC (each partition is one doc's flagged
+    * positions — bounded by doc length, never a global sort). This is the
+    * span-level complement of q77 (corpus-level boilerplate ratio) and
+    * q22/q26 (whole-doc dedup): it yields the CUT LIST (doc, start, len)
+    * an exact-substring dedup pass consumes.
+    */
+  val q89 = Q("q89_repeated_spans",
+    """WITH noisy AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text ||
+      |           ' the quick brown fox jumps over the lazy dog while spark shuffles data across the cluster during window aggregation'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM noisy),
+      |pos AS (
+      |  SELECT doc_id, l, unnest(range(0, len(l) - 7)) AS p
+      |  FROM toks WHERE len(l) >= 8),
+      |sh AS (
+      |  SELECT doc_id, p, array_to_string(list_slice(l, p + 1, p + 8), ' ') AS s
+      |  FROM pos),
+      |rep AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+      |f AS (
+      |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+      |  FROM sh JOIN rep USING (s)),
+      |g AS (
+      |  SELECT doc_id, min(p) AS span_start, max(p) - min(p) + 8 AS span_len
+      |  FROM f GROUP BY doc_id, p - rn)
+      |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+      |       CAST(span_len AS BIGINT) AS span_len
+      |FROM g WHERE span_len >= 16 ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    val tail = " the quick brown fox jumps over the lazy dog while spark" +
+      " shuffles data across the cluster during window aggregation"
+    val toks = Tables.load(s, dir, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(tail)))
+          .otherwise(col("text")))
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
+      // q63's guard: sequence(0, negative) throws where range() is empty
+      .filter(size(col("l")) >= 8)
+    val sh = toks.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, size(l) - 8), p -> array_join(slice(l, p + 1, 8), ' '))"))
+        .as(Seq("p", "s")))
+    val rep = sh.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    sh.join(rep, "s")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"), (col("p") - col("rn")).as("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + 8).as("span_len"))
+      .filter(col("span_len") >= 16)
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89)
 }

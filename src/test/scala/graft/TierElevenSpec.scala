@@ -182,6 +182,43 @@ class TierElevenSpec extends SparkSpec {
     }
   }
 
+  test("q89 repeated spans ≡ plain-Scala brute force; injected tails all found") {
+    val tail = " the quick brown fox jumps over the lazy dog while spark" +
+      " shuffles data across the cluster during window aggregation"
+    val docs = docToks.map { case (id, toks) =>
+      id -> (if (id % 7 == 0) toks ++ tail.trim.split(" ") else toks)
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val shingles = docs.map { case (id, l) =>
+      id -> (0 to l.length - 8).map { p =>
+        val s = l.slice(p, p + 8).mkString(" ")
+        counts(s) = counts.getOrElse(s, 0) + 1
+        (p, s)
+      }
+    }
+    val expect = shingles.flatMap { case (id, sh) =>
+      val flagged = sh.collect { case (p, s) if counts(s) >= 2 => p }
+      // islands: consecutive flagged positions
+      val spans = flagged.foldLeft(List.empty[(Int, Int)]) {
+        case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }.reverse
+      spans.map { case (s0, e0) => (id, s0.toLong, (e0 - s0 + 8).toLong) }
+        .filter(_._3 >= 16L)
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = TierEleven.q89.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // every injected doc's boilerplate tail must surface as (part of) a span
+    val tailLen = tail.trim.split(" ").length
+    docs.filter(_._1 % 7 == 0).foreach { case (id, l) =>
+      val tailStart = l.length - tailLen
+      assert(got.exists { case (d, s0, len) =>
+        d == id && s0 <= tailStart && s0 + len >= l.length
+      }, s"doc $id: injected boilerplate tail not covered by any span")
+    }
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
