@@ -443,8 +443,10 @@ object TierEleven {
     * q22/q26 (whole-doc dedup): it yields the CUT LIST (doc, start, len)
     * an exact-substring dedup pass consumes.
     */
-  val q89 = Q("q89_repeated_spans",
-    """WITH noisy AS (
+  /** Shared SQL prefix for q89/q90: noisy fixture → token arrays → 8-gram
+    * shingles by position → repeated set → flagged runs → spans `g`. */
+  private val spansSql: String =
+    """noisy AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 7 = 0 THEN text ||
       |           ' the quick brown fox jumps over the lazy dog while spark shuffles data across the cluster during window aggregation'
@@ -465,17 +467,24 @@ object TierEleven {
       |  FROM sh JOIN rep USING (s)),
       |g AS (
       |  SELECT doc_id, min(p) AS span_start, max(p) - min(p) + 8 AS span_len
-      |  FROM f GROUP BY doc_id, p - rn)
-      |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
-      |       CAST(span_len AS BIGINT) AS span_len
-      |FROM g WHERE span_len >= 16 ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
-    val tail = " the quick brown fox jumps over the lazy dog while spark" +
+      |  FROM f GROUP BY doc_id, p - rn)""".stripMargin
+
+  private val spanTail: String =
+    " the quick brown fox jumps over the lazy dog while spark" +
       " shuffles data across the cluster during window aggregation"
-    val toks = Tables.load(s, dir, "documents")
+
+  /** The noisy fixture's token arrays (shared by q89's detector and q90's
+    * apply — one tokenizer definition, the LexIndex lesson). */
+  private def noisyToks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
       .withColumn("text",
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(tail)))
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(spanTail)))
           .otherwise(col("text")))
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
+
+  /** q89's span frame `(doc_id, span_start, span_len)` un-ordered. */
+  private def spansOf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val toks = noisyToks(s, dir)
       // q63's guard: sequence(0, negative) throws where range() is empty
       .filter(size(col("l")) >= 8)
     val sh = toks.select(col("doc_id"),
@@ -492,10 +501,72 @@ object TierEleven {
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) - min(col("p")) + 8).as("span_len"))
       .filter(col("span_len") >= 16)
+  }
+
+  val q89 = Q("q89_repeated_spans",
+    s"""WITH $spansSql
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |       CAST(span_len AS BIGINT) AS span_len
+       |FROM g WHERE span_len >= 16 ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    spansOf(s, dir)
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_len").cast("long").as("span_len"))
       .orderBy("doc_id", "span_start")
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89)
+  /** Span-strip APPLY — q89's cut list executed (the detector+apply
+    * convention of q53/q58): every token position covered by a reported
+    * span is removed, the remaining tokens rejoin in order, and every
+    * document appears in the output (uncut docs pass through; a fully-cut
+    * doc yields the empty string). This is the conservative boilerplate
+    * strip; keep-first-occurrence variants change only which side of the
+    * cut list survives, not this plan's shape. Note: token-space spans can
+    * OVERLAP (flagged islands < 8 positions apart both extend +8 tokens);
+    * removal is the UNION of covered positions — the anti-join gives that
+    * for free (TierElevenSpec pins the arithmetic).
+    *
+    * Scale: covered positions explode from the span frame (|spans| ·
+    * span_len rows — the cut list, not the corpus), anti-join against the
+    * position-exploded tokens on (doc_id, p), and the rebuild is one
+    * per-doc `array_sort(collect_list(struct(p, token)))` — grouped by
+    * doc, bounded by doc length (the q63/lloyd collect convention).
+    */
+  val q90 = Q("q90_span_strip",
+    s"""WITH $spansSql,
+       |cut AS (SELECT doc_id, span_start, span_len FROM g WHERE span_len >= 16),
+       |tp AS (
+       |  SELECT doc_id, unnest(range(0, len(l))) AS p, l FROM toks WHERE len(l) > 0),
+       |tok1 AS (SELECT doc_id, p, l[p + 1] AS token FROM tp),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM tok1 t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cut c WHERE c.doc_id = t.doc_id
+       |      AND t.p >= c.span_start AND t.p < c.span_start + c.span_len)),
+       |rebuilt AS (
+       |  SELECT doc_id, array_to_string(list(token ORDER BY p), ' ') AS clean_text,
+       |         CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |       CAST(len(t.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val toks = noisyToks(s, dir)
+    val covered = spansOf(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(span_start, span_start + span_len - 1)")).as("p"))
+    val tok1 = toks.filter(size(col("l")) > 0)
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("p", "token")))
+    val rebuilt = tok1.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, token))), x -> x.token), ' ')")
+        .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (size(col("l")) - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

@@ -219,6 +219,35 @@ class TierElevenSpec extends SparkSpec {
     }
   }
 
+  test("q90 span strip executes exactly q89's cut list") {
+    val tail = " the quick brown fox jumps over the lazy dog while spark" +
+      " shuffles data across the cluster during window aggregation"
+    val noisy = docToks.map { case (id, toks) =>
+      id -> (if (id % 7 == 0) toks ++ tail.trim.split(" ") else toks)
+    }.toMap
+    val spans = TierEleven.q89.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // token-space spans can OVERLAP (islands < 8 flagged positions apart
+    // both extend +8), so coverage is the UNION of ranges, not the sum
+    val cutByDoc = spans.groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, s0, len) => s0 until (s0 + len) }.toSet.size.toLong).toMap
+    val rows = TierEleven.q90.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == noisy.size, "every document appears in the output")
+    rows.foreach { case (id, clean, removed) =>
+      // islands are disjoint, so removal count = sum of the doc's span lens
+      assert(removed == cutByDoc.getOrElse(id, 0L), s"cut arithmetic @$id")
+      val keptToks = if (clean.isEmpty) Array.empty[String] else clean.split(" ")
+      assert(keptToks.length + removed == noisy(id).length, s"token conservation @$id")
+      if (removed == 0L) assert(clean == noisy(id).mkString(" "), s"uncut doc changed @$id")
+    }
+    // the strip is real: injected docs lose at least their boilerplate tail
+    val tailLen = tail.trim.split(" ").length
+    noisy.keys.filter(_ % 7 == 0).foreach { id =>
+      assert(rows.find(_._1 == id).get._3 >= tailLen, s"tail not stripped @$id")
+    }
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
