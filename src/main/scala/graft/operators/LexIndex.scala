@@ -51,7 +51,8 @@ object LexIndex {
     * [[probe]] is bucket-pruned scan + broadcast joins. */
   def build(docs: DataFrame, name: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
-    Seq("postings", "dict", "stats", "ledger", "dict_tmp", "dict_old")
+    Seq("postings", "dict", "stats", "ledger",
+        "dict_tmp", "dict_old", "stats_tmp", "stats_old")
       .foreach(t => SigIndex.dropStale(spark, s"${name}_$t"))
     val (tf, dl) = tokenStats(docs)
     Warehouse.writeBucketed(
@@ -68,12 +69,14 @@ object LexIndex {
     tf.unpersist()
   }
 
-  /** Has `batchId` already been absorbed? (No ledger table = nothing
-    * absorbed yet.) */
-  private def absorbed(spark: SparkSession, name: String, batchId: Long): Boolean =
+  /** Has `(ingestId, batchId)` already been absorbed? (No ledger table =
+    * nothing absorbed yet.) */
+  private def absorbed(spark: SparkSession, name: String, ingestId: String,
+      batchId: Long): Boolean =
     spark.catalog.tableExists(s"${name}_ledger") &&
       spark.table(s"${name}_ledger")
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
+        .filter(col("ingest_id") === ingestId && col("batch_id") === batchId)
+        .limit(1).count() > 0
 
   /** Absorb a new batch into the index — the incremental loop
     * ([[SigIndex.append]]'s economics, lexical flavor): the batch's
@@ -92,15 +95,21 @@ object LexIndex {
     * re-append would silently double-count postings/df/n (BM25 scores
     * corrupt with no error). Pass foreachBatch's `batchId`: absorbed ids
     * are recorded in `<name>_ledger` AFTER the append completes and
-    * replayed ids are skipped (s25 replays a batch to pin this). The
-    * ledger closes the common replay window (completed batch, uncommitted
-    * epoch); a crash MID-append still needs a rebuild — multi-table
-    * atomicity is a transactional table format's job (Delta/Iceberg in
-    * production), not plain parquet's.
+    * replayed ids are skipped (s25 replays a batch to pin this). Batch ids
+    * are scoped to ONE streaming query's checkpoint and restart at 0 for a
+    * new query — a second ingest stream MUST pass its own `ingestId` (the
+    * Delta txnAppId convention) or its early batches would collide with
+    * the first stream's ledger rows and be silently SKIPPED; the ledger
+    * key is `(ingest_id, batch_id)` and the spec pins that a new ingestId
+    * absorbs batch 0 on an index whose default stream already used it.
+    * The ledger closes the common replay window (completed batch,
+    * uncommitted epoch); a crash MID-append still needs a rebuild —
+    * multi-table atomicity is a transactional table format's job
+    * (Delta/Iceberg in production), not plain parquet's.
     *
-    * The dict swap itself never strands the index without a lexicon: the
-    * merged table materializes fully, THEN the old table moves aside, the
-    * new one renames in, and only then does the old drop.
+    * The dict and stats swaps never strand the index without their table:
+    * each replacement materializes fully, THEN the old table moves aside,
+    * the new one renames in, and only then does the old drop.
     *
     * Scoring note: an append changes n/total_toks/df, so scores move
     * corpus-wide — that is BM25's definition, not an artifact; [[probe]]
@@ -108,8 +117,9 @@ object LexIndex {
     * (LexIndexSpec pins it).
     */
   def append(spark: SparkSession, name: String, newDocs: DataFrame,
-      buckets: Int = 32, batchId: Option[Long] = None): Unit = {
-    if (batchId.exists(absorbed(spark, name, _))) return
+      buckets: Int = 32, batchId: Option[Long] = None,
+      ingestId: String = "default"): Unit = {
+    if (batchId.exists(absorbed(spark, name, ingestId, _))) return
     // the batch is read by the postings write AND the stats count — pin it
     // so a source-backed micro-batch isn't re-scanned per consumer
     val docs = newDocs.persist()
@@ -136,14 +146,22 @@ object LexIndex {
       .crossJoin(dl.agg(coalesce(sum("dl"), lit(0L)).as("t")))
       .collect()(0)
     tf.unpersist(); dl.unpersist(); docs.unpersist()
-    SigIndex.dropStale(spark, s"${name}_stats")
+    // stats replacement gets the same swap as the dict — no window where
+    // the index lacks a stats table
+    val statsTmp = s"${name}_stats_tmp"
+    val statsOld = s"${name}_stats_old"
+    Seq(statsTmp, statsOld).foreach(t => SigIndex.dropStale(spark, t))
     spark.sql(
       s"""SELECT CAST(${old.getLong(0) + add.getLong(0)} AS BIGINT) AS n,
          |       CAST(${old.getLong(1) + add.getLong(1)} AS BIGINT) AS total_toks
          |""".stripMargin)
-      .write.format("parquet").saveAsTable(s"${name}_stats")
+      .write.format("parquet").saveAsTable(statsTmp)
+    spark.sql(s"ALTER TABLE ${name}_stats RENAME TO $statsOld")
+    spark.sql(s"ALTER TABLE $statsTmp RENAME TO ${name}_stats")
+    SigIndex.dropStale(spark, statsOld)
     batchId.foreach { id =>
-      spark.sql(s"SELECT CAST($id AS BIGINT) AS batch_id")
+      spark.sql(s"SELECT '${ingestId.replace("'", "''")}' AS ingest_id, " +
+          s"CAST($id AS BIGINT) AS batch_id")
         .write.mode("append").format("parquet").saveAsTable(s"${name}_ledger")
     }
     Seq("postings", "dict", "stats")

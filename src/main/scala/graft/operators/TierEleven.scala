@@ -443,13 +443,20 @@ object TierEleven {
     * q22/q26 (whole-doc dedup): it yields the CUT LIST (doc, start, len)
     * an exact-substring dedup pass consumes.
     */
+  /** The q89/q90 fixture's injected boilerplate — ONE definition
+    * interpolated into the SQL oracle and used by the Spark runner (and
+    * the specs): the two fixtures must never drift. */
+  private[graft] val spanTail: String =
+    " the quick brown fox jumps over the lazy dog while spark" +
+      " shuffles data across the cluster during window aggregation"
+
   /** Shared SQL prefix for q89/q90: noisy fixture → token arrays → 8-gram
     * shingles by position → repeated set → flagged runs → spans `g`. */
   private val spansSql: String =
-    """noisy AS (
+    s"""noisy AS (
       |  SELECT doc_id,
       |         CASE WHEN doc_id % 7 = 0 THEN text ||
-      |           ' the quick brown fox jumps over the lazy dog while spark shuffles data across the cluster during window aggregation'
+      |           '$spanTail'
       |         ELSE text END AS text
       |  FROM documents),
       |toks AS (
@@ -469,10 +476,6 @@ object TierEleven {
       |  SELECT doc_id, min(p) AS span_start, max(p) - min(p) + 8 AS span_len
       |  FROM f GROUP BY doc_id, p - rn)""".stripMargin
 
-  private val spanTail: String =
-    " the quick brown fox jumps over the lazy dog while spark" +
-      " shuffles data across the cluster during window aggregation"
-
   /** The noisy fixture's token arrays (shared by q89's detector and q90's
     * apply — one tokenizer definition, the LexIndex lesson). */
   private def noisyToks(s: org.apache.spark.sql.SparkSession, dir: String) =
@@ -482,9 +485,11 @@ object TierEleven {
           .otherwise(col("text")))
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
 
-  /** q89's span frame `(doc_id, span_start, span_len)` un-ordered. */
-  private def spansOf(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val toks = noisyToks(s, dir)
+  /** q89's span frame `(doc_id, span_start, span_len)` un-ordered, from a
+    * caller-supplied token frame (q90 persists one frame and feeds both
+    * the detector and the strip — one corpus tokenize, not three). */
+  private def spansOf(noisy: org.apache.spark.sql.DataFrame) = {
+    val toks = noisy
       // q63's guard: sequence(0, negative) throws where range() is empty
       .filter(size(col("l")) >= 8)
     val sh = toks.select(col("doc_id"),
@@ -508,7 +513,7 @@ object TierEleven {
        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
        |       CAST(span_len AS BIGINT) AS span_len
        |FROM g WHERE span_len >= 16 ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
-    spansOf(s, dir)
+    spansOf(noisyToks(s, dir))
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_len").cast("long").as("span_len"))
       .orderBy("doc_id", "span_start")
@@ -550,8 +555,11 @@ object TierEleven {
        |       CAST(len(t.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-    val toks = noisyToks(s, dir)
-    val covered = spansOf(s, dir)
+    // one corpus tokenize: the persisted frame feeds the detector, the
+    // position explode, AND the final left join (q88's persist convention;
+    // swept by Verify/Bench per-query)
+    val toks = noisyToks(s, dir).persist()
+    val covered = spansOf(toks)
       .select(col("doc_id"),
         explode(expr("sequence(span_start, span_start + span_len - 1)")).as("p"))
     val tok1 = toks.filter(size(col("l")) > 0)

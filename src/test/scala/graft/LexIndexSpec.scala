@@ -106,6 +106,32 @@ class LexIndexSpec extends SparkSpec {
     assert(replayed == rebuilt, "replayed batch must be skipped, not double-counted")
   }
 
+  test("a second ingest stream's batch 0 is absorbed, not skipped (ingestId namespace)") {
+    // foreachBatch batch ids restart at 0 per streaming query: without the
+    // ingest_id namespace a new stream's early batches would collide with
+    // the first stream's ledger rows and be silently LOST
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    LexIndex.build(docs.filter(col("doc_id") % 3 === 0), "lexidx_ns")
+    LexIndex.append(spark, "lexidx_ns", docs.filter(col("doc_id") % 3 === 1),
+      batchId = Some(0L))
+    // same batchId, DIFFERENT stream: must absorb
+    LexIndex.append(spark, "lexidx_ns", docs.filter(col("doc_id") % 3 === 2),
+      batchId = Some(0L), ingestId = "stream2")
+    val got = LexIndex.probe(spark, "lexidx_ns", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    LexIndex.build(docs, "lexidx_nsx")
+    val full = LexIndex.probe(spark, "lexidx_nsx", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == full)
+    // and the replay guard still holds per stream: re-delivering stream2's
+    // batch 0 changes nothing
+    LexIndex.append(spark, "lexidx_ns", docs.filter(col("doc_id") % 3 === 2),
+      batchId = Some(0L), ingestId = "stream2")
+    val replayed = LexIndex.probe(spark, "lexidx_ns", Seq("spark", "window", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == full)
+  }
+
   test("bootstrap: build on an EMPTY corpus, stream everything in") {
     // the production cold-start: an empty index absorbs its whole corpus
     // incrementally; the empty build's stats row must read as (0, 0), not

@@ -183,8 +183,7 @@ class TierElevenSpec extends SparkSpec {
   }
 
   test("q89 repeated spans ≡ plain-Scala brute force; injected tails all found") {
-    val tail = " the quick brown fox jumps over the lazy dog while spark" +
-      " shuffles data across the cluster during window aggregation"
+    val tail = TierEleven.spanTail
     val docs = docToks.map { case (id, toks) =>
       id -> (if (id % 7 == 0) toks ++ tail.trim.split(" ") else toks)
     }
@@ -220,8 +219,7 @@ class TierElevenSpec extends SparkSpec {
   }
 
   test("q90 span strip executes exactly q89's cut list") {
-    val tail = " the quick brown fox jumps over the lazy dog while spark" +
-      " shuffles data across the cluster during window aggregation"
+    val tail = TierEleven.spanTail
     val noisy = docToks.map { case (id, toks) =>
       id -> (if (id % 7 == 0) toks ++ tail.trim.split(" ") else toks)
     }.toMap
