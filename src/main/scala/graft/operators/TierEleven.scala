@@ -360,16 +360,30 @@ object TierEleven {
         when(col("doc_id") % 5 === 0,
           concat(col("s2"), lit(" node 192.168.1.77 up"))).otherwise(col("s2")))
       .select(col("doc_id"),
-        (size(split(col("noisy"), "[a-z0-9.]+@[a-z0-9.]+")) - 1).cast("long").as("n_email"),
-        (size(split(col("noisy"), "[0-9]{3}-[0-9]{3}-[0-9]{4}")) - 1).cast("long").as("n_phone"),
-        (size(split(col("noisy"), "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+")) - 1).cast("long").as("n_ip"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("noisy"), "[a-z0-9.]+@[a-z0-9.]+", "[EMAIL]"),
-            "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
-          "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+", "[IP]").as("redacted"))
+        piiCount(col("noisy"), emailRe).as("n_email"),
+        piiCount(col("noisy"), phoneRe).as("n_phone"),
+        piiCount(col("noisy"), ipRe).as("n_ip"),
+        redact(col("noisy")).as("redacted"))
       .orderBy("doc_id")
   }
+
+  private val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** Matches of `re` in `c` (engine-agnostic split counting — matches must
+    * not be string-terminal, which the q86 fixture guarantees). */
+  private def piiCount(c: org.apache.spark.sql.Column, re: String) =
+    (size(split(c, re)) - 1).cast("long")
+
+  /** The q86 redaction as a pure column — stateless, so the SAME scrub
+    * screens a live stream (s26 parity-pins streamed ≡ batch). */
+  private[graft] def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
 
   /** BM25 served FROM THE PERSISTED INVERTED INDEX — q82's semantics and
     * oracle (serving from the store must not change a single scored bit,

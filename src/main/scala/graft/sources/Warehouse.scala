@@ -59,6 +59,20 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Parquet with a per-file ROW CAP — the export-side shard control: a
+    * training-data drop wants files sized for its consumers (loader
+    * workers, object-store part limits), independent of this job's
+    * partition count. `maxRecordsPerFile` makes Spark roll to a new file
+    * within a task once the cap hits, so output file sizes are bounded
+    * WITHOUT a repartition (no extra shuffle; small partitions still
+    * produce small files — pair with a coalesce/repartition upstream when
+    * a floor matters too, that one IS a shuffle decision). WarehouseSpec
+    * pins cap-compliance and row conservation. */
+  def writeSharded(df: DataFrame, path: String, maxRecordsPerFile: Long): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+
   /** CSV with a pinned schema; malformed rows land in a null-columns row
     * (PERMISSIVE) rather than failing the job — filter or count them
     * explicitly (SourceFormatSpec pins the behavior). */

@@ -461,4 +461,34 @@ class StreamBatchParitySpec extends SparkSpec {
         s"streamed gate must equal batch: ${streamed.size} vs ${batchAdmitted.size}")
     } finally q.stop()
   }
+
+  test("s26: PII scrub on a stream ≡ batch (stateless redact column)") {
+    import graft.operators.TierEleven
+    // inject PII into a few rows (the q86 fixture classes), scrub on the
+    // stream — redact is one column expression, so streamed output must be
+    // byte-identical to the batch scrub of the same rows
+    val rows = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().take(40).map { r =>
+        val id = r.getLong(0)
+        val t = r.getString(1) +
+          (if (id % 3 == 0) " contact bob@example.com now" else "") +
+          (if (id % 4 == 0) " call 555-123-4567 ok" else "")
+        (id, t)
+      }.toSeq
+    val batch = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TierEleven.redact(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch.values.exists(_.contains("[EMAIL]")), "fixture must inject PII")
+    assert(!batch.values.exists(v => v.contains("@") || v.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*")))
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .select(col("doc_id"), TierEleven.redact(col("text")).as("clean"))
+      .writeStream.format("memory").queryName("s26_out").outputMode("append").start()
+    try {
+      rows.grouped(10).foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("s26_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
