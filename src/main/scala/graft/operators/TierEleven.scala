@@ -501,8 +501,10 @@ object TierEleven {
 
   /** q89's span frame `(doc_id, span_start, span_len)` un-ordered, from a
     * caller-supplied token frame (q90 persists one frame and feeds both
-    * the detector and the strip — one corpus tokenize, not three). */
-  private def spansOf(noisy: org.apache.spark.sql.DataFrame) = {
+    * the detector and the strip — one corpus tokenize, not three).
+    * `private[graft]` so the randomized differential can drive it with
+    * arbitrary synthetic corpora, not just the declared fixture. */
+  private[graft] def spansOf(noisy: org.apache.spark.sql.DataFrame) = {
     val toks = noisy
       // q63's guard: sequence(0, negative) throws where range() is empty
       .filter(size(col("l")) >= 8)
@@ -520,6 +522,7 @@ object TierEleven {
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) - min(col("p")) + 8).as("span_len"))
       .filter(col("span_len") >= 16)
+      .select("doc_id", "span_start", "span_len") // drop the island key
   }
 
   val q89 = Q("q89_repeated_spans",

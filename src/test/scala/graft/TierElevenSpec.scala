@@ -246,6 +246,44 @@ class TierElevenSpec extends SparkSpec {
     }
   }
 
+  test("span assembly ≡ brute force on 20 seeded random corpora") {
+    // the islands logic saw one fixture shape through the oracle; drive it
+    // with adversarial synthetic corpora — tiny vocab (dense repeats),
+    // short docs (guard edges), long runs (overlapping token-space spans)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 20).foreach { trial =>
+      val vocabSize = 1 + rnd.nextInt(5) // 1..5 tokens → heavy repetition
+      val docs = (0 until (3 + rnd.nextInt(8))).map { id =>
+        val len = rnd.nextInt(40) // 0..39 tokens, some below shingle width
+        (id.toLong, Array.fill(len)(s"w${rnd.nextInt(vocabSize)}"))
+      }
+      val got = TierEleven.spansOf(
+          docs.map { case (id, l) => (id, l.toSeq) }.toDF("doc_id", "l"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+          r.getAs[Number](2).longValue()))
+        .toSet
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      val shingled = docs.map { case (id, l) =>
+        id -> (0 to l.length - 8).map { p =>
+          val s = l.slice(p, p + 8).mkString(" ")
+          counts(s) = counts.getOrElse(s, 0) + 1
+          (p, s)
+        }
+      }
+      val expect = shingled.flatMap { case (id, sh) =>
+        val flagged = sh.collect { case (p, s) if counts(s) >= 2 => p }
+        flagged.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s0, e0) => (id, s0.toLong, (e0 - s0 + 8).toLong) }
+          .filter(_._3 >= 16L)
+      }.toSet
+      assert(got == expect, s"trial $trial (vocab $vocabSize): $got vs $expect")
+    }
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
