@@ -68,10 +68,14 @@ object Warehouse {
     * produce small files — pair with a coalesce/repartition upstream when
     * a floor matters too, that one IS a shuffle decision). WarehouseSpec
     * pins cap-compliance and row conservation. */
-  def writeSharded(df: DataFrame, path: String, maxRecordsPerFile: Long): Unit =
+  def writeSharded(df: DataFrame, path: String, maxRecordsPerFile: Long): Unit = {
+    // Spark treats a non-positive cap as "no limit" — fail fast instead of
+    // silently writing an uncapped drop under a capped contract
+    require(maxRecordsPerFile > 0, s"maxRecordsPerFile must be > 0, got $maxRecordsPerFile")
     df.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(path)
+  }
 
   /** CSV with a pinned schema; malformed rows land in a null-columns row
     * (PERMISSIVE) rather than failing the job — filter or count them

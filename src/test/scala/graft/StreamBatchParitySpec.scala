@@ -467,8 +467,10 @@ class StreamBatchParitySpec extends SparkSpec {
     // inject PII into a few rows (the q86 fixture classes), scrub on the
     // stream — redact is one column expression, so streamed output must be
     // byte-identical to the batch scrub of the same rows
+    // doc_id < 40 (deterministic membership: %3/%4 rows guaranteed in),
+    // filtered BEFORE collect so the driver never holds the full table
     val rows = Tables.load(spark, sf, "documents").select("doc_id", "text")
-      .collect().take(40).map { r =>
+      .filter(col("doc_id") < 40).collect().map { r =>
         val id = r.getLong(0)
         val t = r.getString(1) +
           (if (id % 3 == 0) " contact bob@example.com now" else "") +

@@ -48,20 +48,28 @@ class WarehouseSpec extends SparkSpec {
 
   test("sharded write bounds rows per file and conserves every row") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-shard").toString
-    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
-    val total = docs.count()
-    Warehouse.writeSharded(docs.repartition(2), s"$tmp/shards", maxRecordsPerFile = 60L)
-    val files = new java.io.File(s"$tmp/shards").listFiles()
-      .filter(f => f.getName.endsWith(".parquet"))
-    // cap honored per file, floor follows from 2 input partitions of ~250
-    assert(files.length >= (total / 60L).toInt, s"only ${files.length} files")
-    files.foreach { f =>
-      val n = spark.read.parquet(f.getAbsolutePath).count()
-      assert(n <= 60L, s"${f.getName} holds $n rows > cap")
+    try {
+      val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      val total = docs.count()
+      Warehouse.writeSharded(docs.repartition(2), s"$tmp/shards", maxRecordsPerFile = 60L)
+      val files = new java.io.File(s"$tmp/shards").listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+      // cap honored per file, floor follows from 2 input partitions of ~250
+      assert(files.length >= (total / 60L).toInt, s"only ${files.length} files")
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 60L, s"${f.getName} holds $n rows > cap")
+      }
+      val back = spark.read.parquet(s"$tmp/shards")
+      assert(back.count() == total)
+      assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      intercept[IllegalArgumentException] {
+        Warehouse.writeSharded(docs, s"$tmp/bad", maxRecordsPerFile = 0L)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
     }
-    val back = spark.read.parquet(s"$tmp/shards")
-    assert(back.count() == total)
-    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
-      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 }
