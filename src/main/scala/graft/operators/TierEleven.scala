@@ -593,5 +593,38 @@ object TierEleven {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90)
+  /** Temperature-scaled mixture weights — the multilingual sampling
+    * formula (p_l ∝ n_l^α, the mBERT/XLM-R upsampling of low-resource
+    * languages) that PRODUCES the rates q71's weighted mixing consumes.
+    * α = 1/2, deliberately: `sqrt` is correctly rounded by IEEE 754 on
+    * both engines (identical bits for identical inputs — no libm `pow`,
+    * whose last-ulp behavior is engine-specific), and counts ≤ 2⁵² are
+    * exact doubles, so `round(sqrt(n)·10⁶)` is deterministic end to end;
+    * the share normalization is then pure integer div (ppm convention).
+    *
+    * Scale: one partial+final count by language (|langs| rows), a one-row
+    * total, broadcast arithmetic — nothing touches the corpus twice.
+    */
+  val q91 = Q("q91_temperature_mix",
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT lang, n_docs, CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS wt
+      |  FROM c),
+      |t AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w)
+      |SELECT lang, n_docs, wt,
+      |       CAST((wt * 1000000) // total AS BIGINT) AS share_ppm
+      |FROM w CROSS JOIN t ORDER BY lang""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = c.select(col("lang"), col("n_docs"),
+      round(sqrt(col("n_docs")) * 1000000).cast("long").as("wt"))
+    val t = w.agg(sum("wt").as("total"))
+    w.crossJoin(broadcast(t))
+      .select(col("lang"), col("n_docs"), col("wt"),
+        expr("(wt * 1000000) div total").as("share_ppm"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

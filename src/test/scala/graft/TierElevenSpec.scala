@@ -284,6 +284,32 @@ class TierElevenSpec extends SparkSpec {
     }
   }
 
+  test("q91 temperature mix upsamples low-resource languages (and only them)") {
+    val rows = TierEleven.q91.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    // shares sum to ~1e6 (integer div truncation loses < |langs| ppm)
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length, s"sum $shareSum")
+    // the formula's purpose: sqrt flattens the distribution. The share/raw
+    // crossover sits at (Σn/Σ√n)² — ≥ the mean by Cauchy-Schwarz — so the
+    // provable directions are: every below-MEAN language gains share, and
+    // the largest language cedes (strictly, once counts differ at all)
+    val distinctCounts = rows.map(_._2).distinct.length
+    assert(distinctCounts > 1, "fixture must have imbalanced languages")
+    val nMax = rows.map(_._2).max
+    rows.foreach { case (lang, n, share) =>
+      val rawPpm = n * 1000000L / total
+      if (n * rows.length < total) // below mean < crossover
+        assert(share > rawPpm, s"$lang under-sampled: $share <= $rawPpm")
+      if (n == nMax) // max is provably above the crossover
+        assert(share < rawPpm, s"$lang not flattened: $share >= $rawPpm")
+    }
+    // determinism: re-run bit-identical (sqrt is IEEE-correctly-rounded)
+    assert(TierEleven.q91.run(spark, sf).collect().toSeq ==
+      TierEleven.q91.run(spark, sf).collect().toSeq)
+  }
+
   test("q85 plan: centroid assignment broadcasts, no CartesianProduct") {
     val plan = TierEleven.q85.run(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
