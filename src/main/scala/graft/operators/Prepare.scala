@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The corpus-preparation RECIPE as one library call — how a user consumes
+  * the engine end to end instead of wiring the stages by hand. Ordering is
+  * the production rationale, encoded once:
+  *
+  *   1. NORMALIZE ([[TierEleven.normalize]]) — canonical text before any
+  *      downstream tokenization (dedup digests, quality tokens, splits all
+  *      see the same bytes).
+  *   2. SCRUB PII ([[TierEleven.redact]]) — before anything persists or
+  *      fingerprints the raw text.
+  *   3. PER-ROW GATES — cheap codegen'd filters (q31's heuristic quality
+  *      gate, q83's classifier as the stateless [[TierEleven.scoreCol]])
+  *      run BEFORE the expensive pairwise stage so dedup never pays for
+  *      documents the gates would drop anyway.
+  *   4. DEDUP ([[Dedup.deduplicateReleasable]]) — exact digests, then
+  *      MinHash/LSH near-dup clusters, one survivor per cluster.
+  *   5. SPLIT (q75's affine-hash partition) — LAST, so a duplicate pair
+  *      can never straddle train/eval (the contamination vector splitting
+  *      before dedup re-opens).
+  *
+  * Returns the prepared frame `(doc_id, text, split)` plus the per-stage
+  * counts a dataset card quotes. Upstream intermediates are swept before
+  * returning; the returned frame arrives CACHED and materialized (its
+  * lineage's caches are already gone) — callers own that one cache, and
+  * Verify/Bench's per-query sweep covers it as usual.
+  */
+object Prepare {
+
+  /** Per-stage counts: `input ≥ afterGates ≥ afterDedup = Σ splits`. */
+  final case class Report(
+      input: Long, afterGates: Long, afterDedup: Long,
+      train: Long, valid: Long, test: Long)
+
+  def corpus(docs: DataFrame): (DataFrame, Report) = {
+    import TierFour.{A0, B0, P}
+    val input = docs.count()
+    val gated = docs
+      .select(col("doc_id"),
+        TierEleven.redact(TierEleven.normalize(col("text"))).as("text"))
+      .filter(TierFour.qualityCol(col("text")) >= 2)
+      .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("text")) >= 0L)
+      .persist() // feeds its count + three dedup consumers
+    val afterGates = gated.count()
+    val (survivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
+    val out = survivors
+      .withColumn("bkt", ((col("doc_id") % P) * A0 + B0) % P % 1000)
+      .withColumn("split",
+        when(col("bkt") < 980, "train")
+          .when(col("bkt") < 990, "valid")
+          .otherwise("test"))
+      .drop("bkt")
+      .persist() // materialize before sweeping the upstream caches
+    val bySplit = out.groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val afterDedup = bySplit.values.sum
+    releaseDedup()
+    gated.unpersist(blocking = false)
+    val report = Report(input, afterGates, afterDedup,
+      bySplit.getOrElse("train", 0L), bySplit.getOrElse("valid", 0L),
+      bySplit.getOrElse("test", 0L))
+    (out, report)
+  }
+}

@@ -194,8 +194,7 @@ object TierEleven {
       .withColumn("noisy",
         when(col("doc_id") % 5 === 0, concat(lit("  "), col("s2"), lit("  ")))
           .otherwise(col("s2")))
-      .withColumn("clean",
-        trim(regexp_replace(regexp_replace(col("noisy"), "<[^>]*>", " "), "  +", " ")))
+      .withColumn("clean", normalize(col("noisy")))
       .select(col("doc_id"),
         length(col("noisy")).cast("long").as("n_noisy"),
         length(col("clean")).cast("long").as("n_clean"),
@@ -375,6 +374,11 @@ object TierEleven {
     * not be string-terminal, which the q86 fixture guarantees). */
   private def piiCount(c: org.apache.spark.sql.Column, re: String) =
     (size(split(c, re)) - 1).cast("long")
+
+  /** The q84 normalization as a pure column (strip markup → collapse
+    * whitespace runs → trim) — shared by q84 and [[Prepare]]. */
+  private[graft] def normalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "  +", " "))
 
   /** The q86 redaction as a pure column — stateless, so the SAME scrub
     * screens a live stream (s26 parity-pins streamed ≡ batch). */
