@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Returns the prepared frame `(doc_id, text, split)` plus the per-stage
   * counts a dataset card quotes. Upstream intermediates are swept before
-  * returning; the returned frame arrives CACHED and materialized (its
-  * lineage's caches are already gone) — callers own that one cache, and
-  * Verify/Bench's per-query sweep covers it as usual.
+  * returning; the returned frame is an eager `localCheckpoint` — fully
+  * materialized and SELF-CONTAINED (no lineage into the swept caches;
+  * blocks spill to disk rather than recompute) — and Verify/Bench's
+  * per-query sweep releases it as usual.
   */
 object Prepare {
 
@@ -46,6 +47,10 @@ object Prepare {
       .persist() // feeds its count + three dedup consumers
     val afterGates = gated.count()
     val (survivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
+    // EAGER localCheckpoint, not persist: the release below frees the
+    // dedup stage's checkpoint leaves, so the returned frame must not
+    // keep lineage through them — checkpoint blocks are MEMORY_AND_DISK
+    // (spill, never recompute), making `out` self-contained
     val out = survivors
       .withColumn("bkt", ((col("doc_id") % P) * A0 + B0) % P % 1000)
       .withColumn("split",
@@ -53,7 +58,7 @@ object Prepare {
           .when(col("bkt") < 990, "valid")
           .otherwise("test"))
       .drop("bkt")
-      .persist() // materialize before sweeping the upstream caches
+      .localCheckpoint(true)
     val bySplit = out.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val afterDedup = bySplit.values.sum
