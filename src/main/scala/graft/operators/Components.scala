@@ -20,18 +20,34 @@ import org.apache.spark.sql.functions._
   *    round one, so later rounds cost nothing — unlike plain label
   *    propagation, which re-scans the FULL edge list every round for as
   *    many rounds as the graph diameter.
-  * 2. Alternating LARGE-STAR / SMALL-STAR contraction, entered only when a
-  *    round shrinks the active edge set by less than 25 % (a long-chain /
-  *    high-diameter remnant, where hash-min degrades to one diameter hop
-  *    per round). Large-star hangs every node's larger neighbors off its
-  *    neighborhood minimum; small-star does the same for the smaller
-  *    neighbors. The alternation is the SoCC'14 Two-Phase algorithm: it
-  *    converges to disjoint min-centered stars in O(log² n) rounds
-  *    (observed ≈ log n, ~10 rounds for a 10k-node path — ComponentsSpec
-  *    pins this), the edge set never grows beyond its input size, and
-  *    every round is the same canonical-edges groupBy/join shape as phase
-  *    one. Real dedup graphs never reach phase 2; a legal-but-pathological
-  *    edge list (one giant path) now converges instead of timing out.
+  * 2. Alternating LARGE-STAR / SMALL-STAR contraction, entered only for a
+  *    remnant that is BOTH too large to finish on the driver (see the
+  *    endgame below) AND stalled for two consecutive rounds (shrink < 25 %
+  *    twice — a long-chain / high-diameter remnant, where hash-min
+  *    degrades to one diameter hop per round). Large-star hangs every
+  *    node's larger neighbors off its neighborhood minimum; small-star
+  *    does the same for the smaller neighbors. The alternation is the
+  *    SoCC'14 Two-Phase algorithm: it converges to disjoint min-centered
+  *    stars in O(log² n) rounds (observed ≈ log n, ~10 rounds for a
+  *    10k-node path — ComponentsSpec pins this), the edge set never grows
+  *    beyond its input size, and every round is the same canonical-edges
+  *    groupBy/join shape as phase one. Real dedup graphs never reach
+  *    phase 2; a legal-but-pathological edge list (one giant path) now
+  *    converges instead of timing out.
+  *
+  * ENDGAME: every distributed round — contraction or star — costs a fixed
+  * handful of Spark jobs regardless of data volume, so once the contracted
+  * remnant is metadata-scale the per-round scheduling overhead dominates
+  * by orders of magnitude (round 6 measured q58 paying ~12 s of control-
+  * loop rounds over a sub-MB remnant). When the active canonical edge set
+  * drops to at most [[Components.DefaultLocalEdgeThreshold]] edges, the
+  * remnant is collected ONCE and finished with an in-memory union-find
+  * pass — the standard endgame of the MapReduce-CC family (contract
+  * distributed until the graph fits, then solve locally). The collect is
+  * bounded by construction: 2^18 canonical edges × 16 bytes = 4 MiB on the
+  * driver, independent of the input corpus size — at 100 TB the
+  * contraction rounds still do all the heavy lifting distributed, and only
+  * the fixed-size tail moves to the driver.
   *
   * Every round's outputs are materialized through `localCheckpoint` —
   * NOT plain persist: iterative DataFrames that reference the previous
@@ -50,10 +66,18 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Remnant size (canonical edges) at or below which the endgame switches
+    * to one driver-side union-find pass. 2^18 edges ≈ 4 MiB of driver
+    * memory — a fixed bound independent of corpus size. Specs pass 0 to
+    * force the fully-distributed path. */
+  private[graft] val DefaultLocalEdgeThreshold: Long = 1L << 18
+
   /** Labels plus the per-phase round counts — `connected` is the public
-    * surface; the counts let specs pin the O(log n) convergence claim. */
+    * surface; the counts let specs pin the O(log n) convergence claim and
+    * that dedup-shaped graphs never divert into the star phase. */
   private[graft] final case class Result(
-      labels: DataFrame, contractionRounds: Int, starRounds: Int)
+      labels: DataFrame, contractionRounds: Int, starRounds: Int,
+      localSolved: Boolean)
 
   /** Label every node with the smallest node id in its connected
     * component. `nodes`: one `id BIGINT` row per node (must cover every
@@ -73,7 +97,8 @@ object Components {
     GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
 
   private[graft] def connectedWithStats(
-      nodes: DataFrame, edges: DataFrame, maxRounds: Int = 100): Result = {
+      nodes: DataFrame, edges: DataFrame, maxRounds: Int = 100,
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): Result = {
     // active contracted edge set, canonical (u < v); materializing this
     // runs the upstream detector exactly once
     var cur = truncate(edges
@@ -84,8 +109,8 @@ object Components {
     var mapping = truncate(nodes.select(col("id"), col("id").as("lbl")))
     var rounds = 0
     var active = cur.count()
-    var stalled = false
-    while (active > 0 && !stalled && rounds < maxRounds) {
+    var slowRounds = 0
+    while (active > localEdgeThreshold && slowRounds < 2 && rounds < maxRounds) {
       val prevCur = cur
       val prevMapping = mapping
       // hash-min: each super-node points to min(self, neighbors). Only the
@@ -122,28 +147,80 @@ object Components {
       active = cur.count()
       rounds += 1
       // contraction earns its keep by collapsing clusters; <25 % shrink
-      // means a high-diameter remnant — hand it to the star phase, which
-      // converges in O(log n) rounds instead of one diameter hop per round
-      stalled = active > 0 && active * 4L > prevActive * 3L
+      // means a high-diameter remnant. One slow round is NOT a phase
+      // switch — the end-tail of a normal dedup graph shrinks slowly in
+      // absolute terms (10 → 8 edges is "stalled" by ratio) and round 6
+      // paid 2.26× on q58 for diverting it into the star machinery. Only
+      // two CONSECUTIVE stalled rounds on a remnant still too large for
+      // the local endgame reads as genuine high diameter.
+      if (active * 4L > prevActive * 3L) slowRounds += 1 else slowRounds = 0
     }
-    if (active == 0) {
-      GraftSqlBridge.releaseLeaf(cur) // the final (empty) edge table
-      Result(mapping, rounds, 0)
-    } else {
-      // star phase on the contracted super-node graph. Each super-node
-      // label is the min of its contracted set, so the component min among
-      // super-nodes IS the component min among original nodes — composing
-      // star labels through the mapping stays exact.
-      val (starLbl, starRounds) = stars(cur, maxRounds)
+    var starRounds = 0
+    // edges still unresolved; null once consumed/released
+    var remnant: DataFrame = cur
+    if (active > localEdgeThreshold) {
+      // genuinely large high-diameter remnant: star phase on the
+      // contracted super-node graph. Each super-node label is the min of
+      // its contracted set, so the component min among super-nodes IS the
+      // component min among original nodes — composing star labels through
+      // the mapping stays exact.
+      val outcome = stars(remnant, maxRounds, localEdgeThreshold)
+      starRounds = outcome.rounds
+      GraftSqlBridge.releaseLeaf(remnant)
+      outcome.labels match {
+        case Some(starLbl) =>
+          val prevMapping = mapping
+          mapping = truncate(prevMapping
+            .join(starLbl.select(col("node").as("lbl"), col("slbl")), Seq("lbl"), "left")
+            .select(col("id"), coalesce(col("slbl"), col("lbl")).as("lbl")))
+          GraftSqlBridge.releaseLeaf(prevMapping)
+          GraftSqlBridge.releaseLeaf(starLbl)
+          remnant = null
+          active = 0
+        case None =>
+          // star rounds contracted the remnant under the threshold before
+          // reaching their fixpoint — finish it locally like any other tail
+          remnant = outcome.remnant
+          active = outcome.remnantCount
+      }
+    }
+    val localSolved = active > 0
+    if (localSolved) {
+      // endgame: ≤ localEdgeThreshold canonical edges — one driver-side
+      // union-find pass (bounded: threshold × 16 bytes) replaces O(log n)
+      // further rounds of fixed per-round job overhead
+      val pairs = remnant.collect().map(r => (r.getLong(0), r.getLong(1)))
+      GraftSqlBridge.releaseLeaf(remnant)
+      remnant = null
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-rooted union ⇒ find() IS the component min among super-nodes
+      val relabel = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct.flatMap { n =>
+          val r = find(n); if (r != n) Some((n, r)) else None
+        }
+      val sess = mapping.sparkSession
+      import sess.implicits._
+      val localLbl = relabel.toSeq.toDF("lbl", "newl")
       val prevMapping = mapping
       mapping = truncate(prevMapping
-        .join(starLbl.select(col("node").as("lbl"), col("slbl")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("slbl"), col("lbl")).as("lbl")))
+        .join(broadcast(localLbl), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("newl"), col("lbl")).as("lbl")))
       GraftSqlBridge.releaseLeaf(prevMapping)
-      GraftSqlBridge.releaseLeaf(starLbl)
-      GraftSqlBridge.releaseLeaf(cur)
-      Result(mapping, rounds, starRounds)
+    } else if (remnant != null) {
+      GraftSqlBridge.releaseLeaf(remnant) // the final (empty) edge table
     }
+    Result(mapping, rounds, starRounds, localSolved)
   }
 
   /** One large-star round: every node's strictly-larger neighbors are
@@ -175,17 +252,25 @@ object Components {
       .filter(col("u") =!= col("v")).distinct()
   }
 
-  /** Alternate large-star/small-star to the edge-set fixpoint (disjoint
-    * min-centered stars), then read labels off the stars: every node's
-    * label = min(itself, neighbors). Returns `(node, slbl)` for every node
-    * of `e0` plus the composed-round count. `e0` is caller-owned (not
-    * released here); intermediates are swept per round. */
-  private def stars(e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+  /** [[stars]] result: exactly one of `labels` (fixpoint reached — star
+    * labels `(node, slbl)`) or `remnant` (edge set dropped to
+    * ≤ threshold before the fixpoint — caller finishes it locally). */
+  private final case class StarOutcome(
+      labels: Option[DataFrame], remnant: DataFrame, remnantCount: Long,
+      rounds: Int)
+
+  /** Alternate large-star/small-star until the edge-set fixpoint (disjoint
+    * min-centered stars) or until the set fits the local endgame
+    * (≤ threshold edges), whichever first. At the fixpoint, labels are
+    * read off the stars: every node's label = min(itself, neighbors).
+    * `e0` is caller-owned (not released here); intermediates are swept
+    * per round. */
+  private def stars(e0: DataFrame, maxRounds: Int, threshold: Long): StarOutcome = {
     var e = e0
     var eCount = e.count()
     var r = 0
     var fixed = false
-    while (!fixed && r < maxRounds) {
+    while (!fixed && eCount > threshold && r < maxRounds) {
       val prev = e
       val next = truncate(smallStar(largeStar(prev)))
       val nextCount = next.count()
@@ -198,6 +283,7 @@ object Components {
       r += 1
     }
     if (!fixed) {
+      if (eCount <= threshold) return StarOutcome(None, e, eCount, r)
       if (!(e eq e0)) GraftSqlBridge.releaseLeaf(e)
       // unreachable for physical inputs: Two-Phase converges in O(log² n)
       // rounds, so 100 rounds covers any corpus that fits in a cluster —
@@ -211,6 +297,6 @@ object Components {
         .groupBy("node").agg(min(col("nbr")).as("mn"))
         .select(col("node"), least(col("node"), col("mn")).as("slbl")))
     if (!(e eq e0)) GraftSqlBridge.releaseLeaf(e)
-    (lbl, r)
+    StarOutcome(Some(lbl), e0, eCount, r)
   }
 }

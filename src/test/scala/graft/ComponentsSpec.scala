@@ -59,19 +59,63 @@ class ComponentsSpec extends SparkSpec {
   test("10k-node path: star fallback converges in O(log n) rounds, not O(n)") {
     // the pathological-diameter shape that defeats pure contraction (one
     // diameter hop per round → 10k rounds); the stall detector must hand
-    // it to the large/small-star phase, which finishes in ≈log n rounds
+    // it to the large/small-star phase, which finishes in ≈log n rounds.
+    // localEdgeThreshold=0 forces the fully-distributed path — with the
+    // default endgame threshold this graph would be solved locally.
     val n = 10000L
     val res = Components.connectedWithStats(
       spark.range(n).select(col("id")),
-      spark.range(n - 1).select(col("id").as("src"), (col("id") + 1L).as("dst")))
+      spark.range(n - 1).select(col("id").as("src"), (col("id") + 1L).as("dst")),
+      localEdgeThreshold = 0L)
     assert(res.starRounds > 0, "a path must route through the star phase")
-    assert(res.contractionRounds <= 3,
-      s"stall detection should fire immediately on a path, ran ${res.contractionRounds} contraction rounds")
+    assert(res.contractionRounds <= 4,
+      s"stall detection should fire within two slow rounds on a path, ran ${res.contractionRounds} contraction rounds")
     assert(res.contractionRounds + res.starRounds <= 30,
       s"expected ≈2·log2(10k)≈27 rounds worst case, got ${res.contractionRounds}+${res.starRounds}")
     val a = res.labels.agg(count(lit(1)), min(col("lbl")), max(col("lbl"))).head
     assert(a.getLong(0) == n && a.getLong(1) == 0L && a.getLong(2) == 0L,
       "every node of the path must carry label 0")
     org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+  }
+
+  test("clique-ish dedup graph never diverts into the star phase") {
+    // the q26/q58 shape: many small dense clusters — contraction collapses
+    // them almost entirely in round one, and the tiny end-tail must go to
+    // the local endgame, NOT the star phase (round 6's 2.26× q58
+    // regression was exactly that diversion)
+    val edges = (0L until 200L).flatMap { c =>
+      val base = c * 5
+      for (i <- 0L until 5L; j <- i + 1 until 5L) yield (base + i, base + j)
+    }
+    val expected = unionFind(1000, edges)
+    val res = Components.connectedWithStats(
+      spark.range(1000L).select(col("id")), edges.toDF("src", "dst"))
+    val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(res.starRounds == 0,
+      s"dedup-shaped graphs must never enter the star phase, ran ${res.starRounds} star rounds")
+    assert(res.localSolved, "the sub-threshold tail must be solved locally")
+    org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+  }
+
+  test("distributed path (threshold 0) matches union-find on random graphs") {
+    // the default threshold sends every spec-sized graph to the local
+    // endgame; threshold 0 keeps the distributed rounds + star phase
+    // covered by a randomized differential
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 59L), Gen.chooseNum(0L, 59L))
+    for (seed <- 10 until 12) {
+      val edges = (0 until 80).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      val expected = unionFind(60, edges)
+      val res = Components.connectedWithStats(
+        spark.range(60L).select(col("id")), edges.toDF("src", "dst"),
+        localEdgeThreshold = 0L)
+      val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed diverged")
+      assert(!res.localSolved, "threshold 0 must keep the solve distributed")
+      org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+    }
   }
 }
