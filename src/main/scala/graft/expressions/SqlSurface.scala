@@ -94,7 +94,33 @@ object SqlSurface {
       exprs => {
         arity("graft_quantize_int8", exprs, 1)
         QuantizeInt8(exprs.head)
+      }),
+
+    ("graft_classifier_score",
+      "graft_classifier_score(text STRING, weights ARRAY<BIGINT>) - hashed-" +
+        "feature linear classifier score (native codegen'd; weights must be" +
+        " a foldable array with power-of-two length - a model parameter" +
+        " baked into the plan, like the sketch size arguments)",
+      exprs => {
+        arity("graft_classifier_score", exprs, 2)
+        ClassifierScore(exprs.head,
+          longArrayLit(exprs(1), "graft_classifier_score", "weights"))
       }))
+
+  /** A model-parameter array argument: must fold to ARRAY<BIGINT> at
+    * analysis time (it shapes the expression tree, like [[intLit]]). */
+  private def longArrayLit(e: Expression, fn: String, arg: String): Seq[Long] = {
+    val ok = e.resolved && e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable ARRAY<BIGINT> (a model parameter that shapes the plan), got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toLongArray().toSeq
+      case _ => throw new IllegalArgumentException(s"$fn: $arg evaluated to null")
+    }
+  }
 
   /** (name, usage, builder) for every table-valued function — whole-plan
     * operators, reachable as `SELECT … FROM graft_xxx('view_name')`. The

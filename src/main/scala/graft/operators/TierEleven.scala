@@ -296,15 +296,23 @@ object TierEleven {
   /** Stateless per-row classifier score — the STRING-HASH form of [[q83]]
     * (fastText hashes token strings; q83's vocab-rank form is the
     * oracle-checkable twin): token → `xxhash64` → pmod-4096 bucket → weight
-    * looked up in ONE literal array (the [[graft.functions.Bloom]]
-    * packed-literal pattern) → sum via `aggregate`. No vocab table, no
-    * joins, no state — a pure column expression, so the SAME gate screens
-    * a live stream (s24 parity-pins streamed ≡ batch admissions). The
-    * higher-order fold is CodegenFallback (the graft_dot lesson); if this
-    * gate ever dominates an ingest profile, the remedy is the same: a
-    * native Expression with one static call per row, `SimHash`-style.
+    * looked up in the model array → sum. No vocab table, no joins, no
+    * state — a pure column expression, so the SAME gate screens a live
+    * stream (s24 parity-pins streamed ≡ batch admissions). Delegates to
+    * the native codegen'd [[graft.expressions.ClassifierScore]] (round 6
+    * flagged the `aggregate`-HOF fold as CodegenFallback in the ingest hot
+    * path); [[scoreColReference]] keeps the declarative form as the
+    * differential oracle.
     */
-  private[graft] def scoreCol(weights: Array[Long], text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def scoreCol(weights: Array[Long], text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expressions.ClassifierScore(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), weights.toSeq))
+
+  /** The declarative HOF twin of [[scoreCol]] — CodegenFallback, kept as
+    * the parity oracle for [[graft.expressions.ClassifierScore]]
+    * (ExpressionSpec pins native ≡ HOF bit for bit). */
+  private[graft] def scoreColReference(weights: Array[Long], text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val arr = typedlit(weights.toSeq)
     aggregate(
       filter(split(text, " "), t => t =!= ""),

@@ -150,6 +150,69 @@ class ExpressionSpec extends SparkSpec {
     assert(halves == Seq(127, -64), s"got $halves")
   }
 
+  test("graft_classifier_score native ≡ HOF reference bit-for-bit (fixture + adversarial strings)") {
+    // the round-6 item: the s22/s24/Prepare admission gate's aggregate-HOF
+    // fold was CodegenFallback; ClassifierScore is its native twin and must
+    // be bit-identical on every tokenization edge the HOF form implies
+    import graft.operators.TierEleven
+    val w = TierEleven.pseudoWeights
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("text"))
+      .unionAll(spark.sql(
+        """SELECT * FROM VALUES (''), ('   '), (' leading'), ('trailing '),
+          |  ('a  double  space'), ('über tokens ééé 日本語 mixed'),
+          |  ('one'), (CAST(NULL AS STRING)) AS t(text)""".stripMargin))
+    val rows = docs.select(
+      TierEleven.scoreCol(w, col("text")).as("fast"),
+      TierEleven.scoreColReference(w, col("text")).as("slow"))
+      .collect()
+    assert(rows.length > 500)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), "null-in-null-out must match")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"native ≠ HOF: $r")
+    }
+    // randomized differential: arbitrary unicode strings, same bit-for-bit pin
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "),
+      Gen.oneOf("ü", "é", "日", "𝔘"), Gen.asciiPrintableStr)).map(_.mkString)
+    val samples = (0 until 200).flatMap(i => strGen.apply(Gen.Parameters.default, Seed(900L + i)))
+    val rand = spark.createDataset(samples)(org.apache.spark.sql.Encoders.STRING).toDF("text")
+      .select(TierEleven.scoreCol(w, col("text")).as("fast"),
+        TierEleven.scoreColReference(w, col("text")).as("slow"))
+      .collect()
+    assert(rand.length >= 150)
+    rand.foreach(r => assert(r.getLong(0) == r.getLong(1), s"native ≠ HOF on random string: $r"))
+  }
+
+  test("graft_classifier_score runs inside whole-stage codegen and from SQL ≡ Scala") {
+    GraftFunctions.register(spark)
+    import graft.operators.TierEleven
+    val small = Array(5L, -3L, 7L, 11L, -13L, 17L, 19L, -23L) // 8 buckets
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("clf_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, graft_classifier_score(text,
+        |  array(5L, -3L, 7L, 11L, -13L, 17L, 19L, -23L)) AS s
+        |FROM clf_docs""".stripMargin)
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [") && plan.contains("graft_classifier_score("),
+      "must fuse into codegen: " + plan.take(400))
+    val got = sql.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scala = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TierEleven.scoreCol(small, col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scala && got.nonEmpty)
+    // model-parameter hygiene: non-power-of-two and non-foldable weights fail loudly
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_classifier_score('a b', array(1L, 2L, 3L))").collect()
+    }
+    assert(e1.getMessage.contains("power of two"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_classifier_score(text, array(doc_id)) FROM clf_docs").collect()
+    }
+    assert(e2.getMessage.contains("foldable"), e2.getMessage)
+  }
+
   test("SQL-surface size parameters must be literals (they shape the expression tree)") {
     GraftFunctions.register(spark)
     spark.range(1).select(array(lit(0L)).as("w")).createOrReplaceTempView("one_word")
