@@ -168,6 +168,42 @@ object LexIndex {
       .foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
   }
 
+  /** Compact the index after sustained incremental ingest. [[append]]'s
+    * economics (one file per touched bucket per batch, one ledger file per
+    * batch, no corpus rewrite) are right per batch but accumulate: after
+    * 10⁴ micro-batches a probe opens 10⁴ files per term bucket. This is
+    * the maintenance call the ingest loop runs every batch — below the
+    * `maxFilesPerBucket` threshold it costs one file listing and returns
+    * false; above it, the postings rewrite to one sorted file per bucket
+    * ([[Warehouse.compactBucketed]] — bucket spec unchanged, so probes
+    * stay bucket-pruned) and the ledger FOLDS to a single file (rows
+    * preserved exactly — the ledger is the replay-safety record, so
+    * folding must not lose an absorbed (ingest_id, batch_id)). Pass 0 to
+    * force. Probes before and after are bit-identical and replayed batch
+    * ids still skip (LexIndexSpec pins both). `buckets` must match the
+    * [[build]] value. */
+  def compact(spark: SparkSession, name: String, buckets: Int = 32,
+      maxFilesPerBucket: Int = 4): Boolean = {
+    val postings = s"${name}_postings"
+    if (spark.table(postings).inputFiles.length <= buckets.toLong * maxFilesPerBucket)
+      return false
+    Warehouse.compactBucketed(spark, postings, buckets, "token")
+    val ledger = s"${name}_ledger"
+    if (spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).inputFiles.length > 1) {
+      val tmp = s"${ledger}_tmp"
+      val old = s"${ledger}_old"
+      Seq(tmp, old).foreach(t => SigIndex.dropStale(spark, t))
+      spark.table(ledger).coalesce(1)
+        .write.format("parquet").saveAsTable(tmp)
+      spark.sql(s"ALTER TABLE $ledger RENAME TO $old")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $ledger")
+      SigIndex.dropStale(spark, old)
+      spark.catalog.refreshTable(ledger)
+    }
+    true
+  }
+
   /** BM25 top-`k` over the persisted index — [[TierEleven.q82]]'s exact
     * integer formula, fed from posting lists instead of the corpus. The
     * `isin` filter is the index lookup: it prunes the bucketed scan to the

@@ -34,18 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object SigIndex {
 
-  /** Drop `table` AND its warehouse directory. The catalog is in-memory
-    * (session-scoped) but the warehouse directory persists — a later
-    * session's `saveAsTable` fails with LOCATION_ALREADY_EXISTS on a
-    * location whose table entry died with the previous session, so a
-    * rebuild must sweep both. */
-  private[operators] def dropStale(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
-  }
+  /** Drop `table` AND its warehouse directory — see [[Warehouse.dropStale]]
+    * (the definition moved there when compaction needed it too). */
+  private[operators] def dropStale(spark: SparkSession, table: String): Unit =
+    Warehouse.dropStale(spark, table)
 
   private def postingsOf(tokid: DataFrame, small: Boolean): DataFrame = {
     val bkeys = TierFour.bandKeys(tokid)
@@ -113,6 +105,30 @@ object SigIndex {
     // (SigIndexSpec s18 pins this).
     spark.catalog.refreshTable(s"${name}_postings")
     if (!small) spark.catalog.refreshTable(s"${name}_docsets")
+  }
+
+  /** Compact the index after sustained incremental ingest — each
+    * [[append]] leaves one file per touched bucket (per table), so a
+    * long-lived probe-then-append loop degrades toward a file-open-bound
+    * scan. Rewrites `<name>_postings` (and `<name>_docsets` on the
+    * large-vocabulary path) to one sorted file per bucket
+    * ([[Warehouse.compactBucketed]]) once the postings exceed
+    * `maxFilesPerBucket` files per bucket on average; pass 0 to force.
+    * Cheap to call from the ingest loop every batch: below the threshold
+    * it reads only a file listing. Returns whether a rewrite happened.
+    * Probes before and after are bit-identical (SigIndexSpec pins it) —
+    * compaction moves bytes, never semantics. `buckets` must match the
+    * [[build]] value. */
+  def compact(spark: SparkSession, name: String, buckets: Int = 32,
+      maxFilesPerBucket: Int = 4): Boolean = {
+    val postings = s"${name}_postings"
+    if (spark.table(postings).inputFiles.length <= buckets.toLong * maxFilesPerBucket)
+      return false
+    Warehouse.compactBucketed(spark, postings, buckets, "band", "bkey")
+    val docsets = s"${name}_docsets"
+    if (spark.catalog.tableExists(docsets))
+      Warehouse.compactBucketed(spark, docsets, buckets, "doc_id")
+    true
   }
 
   /** Screen a new batch against the persisted index: near-dup pairs

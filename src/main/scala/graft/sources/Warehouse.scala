@@ -59,6 +59,63 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop `table` AND its warehouse directory. The catalog is in-memory
+    * (session-scoped) but the warehouse directory persists — a later
+    * session's `saveAsTable` fails with LOCATION_ALREADY_EXISTS on a
+    * location whose table entry died with the previous session, so a
+    * rebuild must sweep both. */
+  def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Rewrite a bucketed table in place under the SAME bucket spec — the
+    * maintenance half of [[appendBucketed]]'s economics. Sustained
+    * incremental ingest leaves one file per touched bucket per batch; after
+    * 10⁴ micro-batches a probe reads 10⁴ files per bucket and the scan is
+    * file-open-bound. Compaction repartitions by the bucket key(s) —
+    * `HashPartitioning` and the bucket id share the same murmur3+pmod, so
+    * each bucket lands whole in exactly one task — and rewrites one sorted
+    * file per bucket, restoring the within-bucket sort that per-file
+    * appends degrade. The swap is the dict-replacement convention: the
+    * rewrite materializes fully under a temp name (its plan READS the table
+    * it replaces), then the old table moves aside and the new one renames
+    * in — at every step a complete table exists under some name. A crash
+    * mid-swap can strand a `_cpt_*` table but never lose data; true
+    * multi-step atomicity is a transactional table format's job
+    * (Delta/Iceberg in production), not plain parquet's. */
+  def compactBucketed(spark: SparkSession, table: String, buckets: Int,
+      bucketCol: String, moreCols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = s"${table}_cpt_tmp"
+    val old = s"${table}_cpt_old"
+    Seq(tmp, old).foreach(t => dropStale(spark, t))
+    val keys = (bucketCol +: moreCols).map(col)
+    // autoBucketedScan must be OFF for the rewrite: with it on, the planner
+    // drops the repartition Exchange (the bucketed table's partitioning
+    // satisfies it) but ALSO downgrades the scan to a plain file scan
+    // (no join consumes the partitioning), so tasks pack arbitrary files
+    // and each writes one file per bucket it happens to hold — the rewrite
+    // then COPIES the fragmentation instead of fixing it (measured: 152
+    // files in → 139 out). With the bucketed scan pinned on, the read is
+    // one partition per bucket, the repartition is a no-op, and each task
+    // writes exactly its own bucket: `buckets` files, zero shuffle.
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(autoScan)
+    try {
+      spark.conf.set(autoScan, "false")
+      writeBucketed(spark.table(table).repartition(buckets, keys: _*),
+        tmp, buckets, bucketCol, moreCols: _*)
+    } finally spark.conf.set(autoScan, prev)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    dropStale(spark, old)
+    spark.catalog.refreshTable(table)
+  }
+
   /** Parquet with a per-file ROW CAP — the export-side shard control: a
     * training-data drop wants files sized for its consumers (loader
     * workers, object-store part limits), independent of this job's

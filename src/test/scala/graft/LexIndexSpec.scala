@@ -132,6 +132,59 @@ class LexIndexSpec extends SparkSpec {
     assert(replayed == full)
   }
 
+  test("compact after sustained ingest: probe bit-identical, files collapse, ledger folds, replay guard intact") {
+    // the round-7 maintenance item: append leaves one file per touched
+    // bucket per batch + one ledger file per batch; compact must undo the
+    // accumulation without moving a single scored bit
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val n = "lexidx_cpt"
+    LexIndex.build(docs.filter(col("doc_id") % 7 === 0), n)
+    for (r <- 1 until 7)
+      LexIndex.append(spark, n, docs.filter(col("doc_id") % 7 === r),
+        batchId = Some(r.toLong))
+    val terms = Seq("spark", "window", "hash")
+    val before = LexIndex.probe(spark, n, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val postingsBefore = spark.table(s"${n}_postings")
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = spark.table(s"${n}_postings").inputFiles.length
+    val ledgerBefore = spark.table(s"${n}_ledger")
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"${n}_ledger").inputFiles.length == 6,
+      "fixture invariant: one ledger file per absorbed batch")
+    // below the threshold the maintenance call is a no-op file listing
+    assert(!LexIndex.compact(spark, n, maxFilesPerBucket = 1000000))
+    assert(spark.table(s"${n}_postings").inputFiles.length == filesBefore)
+    // force the rewrite
+    assert(LexIndex.compact(spark, n, maxFilesPerBucket = 0))
+    val filesAfter = spark.table(s"${n}_postings").inputFiles.length
+    assert(filesAfter <= 32 && filesAfter < filesBefore,
+      s"expected ≤32 files (one per bucket), got $filesAfter (was $filesBefore)")
+    assert(spark.table(s"${n}_ledger").inputFiles.length == 1,
+      "the ledger must fold to a single file")
+    assert(spark.table(s"${n}_ledger").collect().map(_.toString).sorted.toSeq
+      == ledgerBefore, "folding must preserve every absorbed (ingest_id, batch_id)")
+    assert(spark.table(s"${n}_postings").collect().map(_.toString).sorted.toSeq
+      == postingsBefore, "compaction moves bytes, never rows")
+    val after = LexIndex.probe(spark, n, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, "probe must be bit-identical across compact")
+    // the rewrite must keep the bucket spec: probes stay bucket-pruned
+    val plan = LexIndex.probe(spark, n, terms)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).toSeq
+    assert(hits.nonEmpty && hits.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"compacted probe lost bucket pruning:\n${plan.take(1200)}")
+    // the folded ledger is still the replay record: a re-delivered batch
+    // id must skip, leaving every score bit unchanged
+    LexIndex.append(spark, n, docs.filter(col("doc_id") % 7 === 3),
+      batchId = Some(3L))
+    val replayed = LexIndex.probe(spark, n, terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayed == before, "replay guard must survive the ledger fold")
+  }
+
   test("bootstrap: build on an EMPTY corpus, stream everything in") {
     // the production cold-start: an empty index absorbs its whole corpus
     // incrementally; the empty build's stats row must read as (0, 0), not

@@ -130,6 +130,38 @@ class SigIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact after chunked appends: probe bit-identical, bucketed scan intact, files collapse") {
+    SigIndex.build(corpus, "sigidx_cpt")
+    val rows = batch.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    for (c <- rows.grouped(math.max(1, (rows.length + 3) / 4)))
+      SigIndex.append(spark, "sigidx_cpt", c.toDF("doc_id", "text"))
+    val fresh = Seq((900010L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val before = pairSet(SigIndex.probe(spark, "sigidx_cpt", fresh))
+    val postingsBefore = spark.table("sigidx_cpt_postings")
+      .collect().map(_.toString).sorted.toSeq
+    val filesBefore = spark.table("sigidx_cpt_postings").inputFiles.length
+    assert(!SigIndex.compact(spark, "sigidx_cpt", maxFilesPerBucket = 1000000))
+    assert(SigIndex.compact(spark, "sigidx_cpt", maxFilesPerBucket = 0))
+    val filesAfter = spark.table("sigidx_cpt_postings").inputFiles.length
+    assert(filesAfter <= 32 && filesAfter < filesBefore,
+      s"expected ≤32 postings files, got $filesAfter (was $filesBefore)")
+    assert(spark.table("sigidx_cpt_postings").collect().map(_.toString).sorted.toSeq
+      == postingsBefore, "compaction moves bytes, never rows")
+    assert(pairSet(SigIndex.probe(spark, "sigidx_cpt", fresh)) == before,
+      "probe must be bit-identical across compact")
+    // the rewrite (a saveAsTable + two renames) keeps the (band, bkey)
+    // bucket spec in the catalog — lose it and every probe's index side
+    // starts shuffling (the plan-level gate above covers the scan shape;
+    // AQE wraps this probe's executed plan, so pin the metadata directly)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("sigidx_cpt_postings"))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets == 32 && b.bucketColumnNames == Seq("band", "bkey")),
+      s"compacted postings must still carry the bucket spec, got ${meta.bucketSpec}")
+    Seq("postings", "vocab").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS sigidx_cpt_$t"))
+  }
+
   test("large-vocabulary branch (docsets): chunked probe-then-append ≡ one-shot") {
     // >64-token synthetic corpus (HighVocabSpec construction) forces the
     // generic path: verification payloads live in the bucketed docsets
