@@ -262,7 +262,7 @@ object TierNine {
 
   private[operators] def dotc(x: Column, y: Column) = call_function("graft_dot", x, y)
 
-  private[operators] def embOf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[graft] def embOf(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -307,17 +307,11 @@ object TierNine {
   }
 
   /** One Lloyd step from the deterministic seeds: the 6-dp-rounded
-    * per-cluster dimension means (`cent` of [[lloydSql]]). */
-  private[operators] def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val emb = embOf(s, dir)
-    val seeds = emb.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("e").as("c"))
-    assignTo(emb, seeds).join(emb, "vec_id")
-      .select(col("cid"), posexplode(col("e")).as(Seq("j", "v")))
-      .groupBy("cid", "j").agg(round(avg("v"), 6).as("cv"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(j, cv))), x -> x.cv)").as("c"))
-  }
+    * per-cluster dimension means (`cent` of [[lloydSql]]). The single
+    * trainer definition lives in [[IvfStore.train]] (the store's frozen
+    * quantizer and these queries must never drift). */
+  private[graft] def lloydCentroids(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    IvfStore.train(embOf(s, dir), 4)
 
   val q67 = Q("q67_kmeans_lloyd",
     s"""WITH $lloydSql

@@ -284,10 +284,11 @@ object TierTen {
     */
   val q80 = Q("q80_ann_ivf_store",
     TierNine.q70.oracle.get) { (s, dir) =>
-    // unique dir per run: a fixed shared path would let concurrent
-    // Verify/Bench runs overwrite each other's store mid-probe
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_store").toString
+    // unique dir per run (a fixed shared path would let concurrent
+    // Verify/Bench runs overwrite each other's store mid-probe), swept at
+    // JVM exit (the returned frame reads it lazily, so exit-time is the
+    // earliest safe deletion point)
+    val path = graft.sources.Warehouse.scratchDir("graft_ivf_store")
     graft.sources.Warehouse.writePartitioned(TierNine.ivfIndex(s, dir), path, "cell")
     graft.expressions.GraftFunctions.register(s)
     val store = s.read.parquet(path)

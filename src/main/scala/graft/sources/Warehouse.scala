@@ -134,6 +134,25 @@ object Warehouse {
       .parquet(path)
   }
 
+  /** A scratch directory recursively deleted at JVM exit — for declared
+    * queries that materialize a per-run store (q80/q92): a bare
+    * `createTempDirectory` leaks one store copy per invocation (Bench's
+    * min-of-two passes = two per run), and the returned frame is LAZY, so
+    * deletion can't happen before the caller consumes it — exit-time is
+    * the earliest safe point. One small hook per call, bounded by
+    * queries × passes per JVM. */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** CSV with a pinned schema; malformed rows land in a null-columns row
     * (PERMISSIVE) rather than failing the job — filter or count them
     * explicitly (SourceFormatSpec pins the behavior). */
