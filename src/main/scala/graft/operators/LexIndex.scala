@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * only the matching token buckets and never touches document bodies.
   *
   * Layout:
-  *   - `<name>_postings` `(token, doc_id, tf, dl)` — bucketed by `token`.
-  *     Document length rides the posting (the impact-ordered-list trick) so
-  *     scoring needs NO doc-side join. A probe filters `token IN (...)`,
+  *   - `<name>_postings` `(token, doc_id, tf, dl, positions)` — bucketed
+  *     by `token`. Document length rides the posting (the
+  *     impact-ordered-list trick) so scoring needs NO doc-side join, and
+  *     the sorted position list makes the index POSITIONAL
+  *     ([[phraseProbe]]). A probe filters `token IN (...)`,
   *     which Spark prunes to the matching BUCKETS at plan time
   *     (`SelectedBucketsCount` in the scan — gated in LexIndexSpec): query
   *     cost scales with the posting lists touched, not the corpus.
@@ -34,16 +36,38 @@ object LexIndex {
   /** One tokenize pass shared by [[build]] and [[append]] — the
     * append ≡ rebuild contract (LexIndexSpec) requires both paths to
     * tokenize identically, so there is exactly one definition.
-    * Returns `(tf, dl)`: per-(doc, token) counts and per-doc lengths;
-    * `tf` arrives persisted (it feeds postings + dict + dl), caller
-    * unpersists. */
+    * Returns `(tf, dl)`: per-(doc, token) counts WITH sorted position
+    * lists (0-based over the empty-filtered token sequence — the
+    * positional-postings payload [[phraseProbe]] reads; the standard
+    * positional-index size trade, and [[probe]] never deserializes the
+    * column) and per-doc lengths; `tf` arrives persisted (it feeds
+    * postings + dict + dl), caller unpersists. */
   private def tokenStats(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), t => t =!= ""))
+          .as(Seq("pos", "token")))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .persist()
     (tf, tf.groupBy("doc_id").agg(sum("tf").as("dl")))
+  }
+
+  /** A per-run UNIQUE index name, its table directories swept at JVM
+    * exit — for declared queries that build a throwaway index per run
+    * (q87/q93): a fixed shared name lets two concurrent Verify/Bench
+    * runs race (one run's `build` sweeps the other's tables mid-probe),
+    * and uniquely-named tables would otherwise accumulate in the shared
+    * warehouse directory run over run (the in-memory catalog entry dies
+    * with the session; the directory does not). */
+  def scratchName(spark: SparkSession, prefix: String): String = {
+    val name = prefix + "_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    Seq("postings", "dict", "stats", "ledger",
+        "dict_tmp", "dict_old", "stats_tmp", "stats_old")
+      .foreach(t => Warehouse.sweepTableAtExit(spark, s"${name}_$t"))
+    name
   }
 
   /** Tokenize `docs` (any `(doc_id, text)` frame) and persist the index
@@ -56,7 +80,7 @@ object LexIndex {
       .foreach(t => SigIndex.dropStale(spark, s"${name}_$t"))
     val (tf, dl) = tokenStats(docs)
     Warehouse.writeBucketed(
-      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
+      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl", "positions"),
       s"${name}_postings", buckets, "token")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${name}_dict")
@@ -126,7 +150,7 @@ object LexIndex {
     val (tf, dl0) = tokenStats(docs)
     val dl = dl0.persist()
     Warehouse.appendBucketed(
-      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl"),
+      tf.join(dl, "doc_id").select("token", "doc_id", "tf", "dl", "positions"),
       s"${name}_postings", buckets, "token")
     // lexicon merge via swap: materialize to _tmp (the plan reads _dict),
     // move _dict aside, move _tmp in, drop the old — at every step a
@@ -166,6 +190,42 @@ object LexIndex {
     }
     Seq("postings", "dict", "stats")
       .foreach(t => spark.catalog.refreshTable(s"${name}_$t"))
+  }
+
+  /** Exact-PHRASE containment over the positional postings — the
+    * contamination-check primitive ("is this eval sentence in my corpus,
+    * verbatim?") that q47/q78 approximate with shingles, answered from
+    * the persisted index: a document contains the phrase at `start` iff
+    * every slot `i` of the phrase has a posting position `start + i`, so
+    * each slot's positions shift back by the slot offset and a
+    * (doc, start) group counting every slot is an occurrence. Returns
+    * `(doc_id, hits)` for documents containing the phrase, doc-ordered.
+    *
+    * The `isin` over the phrase's DISTINCT terms is the same index lookup
+    * as [[probe]]: a bucket-pruned postings scan (`SelectedBucketsCount`
+    * gated) that never touches document bodies — query cost scales with
+    * the phrase terms' posting lists, not the corpus. Repeated phrase
+    * terms keep their slots (the slot table is a broadcast-tiny literal
+    * frame), so "window window" needs two distinct start alignments of
+    * ONE posting row, not two rows. */
+  def phraseProbe(spark: SparkSession, name: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "phraseProbe needs at least one term")
+    val post = spark.table(s"${name}_postings")
+      .filter(col("token").isin(terms.distinct: _*))
+    val values = terms.zipWithIndex
+      .map { case (t, i) => s"($i, '${t.replace("'", "''")}')" }.mkString(", ")
+    val slots = spark.sql(s"SELECT * FROM VALUES $values AS t(slot, token)")
+    post.join(broadcast(slots), "token")
+      .select(col("doc_id"), col("slot"), explode(col("positions")).as("p"))
+      .select(col("doc_id"), col("slot"), (col("p") - col("slot")).as("start"))
+      .groupBy("doc_id", "start")
+      // positions are distinct per (doc, token) and slots distinct by
+      // construction, so plain count ≡ distinct-slot count
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") === terms.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"))
+      .orderBy("doc_id")
   }
 
   /** Compact the index after sustained incremental ingest. [[append]]'s

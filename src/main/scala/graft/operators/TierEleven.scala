@@ -408,9 +408,12 @@ object TierEleven {
     * lexical flavor).
     */
   val q87 = Q("q87_bm25_index", q82.oracle.get) { (s, dir) =>
+    // per-run unique name (swept at exit): a fixed name would let two
+    // concurrent Verify/Bench runs sweep each other's tables mid-probe
+    val name = LexIndex.scratchName(s, "lexidx_q87")
     LexIndex.build(
-      Tables.load(s, dir, "documents").select("doc_id", "text"), "lexidx_q87")
-    LexIndex.probe(s, "lexidx_q87", Seq("spark", "window", "hash"))
+      Tables.load(s, dir, "documents").select("doc_id", "text"), name)
+    LexIndex.probe(s, name, Seq("spark", "window", "hash"))
   }
 
   /** Cohort retention — q81's sibling on the analytics side: users

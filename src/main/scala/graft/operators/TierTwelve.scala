@@ -40,5 +40,35 @@ object TierTwelve {
     IvfStore.probe(s, path, q0, k = 10, nprobe = 1, excludeId = Some(0L))
   }
 
-  val all: Seq[Q] = Seq(q92)
+  /** Exact-phrase containment FROM THE POSITIONAL INDEX — the
+    * contamination-check primitive ("is this eval text in my corpus,
+    * verbatim?") q47/q78 approximate with trigram shingles, now answered
+    * through [[LexIndex]]'s persisted posting lists: positions ride the
+    * postings, so the probe is a bucket-pruned scan of the phrase terms'
+    * buckets + one broadcast slot join — document bodies are never read
+    * at query time (the plan gate in LexIndexSpec). The oracle recomputes
+    * phrase starts declaratively over the corpus; the index path must
+    * match it hit for hit.
+    *
+    * Scale: the index side scales with the probed terms' posting lists
+    * (not the corpus); the (doc, start) alignment group is a hash
+    * aggregation over positions of those lists only. The declared query
+    * pays the one-time positional build only because the driver runs it
+    * cold (q87's economics).
+    */
+  val q93 = Q("q93_phrase_probe",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits
+      |FROM p WHERE toks[i] = 'window' AND toks[i + 1] = 'hash'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val name = LexIndex.scratchName(s, "lexidx_q93")
+    LexIndex.build(
+      graft.Tables.load(s, dir, "documents").select("doc_id", "text"), name)
+    LexIndex.phraseProbe(s, name, Seq("window", "hash"))
+  }
+
+  val all: Seq[Q] = Seq(q92, q93)
 }

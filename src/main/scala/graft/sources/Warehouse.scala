@@ -153,6 +153,27 @@ object Warehouse {
     dir.toString
   }
 
+  /** Register a catalog table's warehouse DIRECTORY for recursive
+    * deletion at JVM exit — the table-name analogue of [[scratchDir]]
+    * for per-run uniquely-named indexes: the in-memory catalog entry
+    * dies with the session, but the directory would accumulate in the
+    * shared warehouse run over run. Registering a name that never
+    * materializes is a no-op. */
+  def sweepTableAtExit(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base =
+      if (wh.contains(":/")) new java.io.File(java.net.URI.create(wh.replace(" ", "%20")))
+      else new java.io.File(wh)
+    val target = new java.io.File(base, table.toLowerCase)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rec))
+        f.delete(): Unit
+      }
+      rec(target)
+    }))
+  }
+
   /** CSV with a pinned schema; malformed rows land in a null-columns row
     * (PERMISSIVE) rather than failing the job — filter or count them
     * explicitly (SourceFormatSpec pins the behavior). */

@@ -132,6 +132,62 @@ class LexIndexSpec extends SparkSpec {
     assert(replayed == full)
   }
 
+  test("phraseProbe ≡ brute force over the corpus (multi-term, repeated-term, single, absent)") {
+    built
+    val toks: Map[Long, Array[String]] = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    def brute(phrase: Seq[String]): Seq[(Long, Long)] =
+      toks.toSeq.map { case (id, ts) =>
+        id -> (0 to ts.length - phrase.length)
+          .count(i => phrase.indices.forall(j => ts(i + j) == phrase(j))).toLong
+      }.filter(_._2 > 0).sortBy(_._1)
+    for (phrase <- Seq(Seq("window", "hash"), Seq("window", "window"),
+        Seq("spark"), Seq("spark", "window", "window"), Seq("zzqx", "window"))) {
+      val got = LexIndex.phraseProbe(spark, name, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == brute(phrase), s"phrase $phrase diverged from brute force")
+    }
+    // fixture sanity: the headline phrase matches somewhere, and some doc
+    // holds it more than once (the hits column is exercised)
+    val hits = LexIndex.phraseProbe(spark, name, Seq("window", "hash"))
+      .collect().map(_.getLong(1))
+    assert(hits.nonEmpty && hits.exists(_ > 1L),
+      "fixture must contain the phrase, with at least one multi-hit document")
+  }
+
+  test("phraseProbe plan: bucket-pruned postings scan, no bodies, no re-tokenize") {
+    built
+    val plan = LexIndex.phraseProbe(spark, name, Seq("window", "hash"))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val hits = sel.findAllMatchIn(plan).toSeq
+    assert(hits.nonEmpty, s"no bucket pruning in plan:\n${plan.take(1500)}")
+    assert(hits.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"scan reads every bucket: ${hits.map(_.matched)}")
+    assert(!plan.contains("documents.parquet"), "probe must not rescan the corpus")
+    assert(!plan.toLowerCase.contains("split("), "probe must not re-tokenize")
+  }
+
+  test("phraseProbe after append ≡ over a from-scratch rebuild (positions are ingest-path-invariant)") {
+    // unlike BM25 scores (which move corpus-wide on append by definition),
+    // phrase hits depend only on each document's own positions — append vs
+    // rebuild must agree exactly
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val incName = "lexidx_pinc"
+    LexIndex.build(docs.filter(col("doc_id") % 4 =!= 0), incName)
+    LexIndex.append(spark, incName, docs.filter(col("doc_id") % 4 === 0))
+    val fullName = "lexidx_pfull"
+    LexIndex.build(docs, fullName)
+    val phrase = Seq("window", "hash")
+    val inc = LexIndex.phraseProbe(spark, incName, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = LexIndex.phraseProbe(spark, fullName, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("compact after sustained ingest: probe bit-identical, files collapse, ledger folds, replay guard intact") {
     // the round-7 maintenance item: append leaves one file per touched
     // bucket per batch + one ledger file per batch; compact must undo the
