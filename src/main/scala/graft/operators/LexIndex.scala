@@ -274,7 +274,7 @@ object LexIndex {
     val stats = spark.table(s"${name}_stats")
     post.join(broadcast(dict), "token")
       .crossJoin(broadcast(stats))
-      .withColumn("score_t", expr(TierEleven.bm25ScoreSql))
+      .withColumn("score_t", expr(TierEleven.bm25Score(spark)))
       .groupBy("doc_id").agg(sum("score_t").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)

@@ -39,11 +39,39 @@ object TierEleven {
     * and [[LexIndex.probe]] (store-served) — one definition, because the
     * q87 contract is that serving from the store changes no scored bit.
     * Expects columns tf, df, dl, n, total_toks. */
-  private[operators] val bm25ScoreSql: String =
+  private[graft] val bm25ScoreSql: String =
     """(tf * 2200 * ((n * 1000000) div df)) div
       |(tf * 1000 +
       | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
       |""".stripMargin.replace("\n", " ")
+
+  /** [[bm25ScoreSql]] with the two wrap-prone terms routed through
+    * DECIMAL(38,0): the idf dividend `n·10⁶` (exceeds Int64 past
+    * n ≈ 9.2·10¹² documents) and the triple product `tf·2200·idf_ppm`
+    * (exceeds it once tf·N > 4.2·10¹⁵ — the scaladoc bound above; under
+    * ANSI, Spark 4's default, the integer form then FAILS LOUDLY rather
+    * than silently corrupting the ranking, and this pin is the remedy).
+    * Identical operation order and `div` truncation, so on the safe
+    * regime the two forms are bit-identical (Bm25DispatchSpec pins both
+    * regimes); per-term scores and the denominator stay comfortably
+    * inside Int64 at any corpus size, so only the dividends widen. */
+  private[graft] val bm25ScoreSqlDecimal: String =
+    """(cast(tf as decimal(38,0)) * 2200 * ((cast(n as decimal(38,0)) * 1000000) div df)) div
+      |(tf * 1000 +
+      | (1200 * (250 + (750 * ((dl * 1000) div (total_toks div n))) div 1000)) div 1000)
+      |""".stripMargin.replace("\n", " ")
+
+  /** The dispatched term score — session conf `spark.graft.bm25Decimal`
+    * (the q57 `modelHint` pattern: a corpus-scale PROMISE the caller
+    * pins, because the engine cannot see future ingest): `true` routes
+    * the products through DECIMAL for corpora past the Int64 envelope;
+    * default stays all-integer (codegen'd long arithmetic, no decimal
+    * overhead). Both q82 and [[LexIndex.probe]] read this one dispatch —
+    * the q87 store-equivalence contract survives either setting. */
+  private[graft] def bm25Score(s: org.apache.spark.sql.SparkSession): String =
+    if (s.conf.getOption("spark.graft.bm25Decimal").exists(_.equalsIgnoreCase("true")))
+      bm25ScoreSqlDecimal
+    else bm25ScoreSql
 
   val q82 = Q("q82_bm25",
     """WITH toks AS (
@@ -81,7 +109,7 @@ object TierEleven {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .withColumn("score_t", expr(bm25ScoreSql))
+      .withColumn("score_t", expr(bm25Score(s)))
       .groupBy("doc_id").agg(sum("score_t").as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(10)
