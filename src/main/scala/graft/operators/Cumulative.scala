@@ -118,6 +118,14 @@ object Cumulative {
       value: Column, outName: String, partitions: Int = 0): DataFrame = {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // enforce the integral contract: a DOUBLE value would silently
+    // truncate toward zero through the cast and produce a
+    // plausible-but-wrong prefix sum — resolve the column's type against
+    // this frame and fail loudly instead
+    val resolved = df.select(value.as("__rs_probe")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(resolved),
+      s"runningSum value must be integral (cast upstream — float accumulation " +
+        s"order would change the answer), got ${resolved.catalogString}")
     val in = df.withColumn("__rs_v", coalesce(value.cast(LongType), lit(0L))).persist()
     val parted = in
       .repartitionByRange(p, sortCols: _*)

@@ -292,6 +292,13 @@ object TierSeven {
     * join key, so candidates are bucket-joins, never all-pairs, and each
     * pair is emitted from its FIRST matching chunk (pure integer codegen
     * on the carried signatures — no dedup shuffle on the join output).
+    *
+    * PRECONDITION (the [[graft.functions.CountMin.probe]] convention):
+    * each side must carry at most one row per (doc_id, simhash) —
+    * the emit-once guarantee is per input-row PAIR, so duplicated input
+    * rows emit duplicated pair rows (q73's oracle takes the DISTINCT
+    * frame; a library caller feeding raw non-deduped frames should
+    * `.distinct()` first).
     */
   def hammingScreen(incoming: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

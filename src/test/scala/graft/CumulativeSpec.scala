@@ -33,4 +33,13 @@ class CumulativeSpec extends SparkSpec {
     assert(twoPass == windowed && twoPass.nonEmpty)
     Cumulative.releaseAll()
   }
+
+  test("runningSum rejects fractional value columns loudly (no silent truncation)") {
+    val df = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("value").cast("double").as("v"))
+    val err = intercept[IllegalArgumentException] {
+      Cumulative.runningSum(spark, df, Seq(col("ts"), col("event_id")), col("v"), "cum")
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+  }
 }
