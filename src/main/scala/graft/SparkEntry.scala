@@ -18,7 +18,8 @@ object SparkEntry {
       operators.TierFive.all ++ operators.TierSix.all ++
       operators.TierSeven.all ++ operators.TierEight.all ++
       operators.TierNine.all ++ operators.TierTen.all ++
-      operators.TierEleven.all ++ operators.TierTwelve.all
+      operators.TierEleven.all ++ operators.TierTwelve.all ++
+      operators.TierThirteen.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -39,6 +39,20 @@ object SigIndex {
   private[operators] def dropStale(spark: SparkSession, table: String): Unit =
     Warehouse.dropStale(spark, table)
 
+  /** A per-run UNIQUE index name, its table directories swept at JVM
+    * exit — [[graft.operators.LexIndex.scratchName]]'s convention for the
+    * signature-index flavor: declared queries that build a throwaway index
+    * per run (q60/q98) must not share a fixed name, or two concurrent
+    * Verify/Bench runs race (one run's [[build]] sweeps the other's tables
+    * mid-probe). */
+  def scratchName(spark: SparkSession, prefix: String): String = {
+    val name = prefix + "_" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())
+    Seq("postings", "vocab", "docsets")
+      .foreach(t => Warehouse.sweepTableAtExit(spark, s"${name}_$t"))
+    name
+  }
+
   private def postingsOf(tokid: DataFrame, small: Boolean): DataFrame = {
     val bkeys = TierFour.bandKeys(tokid)
     if (small)

@@ -64,8 +64,12 @@ object TierEight {
        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
        |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-    SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "sigidx_q60")
-    SigIndex.probe(s, "sigidx_q60", docs.filter(col("doc_id") % 5 === 0))
+    // unique per-run name, swept at exit — a fixed shared name would let
+    // two concurrent Verify/Bench runs sweep each other's tables mid-probe
+    // (the q87 hazard, same remedy)
+    val name = SigIndex.scratchName(s, "sigidx_q60")
+    SigIndex.build(docs.filter(col("doc_id") % 5 =!= 0), name)
+    SigIndex.probe(s, name, docs.filter(col("doc_id") % 5 === 0))
   }
 
   /** Multi-probe hyperplane-LSH ANN — q29 plus the 4 Hamming-distance-1
