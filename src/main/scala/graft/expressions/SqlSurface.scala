@@ -140,5 +140,56 @@ object SqlSurface {
         val spark = SparkSession.active
         GraftSqlBridge.analyzed(
           graft.operators.TierSeven.hammingPairs(spark.table(view)))
+      }),
+
+    ("graft_phrase_probe",
+      "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
+        " exact-phrase hit counts from a persisted positional inverted index" +
+        " (LexIndex.phraseProbe); first argument names the index, the rest" +
+        " are the phrase's terms in order",
+      exprs => {
+        val strs = exprs.map {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_phrase_probe expects STRING literals (index name, then phrase terms), got " + other)
+        }
+        if (strs.length < 2) throw new IllegalArgumentException(
+          "graft_phrase_probe expects an index name and at least one phrase term")
+        GraftSqlBridge.analyzed(
+          graft.operators.LexIndex.phraseProbe(SparkSession.active, strs.head, strs.tail))
+      }),
+
+    ("graft_ivf_probe",
+      "graft_ivf_probe(path STRING, query ARRAY<DOUBLE>[, k INT, nprobe INT])" +
+        " - top-k cosine neighbors of `query` from a partitioned IVF vector" +
+        " store (IvfStore.probe); k defaults 10, nprobe 1",
+      exprs => {
+        arity("graft_ivf_probe", exprs, 2, 3, 4)
+        val path = exprs.head match {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_ivf_probe: path must be a STRING literal, got " + other)
+        }
+        val query = doubleArrayLit(exprs(1), "graft_ivf_probe", "query")
+        val k = if (exprs.length >= 3) intLit(exprs(2), "graft_ivf_probe", "k") else 10
+        val nprobe = if (exprs.length >= 4) intLit(exprs(3), "graft_ivf_probe", "nprobe") else 1
+        GraftSqlBridge.analyzed(
+          graft.operators.IvfStore.probe(SparkSession.active, path, query, k, nprobe))
       }))
+
+  /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an
+    * analysis-time plan parameter for the table functions (the probe's
+    * centroid ranking runs on the driver before the plan exists). */
+  private def doubleArrayLit(e: Expression, fn: String, arg: String): Seq[Double] = {
+    val ok = e.resolved && e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable ARRAY<DOUBLE> (an analysis-time plan parameter), got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray().toSeq
+      case _ => throw new IllegalArgumentException(s"$fn: $arg evaluated to null")
+    }
+  }
 }

@@ -62,7 +62,7 @@ object Cumulative {
     * the caller's cache.
     */
   def rowNumber(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
-      outName: String, partitions: Int = 0): DataFrame = {
+      outName: String, partitions: Int = 0, pins: Option[Pins] = None): DataFrame = {
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // repartitionByRange SAMPLES its input to pick boundaries, then the
@@ -73,7 +73,13 @@ object Cumulative {
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .persist() // pin sampled range boundaries across the two passes
-    retained.synchronized { retained += parted } // released via releaseAll()
+    // a pipeline that owns its release (Dedup's handle) tracks the
+    // boundary cache in ITS pins; otherwise the session-global registry
+    // holds it until the next releaseAll() sweep
+    pins match {
+      case Some(ps) => ps.track(parted)
+      case None     => retained.synchronized { retained += parted }
+    }
     val perPartition = parted
       .groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

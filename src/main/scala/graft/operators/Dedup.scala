@@ -38,16 +38,20 @@ object Dedup {
   /** Near-duplicate pairs `(doc_a, doc_b, jaccard)`, doc_a < doc_b —
     * q26's exact MinHash+LSH pipeline (bucketed candidates, exact
     * verification, never all-pairs). */
-  def nearDupPairs(docs: DataFrame): DataFrame =
-    TierFour.minhashPairs(TextOps.tokOf(docs.select("doc_id", "text")))
+  def nearDupPairs(docs: DataFrame): DataFrame = nearDupPairs(docs, new Pins)
+
+  private def nearDupPairs(docs: DataFrame, pins: Pins): DataFrame =
+    TierFour.minhashPairs(TextOps.tokOf(docs.select("doc_id", "text")), pins)
 
   /** Near-dup cluster labels `(doc_id, cluster)` — cluster = min doc_id
     * of the connected component over [[nearDupPairs]] (q55's labeling;
     * singletons label themselves). */
-  def clusters(docs: DataFrame): DataFrame =
+  def clusters(docs: DataFrame): DataFrame = clusters(docs, new Pins)
+
+  private def clusters(docs: DataFrame, pins: Pins): DataFrame =
     Components.connected(
         docs.select(col("doc_id").as("id")),
-        nearDupPairs(docs).select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        nearDupPairs(docs, pins).select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
 
   /** The full dedup APPLY: exact dedup, then one survivor (min doc_id)
@@ -61,27 +65,71 @@ object Dedup {
     * them) are materialized.
     */
   def deduplicateReleasable(docs: DataFrame): (DataFrame, () => Unit) = {
+    val pins = new Pins
     // three consumers (pair detection, the cluster node set, the final
     // semi join) each materialize independently — cache the survivors or
     // the corpus-wide sha2 groupBy + semi join runs three times.
-    val distinctDocs = exactSurvivors(docs).persist()
+    val distinctDocs = pins(exactSurvivors(docs))
     // a cluster's label IS its min doc_id (Components labels each node
     // with the component min, and the min labels itself) — survivors are
     // simply the self-labeled rows, no extra aggregation shuffle
-    val keep = clusters(distinctDocs)
+    val keep = clusters(distinctDocs, pins)
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
     val out = distinctDocs.join(keep, Seq("doc_id"), "left_semi")
     (out, () => {
-      distinctDocs.unpersist(blocking = false)
+      // the detector's internal intermediates too (minhashPairs' four
+      // persists — the round-7 leak the id-diff spec caught), not just
+      // this function's own survivor cache + label leaf
+      pins.release()
       org.apache.spark.sql.GraftSqlBridge.releaseLeaves(out)
     })
   }
 
-  /** [[deduplicateReleasable]] without the handle — for sessions that
-    * sweep caches themselves (Verify/Bench hygiene: clearCache +
-    * getPersistentRDDs.unpersist per query). Long-lived sessions that
-    * don't sweep should prefer the releasable form, or the cache stays
-    * pinned for the session lifetime. */
-  def deduplicate(docs: DataFrame): DataFrame = deduplicateReleasable(docs)._1
+  /** [[deduplicateReleasable]] with the handle wired to a one-shot
+    * query-completion listener (VERDICT r7 item #5: the bare wrapper used
+    * to DISCARD the handle, silently pinning the survivor cache + the
+    * components label leaf for the session lifetime). The first execution
+    * that materializes the returned plan — a write, collect, or any action
+    * on a frame derived from it — releases everything on completion
+    * (success OR failure), then unregisters itself.
+    *
+    * Contract: the returned frame is single-shot. Execute it once and keep
+    * the OUTPUT; re-executing the same object afterwards fails (the label
+    * leaf is a lineage-truncated localCheckpoint — same finality as
+    * [[deduplicateReleasable]]'s handle). Callers that materialize several
+    * times from one plan (or want to control release timing) use
+    * [[deduplicateReleasable]].
+    */
+  def deduplicate(docs: DataFrame): DataFrame = {
+    val (out, release) = deduplicateReleasable(docs)
+    releaseOnFirstExecution(out, release)
+    out
+  }
+
+  /** Fire `release` once, after the first query execution whose logical
+    * plan contains `df`'s — matched by node identity, so derived frames
+    * (`df.select(…)`, a parquet write of a join over it) trigger too. */
+  private def releaseOnFirstExecution(df: DataFrame, release: () => Unit): Unit = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val spark = df.sparkSession
+    // match on the ANALYZED tree: actions compose over Dataset.logicalPlan
+    // (= the analyzed/commandExecuted plan), so the raw logical nodes never
+    // appear in a derived action's execution
+    val marker = df.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def fire(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_ eq marker) && done.compareAndSet(false, true)) {
+          release()
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        fire(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
 }

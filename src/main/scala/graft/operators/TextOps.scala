@@ -97,9 +97,11 @@ object TextOps {
     * identical to the window form by construction (total order on distinct
     * tokens), so every affine hash built on `tid` still oracle-matches.
     */
-  def vocab(t: DataFrame): DataFrame =
+  def vocab(t: DataFrame): DataFrame = vocab(t, None)
+
+  def vocab(t: DataFrame, pins: Option[Pins]): DataFrame =
     Cumulative.rowNumber(t.sparkSession, t.select("token").distinct(),
-      Seq(col("token")), "tid")
+      Seq(col("token")), "tid", pins = pins)
 
   /** Adaptive dictionary dispatch for the similarity tiers: true when the
     * corpus vocabulary fits the 64-bit bitmask fast path. Default: count

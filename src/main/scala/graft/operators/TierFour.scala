@@ -110,14 +110,21 @@ object TierFour {
   /** q26's full Spark pipeline (signature → banded LSH buckets → exact
     * verification) over an arbitrary distinct (doc_id, token) relation —
     * see [[q26]]'s scaladoc for the plan rationale. q53 feeds it the
-    * exact-dedup survivors. */
-  def minhashPairs(t0: DataFrame): DataFrame = {
+    * exact-dedup survivors.
+    *
+    * The no-arg overload leaks its four internal persists by design —
+    * correct under Verify/Bench's per-query sweep. Library pipelines that
+    * must release ([[Dedup.deduplicateReleasable]]) pass their [[Pins]].
+    */
+  def minhashPairs(t0: DataFrame): DataFrame = minhashPairs(t0, new Pins)
+
+  def minhashPairs(t0: DataFrame, pins: Pins): DataFrame = {
     // t feeds BOTH the vocabulary rank and the tokid join — uncached, the
     // corpus tokenize + distinct shuffle would execute twice (and three of
     // the dedup queries embed this whole pipeline)
-    val t = t0.persist()
-    val v = vocab(t)
-    val tokid = TextOps.tokid(t, v).persist() // feeds signatures AND verification
+    val t = pins(t0)
+    val v = TextOps.vocab(t, Some(pins))
+    val tokid = pins(TextOps.tokid(t, v)) // feeds signatures AND verification
     val bkeys = bandKeys(tokid)
     def selfJoinPairs(postings: DataFrame,
         extra: Seq[(String, String, String)]): DataFrame =
@@ -136,10 +143,9 @@ object TierFour {
         // pure codegen'd projection with ZERO attach joins. (Attaching
         // masks by joining on doc_a/doc_b afterwards shuffled the
         // ~10^7-row candidate stream twice — the dominant q26 cost.)
-        val postings = bkeys.join(TextOps.tokenMasks(tokid), "doc_id")
+        val postings = pins(bkeys.join(TextOps.tokenMasks(tokid), "doc_id")
           .select(col("doc_id"), col("ks"), col("mask"), col("n"),
-            posexplode(col("ks")).as(Seq("band", "bkey")))
-          .persist()
+            posexplode(col("ks")).as(Seq("band", "bkey"))))
         selfJoinPairs(postings,
             Seq(("mask", "ma", "mb"), ("n", "na", "nb")))
           .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)"))
@@ -148,10 +154,10 @@ object TierFour {
         // to ride the ×8-band posting shuffle, so candidates attach them
         // via shuffle joins on doc id (the correct 100 TB shape; AQE still
         // converts to broadcast at runtime when the measured size allows)
-        val postings = bkeys.select(col("doc_id"), col("ks"),
-          posexplode(col("ks")).as(Seq("band", "bkey"))).persist()
+        val postings = pins(bkeys.select(col("doc_id"), col("ks"),
+          posexplode(col("ks")).as(Seq("band", "bkey"))))
         val cand = selfJoinPairs(postings, Nil).select(col("doc_a"), col("doc_b"))
-        val m = TextOps.tokenArrays(tokid).persist()
+        val m = pins(TextOps.tokenArrays(tokid))
         cand
           .join(m.select(col("doc_id").as("doc_a"), col("tids").as("ta"), col("n").as("na")), "doc_a")
           .join(m.select(col("doc_id").as("doc_b"), col("tids").as("tb"), col("n").as("nb")), "doc_b")
@@ -309,6 +315,19 @@ object TierFour {
       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
       |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
       |WHERE j >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    ngramJaccardStages(s, dir)._2
+  }
+
+  /** q28's pipeline with the candidate stage exposed — `(candidates,
+    * verified)` — so the PPJoin pruning invariant is spec-gated
+    * (OperatorSpec, VERDICT r7 item #4): the prefix filter must emit each
+    * qualifying pair exactly once and keep the candidate set within a
+    * small factor of the verified output, or a hot shingle is flooding the
+    * verification join and the 100 TB plan has silently degraded to
+    * near-all-pairs.
+    */
+  private[graft] def ngramJaccardStages(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val arr = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= "").as("l"))
@@ -366,7 +385,7 @@ object TierFour {
             slice(col("pa"), lit(1), col("pos_a")),
             slice(col("pb"), lit(1), col("pos_b"))))
       .select(col("doc_a"), col("doc_b"))
-    cand
+    val verified = cand
       .join(arrs.select(col("doc_id").as("doc_a"), col("sids").as("sa"), col("n").as("na")), "doc_a")
       .join(arrs.select(col("doc_id").as("doc_b"), col("sids").as("sb"), col("n").as("nb")), "doc_b")
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
@@ -374,6 +393,7 @@ object TierFour {
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+    (cand, verified)
   }
 
   /** Hyperplane-LSH bucketed ANN — the scale path for [[TierThree.q24]]:

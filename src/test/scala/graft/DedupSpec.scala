@@ -63,19 +63,39 @@ class DedupSpec extends SparkSpec {
     assert(got.contains(10L) && got.contains(30L), "cluster minima survive")
   }
 
+  // Both release tests diff the SPECIFIC RDD ids the pipeline pinned —
+  // a global persistent-RDD count is flaky here because other tests'
+  // auto-release listeners drain asynchronously in the shared session.
+  private def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def awaitReleased(ids: Set[Int]): Set[Int] = {
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while ((pinnedIds & ids).nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    pinnedIds & ids
+  }
+
+  test("deduplicate auto-releases its pinned state after first execution (VERDICT r7 #5)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val before = pinnedIds
+    val out = Dedup.deduplicate(docs)
+    out.count() // first materialization → completion listener fires release
+    val mine = pinnedIds -- before
+    // listener bus + unpersist are both async — poll until this call's pins drain
+    val left = awaitReleased(mine)
+    assert(left.isEmpty,
+      s"deduplicate must release everything it pinned after its first execution; still pinned: $left")
+  }
+
   test("deduplicateReleasable's handle drops the pinned cache (VERDICT r5 nit)") {
     val docs = Tables.load(spark, sf, "documents")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = pinnedIds
     val (out, release) = Dedup.deduplicateReleasable(docs)
     out.count() // materialize — the pipeline pins its survivor cache
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "pipeline should have pinned at least the survivor cache")
+    val mine = pinnedIds -- before
+    assert(mine.nonEmpty, "pipeline should have pinned at least the survivor cache")
     release()
-    // unpersist is async (blocking=false) — poll briefly
-    val deadline = System.nanoTime() + 10_000_000_000L
-    while (spark.sparkContext.getPersistentRDDs.size > before
-        && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before,
-      "release handle must drop the cache deduplicate pinned")
+    val left = awaitReleased(mine)
+    assert(left.isEmpty,
+      s"release handle must drop everything the pipeline pinned; still pinned: $left")
   }
 }

@@ -105,6 +105,43 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
+    import graft.operators.LexIndex
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val name = LexIndex.scratchName(spark, "sqlsurf_lex")
+    LexIndex.build(docs, name)
+    val sql = spark.sql(s"SELECT * FROM graft_phrase_probe('$name', 'window', 'hash')")
+      .collect().map(_.toString).toSeq
+    val scala = LexIndex.phraseProbe(spark, name, Seq("window", "hash"))
+      .collect().map(_.toString).toSeq
+    assert(sql == scala && sql.nonEmpty)
+    // malformed calls fail at analysis with the usage message, not at run time
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM graft_phrase_probe('$name')"))
+    assert(e.getMessage.contains("at least one phrase term"))
+  }
+
+  test("graft_ivf_probe table function from SQL ≡ IvfStore.probe (VERDICT r7 #6)") {
+    import graft.operators.{IvfStore, TierNine}
+    import graft.sources.Warehouse
+    GraftFunctions.register(spark)
+    val path = Warehouse.scratchDir("sqlsurf_ivf")
+    val emb = TierNine.embOf(spark, sf)
+    IvfStore.build(spark, emb, path, TierNine.lloydCentroids(spark, sf))
+    val q0 = emb.filter(col("vec_id") === 0).head.getSeq[Double](1).toSeq
+    val vecSql = q0.mkString("array(", "D, ", "D)")
+    val sql = spark.sql(
+        s"SELECT * FROM graft_ivf_probe('$path', $vecSql, 10, 2)")
+      .collect().map(_.toString).toSeq
+    val scala = IvfStore.probe(spark, path, q0, k = 10, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(sql == scala && sql.nonEmpty)
+    // the query vector is an analysis-time parameter: a non-foldable arg fails loudly
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_ivf_probe('$path', array(rand()))"))
+    assert(e.getMessage.contains("foldable ARRAY<DOUBLE>"))
+  }
+
   test("graft_simhash / graft_quality from SQL ≡ their Scala columns (the ingest gate in pure SQL)") {
     GraftFunctions.register(spark)
     Tables.load(spark, sf, "documents").createOrReplaceTempView("docs_sql")

@@ -115,6 +115,30 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
   }
 
+  test("q28 PPJoin candidate invariant: each pair once, candidates stay near the output (VERDICT r7 #4)") {
+    val (cand, verified) = TierFour.ngramJaccardStages(spark, sf)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the no-earlier-shared-prefix predicate makes dedup-by-shuffle
+    // unnecessary — prove it stays that way
+    assert(pairs.distinct.size == pairs.size,
+      s"prefix filter emitted duplicate candidate pairs (${pairs.size - pairs.distinct.size} dups)")
+    assert(verified.count() > 0, "fixture must contain J>=0.8 pairs")
+    // PPJoin economics: the rarest-first prefix + positional + length
+    // filters must keep verification FAR below the all-pairs volume a hot
+    // shingle would flood it with (the 100 TB failure mode this gates).
+    // Fixture-pinned: 500 docs → 124,750 unordered pairs; the filter
+    // currently emits 5,765 candidates (~4.6%). Gate at ≤6% of all-pairs
+    // AND an absolute ceiling so quiet filter regressions surface too.
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(pairs.size.toLong * 100 <= 6 * allPairs,
+      s"candidate set ${pairs.size} exceeds 6% of all-pairs ($allPairs) — " +
+        "prefix filtering has degraded toward all-pairs")
+    assert(pairs.size <= 8000,
+      s"candidate set grew to ${pairs.size} on the pinned fixture (was 5,765) — " +
+        "a prefix/positional/length filter has weakened")
+  }
+
   test("q30 language-ID broadcasts the frequency profile") {
     val plan = heavyPlan(TierFour.q30)
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
