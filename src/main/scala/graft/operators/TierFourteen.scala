@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier 14 (round 8): CROSS-DOCUMENT substring-level deduplication — the
+  * "same boilerplate pasted into thousands of pages" problem (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL'22,
+  * which removes repeated ~50-token substrings corpus-wide). q89/q90
+  * handle repeats WITHIN a document; this tier finds token spans shared
+  * ACROSS documents and strips every copy except the canonical (min
+  * doc_id) owner's — completing the dedup family's third granularity:
+  * document (q22/q26), embedding (q69/q100), substring (here).
+  *
+  * Method: positional 8-token shingles; a shingle key held by ≥ 2 distinct
+  * documents marks all its occurrences; overlapping/adjacent marked
+  * shingle intervals merge into maximal spans (gaps-and-islands over the
+  * matched rows only). The spans are detection output (q101); the strip
+  * (q102) removes the union of covered token positions in every
+  * NON-canonical document, exactly q90's apply mechanics.
+  *
+  * Scale: the one corpus-sized stage is the shingle shuffle (group/join on
+  * the 8-gram key — same economics as q28's shingle stage). Everything
+  * after operates on MATCHED shingles only, and the islands window
+  * partitions by doc_id (never a global sort). A production run at 100 TB
+  * would pre-hash keys to 64-bit (xxhash64) to cut shuffle bytes ~8×; the
+  * declared query keeps the string key so the DuckDB oracle is exact —
+  * collision-free and engine-identical.
+  *
+  * Reference mapping: no equivalent in the reference (its surface stops at
+  * windowed tweet counts, SURVEY.md §2.1); north-star LLM-pipeline ops.
+  */
+object TierFourteen {
+
+  private val W = 8 // shingle width in tokens
+
+  /** (doc_id, s, key): every positional 8-gram of every document, s
+    * 0-based. One corpus tokenize, no shuffle (pure codegen'd projection +
+    * explode). */
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("l"))
+      .filter(size(col("l")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("l")) - (W - 1)),
+          i => concat_ws(" ", slice(col("l"), i, lit(W))))).as(Seq("s", "key")))
+
+  /** Shingle keys held by ≥ 2 distinct docs, with the canonical owner
+    * (min doc_id). Two-level aggregation: per-(key, doc) distinct first,
+    * so the per-key count is over docs, not occurrences. */
+  private def sharedKeys(g: DataFrame): DataFrame =
+    g.select("key", "doc_id").distinct()
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") >= 2)
+
+  /** Merge matched shingle intervals [s, s+W-1] into maximal spans per
+    * doc — gaps-and-islands: a row opens a new island iff its start lies
+    * beyond every previous interval's end + 1. Runs over MATCHED rows
+    * only; the window partitions by doc_id. */
+  private def islands(matched: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    matched
+      .withColumn("e", col("s") + (W - 1))
+      .withColumn("brk",
+        when(col("s") > coalesce(
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-2)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+  }
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(range(0, len(l) - 7)) AS s, l
+      |      FROM toks WHERE len(l) >= 8),
+      |k AS (SELECT doc_id, s, array_to_string(l[s + 1:s + 8], ' ') AS key FROM g)""".stripMargin
+
+  /** Cross-doc repeated spans: every maximal token span whose 8-gram
+    * shingles all occur in at least one OTHER document. Output
+    * `(doc_id, span_start, span_end)`, positions 0-based inclusive. */
+  val q101 = Q("q101_cross_doc_spans",
+    s"""WITH $toksSql,
+       |x AS (SELECT key FROM k GROUP BY key HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (SELECT doc_id, s, s + 7 AS e FROM k JOIN x USING (key)),
+       |i AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (
+       |             PARTITION BY doc_id ORDER BY s
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |           THEN 1 ELSE 0 END AS brk
+       |  FROM m),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |                        ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM i)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       |       CAST(max(e) AS BIGINT) AS span_end
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    val g = grams(s, dir)
+    val matched = g.join(sharedKeys(g).select("key"), "key").select("doc_id", "s")
+    islands(matched)
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Cross-doc span STRIP — keep-first-occurrence apply: a matched
+    * shingle is FOREIGN when its document is not the key's canonical
+    * owner (min doc_id); the union of foreign-covered token positions is
+    * removed and the survivors rejoin in order (q90's anti-join +
+    * per-doc rebuild). The canonical copy of every repeated region
+    * survives untouched, so no content is lost corpus-wide — the Lee et
+    * al. semantic, where q90 is the strip-everywhere variant.
+    */
+  val q102 = Q("q102_cross_doc_strip",
+    s"""WITH $toksSql,
+       |own AS (SELECT key, min(doc_id) AS owner FROM k GROUP BY key),
+       |f AS (SELECT k.doc_id, k.s FROM k JOIN own USING (key)
+       |      WHERE k.doc_id > own.owner),
+       |cov AS (SELECT DISTINCT doc_id, s + d AS p
+       |        FROM f, (SELECT unnest(range(0, 8)) AS d)),
+       |tp AS (SELECT doc_id, unnest(range(0, len(l))) AS p, l
+       |       FROM toks WHERE len(l) > 0),
+       |tok1 AS (SELECT doc_id, p, l[p + 1] AS token FROM tp),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.token FROM tok1 t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+       |rebuilt AS (
+       |  SELECT doc_id, array_to_string(list(token ORDER BY p), ' ') AS clean_text,
+       |         CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM kept GROUP BY 1)
+       |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       |       CAST(len(t.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    // one corpus tokenize feeds the shingle stage, the position explode,
+    // and the final left join (q90's persist convention; swept per-query
+    // by Verify/Bench)
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("l"))
+      .persist()
+    val g = toks.filter(size(col("l")) >= W)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("l")) - (W - 1)),
+          i => concat_ws(" ", slice(col("l"), i, lit(W))))).as(Seq("s", "key")))
+    val foreign = g.join(sharedKeys(g).select("key", "owner"), "key")
+      .filter(col("doc_id") > col("owner"))
+      .select("doc_id", "s")
+    // covered positions: |foreign|·8 rows — the cut list, not the corpus
+    val covered = foreign
+      .select(col("doc_id"), explode(sequence(col("s"), col("s") + (W - 1))).as("p"))
+    val tok1 = toks.filter(size(col("l")) > 0)
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("p", "token")))
+    val rebuilt = tok1.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(p, token))), x -> x.token), ' ')")
+        .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (size(col("l")) - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q101, q102)
+}

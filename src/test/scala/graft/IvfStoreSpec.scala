@@ -112,4 +112,40 @@ class IvfStoreSpec extends SparkSpec {
     IvfStore.append(spark, p, emb.filter(col("vec_id") % 5 === 2), batchId = Some(2L))
     assert(top(p, query) == before, "replay guard must survive the ledger fold")
   }
+
+  test("s27: streaming ingest (foreachBatch append) — final probe ≡ one-shot build") {
+    // the vector-store twin of LexIndex s25 / SigIndex s18: embeddings
+    // arriving as micro-batches absorb via IvfStore.append against the
+    // frozen quantizer; after the stream drains, a probe must equal a
+    // from-scratch build over everything, and an epoch-replayed final
+    // batch must be skipped by the ledger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inc = java.nio.file.Files.createTempDirectory("ivf_s27").toString
+    IvfStore.build(spark, emb.filter(col("vec_id") % 3 === 0), inc, cents)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val chunks = rest.grouped(math.max(1, (rest.length + 2) / 3)).toSeq
+    assert(chunks.length >= 2, "fixture must yield multiple micro-batches")
+    val in = MemoryStream[(Long, Seq[Double])]
+    var lastBatch: Option[(Long, Seq[(Long, Seq[Double])])] = None
+    val q = in.toDF().toDF("vec_id", "e").writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        lastBatch = Some(id -> b.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
+        IvfStore.append(spark, inc, b, batchId = Some(id))
+      }.start()
+    try chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val full = java.nio.file.Files.createTempDirectory("ivf_s27_full").toString
+    IvfStore.build(spark, emb, full, cents)
+    assert(top(inc, q0) == top(full, q0),
+      "streamed store must probe identically to a one-shot build")
+    val (id, rows2) = lastBatch.get
+    IvfStore.append(spark, inc, rows2.toDF("vec_id", "e"), batchId = Some(id))
+    assert(top(inc, q0) == top(full, q0),
+      "replayed batch must be skipped, not double-ingested")
+  }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.TierFourteen
+
+/** Tier-14 cross-document span dedup against independent brute force on
+  * the real corpus, plus the plan gates the 100 TB posture requires
+  * (no cartesian, no single-partition exchange, islands window partitioned
+  * by doc).
+  */
+class TierFourteenSpec extends SparkSpec {
+
+  private val W = 8
+
+  private def corpus: Map[Long, Array[String]] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+
+  /** key → distinct docs holding it (brute force). */
+  private def keyDocs(c: Map[Long, Array[String]]): Map[String, Set[Long]] = {
+    val b = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, l) <- c; i <- 0 to l.length - W) {
+      val k = l.slice(i, i + W).mkString(" ")
+      b(k) = b.getOrElse(k, Set.empty) + id
+    }
+    b.toMap
+  }
+
+  private def mergeSpans(starts: Seq[Int]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (s <- starts.sorted) {
+      val e = s + W - 1
+      if (out.nonEmpty && s <= out.last._2 + 1)
+        out(out.length - 1) = (out.last._1, math.max(out.last._2, e))
+      else out += ((s.toLong, e.toLong))
+    }
+    out.toSeq
+  }
+
+  test("q101 spans ≡ brute-force cross-doc shingle islands (real corpus)") {
+    val c = corpus
+    val kd = keyDocs(c)
+    val expected = (for ((id, l) <- c.toSeq) yield {
+      val starts = (0 to l.length - W).filter { i =>
+        kd(l.slice(i, i + W).mkString(" ")).size >= 2
+      }
+      mergeSpans(starts).map { case (s, e) => (id, s, e) }
+    }).flatten.sortBy(t => (t._1, t._2))
+    val got = TierFourteen.q101.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus must contain cross-doc repeats")
+  }
+
+  test("q102 strip ≡ brute-force foreign-position removal; canonical copies intact") {
+    val c = corpus
+    val kd = keyDocs(c)
+    val expected = c.toSeq.sortBy(_._1).map { case (id, l) =>
+      val covered = (0 to l.length - W).flatMap { i =>
+        val docs = kd(l.slice(i, i + W).mkString(" "))
+        if (docs.size >= 2 && id > docs.min) i until i + W else Seq.empty
+      }.toSet
+      val keptToks = l.indices.filterNot(covered).map(l)
+      (id, keptToks.mkString(" "), (l.length - keptToks.length).toLong)
+    }
+    val got = TierFourteen.q102.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "some doc must lose foreign spans")
+    // keep-first semantics: for every shared key, its owner doc keeps the text
+    val sharedOwners = kd.filter(_._2.size >= 2).values.map(_.min).toSet
+    val byId = got.map(t => t._1 -> t._2).toMap
+    val someOwner = sharedOwners.head
+    // the owner's canonical copy may still lose OTHER spans it doesn't own;
+    // but a doc that owns EVERY shared key it touches is untouched
+    val untouchedOwners = c.keys.filter { id =>
+      val l = c(id)
+      (0 to l.length - W).forall { i =>
+        val docs = kd(l.slice(i, i + W).mkString(" "))
+        docs.size < 2 || docs.min == id
+      }
+    }
+    assert(untouchedOwners.nonEmpty && someOwner >= 0)
+    untouchedOwners.foreach(id => assert(byId(id) == c(id).mkString(" ")))
+  }
+
+  test("q101/q102 plans: no CartesianProduct, no single-partition exchange") {
+    for (q <- Seq(TierFourteen.q101, TierFourteen.q102)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(500)}")
+      assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(500)}")
+    }
+  }
+}
