@@ -142,6 +142,21 @@ object SqlSurface {
           graft.operators.TierSeven.hammingPairs(spark.table(view)))
       }),
 
+    ("graft_cross_doc_strip",
+      "graft_cross_doc_strip(docs STRING) - cross-document repeated-span" +
+        " strip (keep-first-occurrence) over a (doc_id, text) table/view" +
+        " (TierFourteen.stripForeignSpans)",
+      exprs => {
+        val view = exprs match {
+          case Seq(Literal(s: UTF8String, StringType)) => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_cross_doc_strip expects one STRING literal naming a (doc_id, text) table/view")
+        }
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(
+          graft.operators.TierFourteen.stripForeignSpans(spark.table(view)))
+      }),
+
     ("graft_phrase_probe",
       "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
         " exact-phrase hit counts from a persisted positional inverted index" +

@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   *      documents the gates would drop anyway.
   *   4. DEDUP ([[Dedup.deduplicateReleasable]]) — exact digests, then
   *      MinHash/LSH near-dup clusters, one survivor per cluster.
-  *   5. SPLIT (q75's affine-hash partition) — LAST, so a duplicate pair
+  *   5. optional SUBSTRING STRIP ([[TierFourteen.stripForeignSpans]],
+  *      `stripSpans = true`) — cross-doc repeated regions removed from
+  *      every non-canonical survivor. AFTER dedup deliberately: whole-doc
+  *      duplicates are gone, so the strip pays only for genuinely shared
+  *      boilerplate; fully-stripped-empty docs drop.
+  *   6. SPLIT (q75's affine-hash partition) — LAST, so a duplicate pair
   *      can never straddle train/eval (the contamination vector splitting
   *      before dedup re-opens).
   *
@@ -31,12 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object Prepare {
 
-  /** Per-stage counts: `input ≥ afterGates ≥ afterDedup = Σ splits`. */
+  /** Per-stage counts: `input ≥ afterGates ≥ afterDedup ≥ Σ splits`;
+    * `strippedTokens` counts tokens the optional substring stage removed
+    * (0 when `stripSpans = false`, where also `afterDedup = Σ splits`). */
   final case class Report(
       input: Long, afterGates: Long, afterDedup: Long,
-      train: Long, valid: Long, test: Long)
+      train: Long, valid: Long, test: Long, strippedTokens: Long = 0L)
 
-  def corpus(docs: DataFrame): (DataFrame, Report) = {
+  def corpus(docs: DataFrame, stripSpans: Boolean = false): (DataFrame, Report) = {
     import TierFour.{A0, B0, P}
     val input = docs.count()
     val gated = docs
@@ -47,11 +54,20 @@ object Prepare {
       .persist() // feeds its count + three dedup consumers
     val afterGates = gated.count()
     val (survivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
+    val stripPins = new Pins
+    val (cleaned, strippedTokens) =
+      if (!stripSpans) (survivors, 0L)
+      else {
+        val stripped = stripPins(TierFourteen.stripForeignSpans(survivors, stripPins))
+        val removed = stripped.agg(sum(col("n_removed"))).head.getLong(0)
+        (stripped.filter(col("clean_text") =!= "")
+          .select(col("doc_id"), col("clean_text").as("text")), removed)
+      }
     // EAGER localCheckpoint, not persist: the release below frees the
     // dedup stage's checkpoint leaves, so the returned frame must not
     // keep lineage through them — checkpoint blocks are MEMORY_AND_DISK
     // (spill, never recompute), making `out` self-contained
-    val out = survivors
+    val out = cleaned
       .withColumn("bkt", ((col("doc_id") % P) * A0 + B0) % P % 1000)
       .withColumn("split",
         when(col("bkt") < 980, "train")
@@ -61,12 +77,15 @@ object Prepare {
       .localCheckpoint(true)
     val bySplit = out.groupBy("split").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val afterDedup = bySplit.values.sum
+    // afterDedup counts dedup SURVIVORS; the strip stage can only drop
+    // further (fully-stripped-empty docs), never add
+    val afterDedup = if (stripSpans) survivors.count() else bySplit.values.sum
     releaseDedup()
+    stripPins.release()
     gated.unpersist(blocking = false)
     val report = Report(input, afterGates, afterDedup,
       bySplit.getOrElse("train", 0L), bySplit.getOrElse("valid", 0L),
-      bySplit.getOrElse("test", 0L))
+      bySplit.getOrElse("test", 0L), strippedTokens)
     (out, report)
   }
 }

@@ -143,13 +143,20 @@ object TierFourteen {
        |       CAST(len(t.l) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    stripForeignSpans(Tables.load(s, dir, "documents"))
+  }
+
+  /** The strip as a LIBRARY call over any `(doc_id, text, …)` frame —
+    * `(doc_id, clean_text, n_removed)`, every input doc present. Persists
+    * route through `pins` so an embedding pipeline ([[Prepare.corpus]]'s
+    * optional substring stage) can release; the default throwaway
+    * collector matches the Verify/Bench sweep convention. */
+  def stripForeignSpans(docs: DataFrame, pins: Pins = new Pins): DataFrame = {
     // one corpus tokenize feeds the shingle stage, the position explode,
-    // and the final left join (q90's persist convention; swept per-query
-    // by Verify/Bench)
-    val toks = Tables.load(s, dir, "documents")
+    // and the final left join (q90's persist convention)
+    val toks = pins(docs
       .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= "").as("l"))
-      .persist()
+        filter(split(col("text"), " "), x => x =!= "").as("l")))
     val g = toks.filter(size(col("l")) >= W)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("l")) - (W - 1)),

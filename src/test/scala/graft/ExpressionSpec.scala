@@ -105,6 +105,17 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_cross_doc_strip table function from SQL ≡ TierFourteen.stripForeignSpans") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("strip_docs")
+    val sql = spark.sql("SELECT * FROM graft_cross_doc_strip('strip_docs')")
+      .collect().map(_.toString).toSeq
+    val scala = graft.operators.TierFourteen.stripForeignSpans(docs)
+      .collect().map(_.toString).toSeq
+    assert(sql == scala && sql.nonEmpty)
+  }
+
   test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
     import graft.operators.LexIndex
     GraftFunctions.register(spark)

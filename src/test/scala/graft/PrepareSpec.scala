@@ -35,6 +35,49 @@ class PrepareSpec extends SparkSpec {
       "no two survivors share a text")
   }
 
+  test("stripSpans stage: boilerplate tokens removed after dedup, ids a subset, default-off unchanged") {
+    // the raw sf0.001 corpus's cross-doc 8-grams all live in docs the
+    // near-dup stage removes, so inject the classic failure mode the stage
+    // exists for: an identical 12-token footer pasted onto many docs (too
+    // small a fraction of each doc for LSH to pair them — only the
+    // substring stage can remove it). Injection is SELF-SELECTING: only
+    // docs that still pass the quality + classifier gates with the footer
+    // appended receive it, so the boilerplate reaches the strip stage
+    // regardless of how the hashed footer shifts classifier scores.
+    import graft.operators.{TierEleven, TierFour}
+    val tail = " subscribe to our newsletter for more updates and offers every single day"
+    val raw = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val passIds = raw
+      .withColumn("t2", graft.operators.TierEleven.redact(
+        TierEleven.normalize(concat(col("text"), lit(tail)))))
+      .filter(TierFour.qualityCol(col("t2")) >= 2)
+      .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("t2")) >= 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(passIds.size >= 5, s"need enough gate-surviving hosts, got ${passIds.size}")
+    val docs = raw.withColumn("text",
+      when(col("doc_id").isin(passIds.toSeq: _*), concat(col("text"), lit(tail)))
+        .otherwise(col("text")))
+    val (out0, r0) = Prepare.corpus(docs)
+    val (out1, r1) = Prepare.corpus(docs, stripSpans = true)
+    // stages BEFORE the strip are byte-identical with the flag off
+    assert(r1.input == r0.input && r1.afterGates == r0.afterGates)
+    assert(r0.strippedTokens == 0L)
+    assert(r1.strippedTokens > 0L, "survivors must share the injected footer")
+    assert(r1.afterDedup == r0.afterDedup, "strip runs on the SAME dedup survivors")
+    val splits1 = r1.train + r1.valid + r1.test
+    assert(splits1 <= r1.afterDedup && out1.count() == splits1)
+    val ids0 = out0.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids1 = out1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(ids0), "strip can drop fully-stripped docs, never add")
+    // token conservation: the flag-off output IS the pre-strip survivor
+    // text (same deterministic pipeline), so the corpus-wide token count
+    // must fall by exactly the reported strippedTokens
+    def tokens(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n"))
+        .agg(sum(col("n"))).head.getLong(0)
+    assert(tokens(out0) - tokens(out1) == r1.strippedTokens)
+  }
+
   test("deterministic: a second run reproduces ids, splits, and the report") {
     val (out, r) = result
     val (out2, r2) = Prepare.corpus(

@@ -109,6 +109,16 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("sanity check failed"))
   }
 
+  test("t04: every declared table loads through its pinned schema, non-empty") {
+    // the cheapest cross-regen insurance for the other nine tables: a
+    // driver-side type change surfaces here as a read error or zero rows,
+    // not as silently skewed query outputs
+    for (name <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      assert(Tables.load(spark, sf, name).count() > 0, s"table $name loaded empty")
+    }
+  }
+
   test("t03: the real corpus loads with ts spanning a plausible [2000,2100] range") {
     import org.apache.spark.sql.functions.{max, min}
     val Row(lo: java.time.LocalDateTime, hi: java.time.LocalDateTime) =
