@@ -34,7 +34,7 @@ object TierFour {
 
   import TextOps.{tok, vocab}
 
-  private def tokSqlFrom(rel: String) =
+  private[operators] def tokSqlFrom(rel: String) =
     s"""tok AS (
        |  SELECT DISTINCT doc_id, token FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $rel)
@@ -44,7 +44,7 @@ object TierFour {
        |  FROM (SELECT DISTINCT token FROM tok)),
        |tokid AS (SELECT doc_id, tid FROM tok JOIN vocab USING (token))""".stripMargin
 
-  private val tokSql = tokSqlFrom("documents")
+  private[operators] val tokSql = tokSqlFrom("documents")
 
   /** q26's oracle SQL over an arbitrary (doc_id, text) relation `rel` —
     * q26 instantiates it on `documents`, q53 on its exact-dedup-survivor
@@ -567,6 +567,37 @@ object TierFour {
     * split array (no window functions), then three broadcast-sized
     * vocabulary joins.
     */
+  /** Distinct per-doc trigram rolling hashes — q33's fingerprint base and
+    * q103's winnowed pair-join input: h = (tid1·131² + tid2·131 + tid3)
+    * mod P over vocabulary ids, one row per distinct (doc_id, h).
+    * Distinct-first so downstream aggregates stay single-shuffle (two
+    * countDistinct in one agg would plan an Expand ×3 row multiplication —
+    * pre-deduping keeps one narrow shuffle with identical counts). */
+  private[operators] def trigramHashes(s: SparkSession, dir: String): DataFrame = {
+    val t = tok(s, dir)
+    val v = vocab(t).persist() // broadcast three times (t1/t2/t3 joins)
+    val arr = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
+    // size(l) < 3 ⇒ no trigrams; same short-doc guard as q28 (sequence()
+    // would descend and element_at(l, 0) throws).
+    val sh = arr.filter(size(col("l")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("l")) - 3),
+          k => concat_ws("|", element_at(col("l"), k + 1), element_at(col("l"), k + 2),
+            element_at(col("l"), k + 3)))).as("sgl"))
+      .select(col("doc_id"),
+        split_part(col("sgl"), lit("|"), lit(1)).as("t1"),
+        split_part(col("sgl"), lit("|"), lit(2)).as("t2"),
+        split_part(col("sgl"), lit("|"), lit(3)).as("t3"))
+    sh
+      .join(broadcast(v.select(col("token").as("t1"), col("tid").as("tid1"))), "t1")
+      .join(broadcast(v.select(col("token").as("t2"), col("tid").as("tid2"))), "t2")
+      .join(broadcast(v.select(col("token").as("t3"), col("tid").as("tid3"))), "t3")
+      .select(col("doc_id"),
+        ((col("tid1") * 131 * 131 + col("tid2") * 131 + col("tid3")) % P).as("h"))
+      .distinct()
+  }
+
   val q33 = Q("q33_fingerprint",
     s"""WITH $tokSql,
        |arr AS (
@@ -587,31 +618,7 @@ object TierFour {
        |       CAST(count(DISTINCT h) AS BIGINT) AS n_shingles,
        |       CAST(count(DISTINCT CASE WHEN h % 16 = 0 THEN h END) AS BIGINT) AS n_winnowed
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val t = tok(s, dir)
-    val v = vocab(t).persist() // broadcast three times (t1/t2/t3 joins)
-    val arr = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
-    // size(l) < 3 ⇒ no trigrams; same short-doc guard as q28 (sequence()
-    // would descend and element_at(l, 0) throws).
-    val sh = arr.filter(size(col("l")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("l")) - 3),
-          k => concat_ws("|", element_at(col("l"), k + 1), element_at(col("l"), k + 2),
-            element_at(col("l"), k + 3)))).as("sgl"))
-      .select(col("doc_id"),
-        split_part(col("sgl"), lit("|"), lit(1)).as("t1"),
-        split_part(col("sgl"), lit("|"), lit(2)).as("t2"),
-        split_part(col("sgl"), lit("|"), lit(3)).as("t3"))
-    val h = sh
-      .join(broadcast(v.select(col("token").as("t1"), col("tid").as("tid1"))), "t1")
-      .join(broadcast(v.select(col("token").as("t2"), col("tid").as("tid2"))), "t2")
-      .join(broadcast(v.select(col("token").as("t3"), col("tid").as("tid3"))), "t3")
-      .select(col("doc_id"),
-        ((col("tid1") * 131 * 131 + col("tid2") * 131 + col("tid3")) % P).as("h"))
-    // distinct-first, then plain aggregates: two countDistinct in one agg
-    // would plan an Expand (row ×3 multiplication) — pre-deduping (doc,h)
-    // keeps a single narrow shuffle and the counts are identical
-    h.distinct().groupBy("doc_id")
+    trigramHashes(s, dir).groupBy("doc_id")
       .agg(min("h").as("fp_min"),
         count(lit(1)).as("n_shingles"),
         count(when(col("h") % 16 === 0, lit(1))).as("n_winnowed"))

@@ -181,5 +181,106 @@ object TierFourteen {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q101, q102)
+  /** Winnowed-fingerprint OVERLAP pairs — what q33's stored artifact
+    * exists for (Schleimer-Wilkerson-Aiken winnowing, SIGMOD'03): the copy
+    * detector joins documents on the ~1/16 deterministic sample of their
+    * trigram hashes (h ≡ 0 mod 16), never the full shingle sets — the
+    * index stores 6% of the corpus's shingle volume and the pair join's
+    * shuffle shrinks by the same factor, which is the entire point of
+    * winnowing at 100 TB. Output: pairs sharing ≥ 2 winnowed prints with
+    * the integer containment ppm `shared·10⁶ div min(|A|,|B|)` (q52's
+    * asymmetric-overlap convention on the sampled sets).
+    */
+  val q103 = Q("q103_fingerprint_overlap",
+    s"""WITH ${TierFour.tokSql},
+       |arr AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split_part(sgl, '|', 1) AS t1, split_part(sgl, '|', 2) AS t2,
+       |         split_part(sgl, '|', 3) AS t3
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(l) - 2),
+       |      k -> l[k+1] || '|' || l[k+2] || '|' || l[k+3])) AS sgl FROM arr)),
+       |h AS (
+       |  SELECT DISTINCT doc_id, (v1.tid*131*131 + v2.tid*131 + v3.tid) % 2147483647 AS h
+       |  FROM sh JOIN vocab v1 ON v1.token = t1
+       |          JOIN vocab v2 ON v2.token = t2
+       |          JOIN vocab v3 ON v3.token = t3),
+       |w AS (SELECT doc_id, h FROM h WHERE h % 16 = 0),
+       |sz AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared,
+       |       CAST(n_shared * 1000000 // least(sa.nw, sb.nw) AS BIGINT) AS overlap_ppm
+       |FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val w = TierFour.trigramHashes(s, dir)
+      .filter(col("h") % 16 === 0)
+      .persist() // feeds sizes AND both sides of the pair join
+    val sz = w.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    w.select(col("doc_id").as("doc_a"), col("h"))
+      .join(w.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(sz.select(col("doc_id").as("doc_a"), col("nw").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nw").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("n_shared * 1000000 div least(na, nb)").as("overlap_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** PRIORITY-policy cluster dedup — q58's keep-min-id survivor rule made
+    * pluggable: the survivor of each near-dup cluster is the doc with the
+    * MOST tokens (the keep-the-most-complete-copy production policy; ties
+    * break to the larger doc_id — one deterministic struct-max per
+    * cluster, q10's arg-max convention, no window). Exact dedup first,
+    * then clusters over the MinHash pair graph, exactly q58's composition;
+    * only the final selection differs, so the two queries pin the policy
+    * boundary externally. Output: one row per cluster
+    * `(cluster, doc_id, n_tokens)`.
+    */
+  val q104 = Q("q104_priority_dedup",
+    s"""WITH RECURSIVE
+       |exact_surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |corpus AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN exact_surv USING (doc_id)),
+       |pairs AS (${TierFour.minhashSql("corpus")}),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id AS id FROM corpus),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id WHERE r.lbl < e.v),
+       |lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |tokc AS (
+       |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM corpus),
+       |rk AS (
+       |  SELECT l.lbl AS cluster, t.doc_id, t.n_tokens,
+       |         row_number() OVER (PARTITION BY l.lbl
+       |                            ORDER BY t.n_tokens DESC, t.doc_id DESC) AS rn
+       |  FROM lab l JOIN tokc t ON t.doc_id = l.id)
+       |SELECT cluster, doc_id, n_tokens FROM rk WHERE rn = 1
+       |ORDER BY cluster""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val distinctDocs = Dedup.exactSurvivors(docs).persist()
+    val labeled = Dedup.clusters(distinctDocs)
+    val tokc = distinctDocs.select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tokens"))
+    labeled.join(tokc, "doc_id")
+      .groupBy("cluster")
+      .agg(max(struct(col("n_tokens"), col("doc_id"))).as("m"))
+      .select(col("cluster"), col("m.doc_id").as("doc_id"),
+        col("m.n_tokens").as("n_tokens"))
+      .orderBy("cluster")
+  }
+
+  val all: Seq[Q] = Seq(q101, q102, q103, q104)
 }

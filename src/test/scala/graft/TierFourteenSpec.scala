@@ -84,6 +84,58 @@ class TierFourteenSpec extends SparkSpec {
     untouchedOwners.foreach(id => assert(byId(id) == c(id).mkString(" ")))
   }
 
+  test("q103 overlap ≡ brute-force winnowed trigram-hash pair join (real corpus)") {
+    val c = corpus
+    // the deterministic vocab: 1-based rank of the sorted distinct tokens
+    val tid = c.values.flatten.toSeq.distinct.sorted.zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    val P = 2147483647L
+    val winnowed: Map[Long, Set[Long]] = c.map { case (id, l) =>
+      id -> l.sliding(3).filter(_.length == 3)
+        .map(w => (tid(w(0)) * 131 * 131 + tid(w(1)) * 131 + tid(w(2))) % P)
+        .filter(_ % 16 == 0).toSet
+    }
+    val ids = winnowed.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      shared = (winnowed(i) & winnowed(j)).size if shared >= 2
+    } yield (i, j, shared.toLong,
+      shared.toLong * 1000000L / math.min(winnowed(i).size, winnowed(j).size)))
+      .sortBy(t => (t._1, t._2))
+    val got = TierFourteen.q103.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus must contain overlapping fingerprints")
+  }
+
+  test("q104 priority survivors ≡ union-find + argmax(n_tokens, doc_id); same clusters as keep-min") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val distinct = Dedup.exactSurvivors(docs)
+    val ids = distinct.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val pairs = Dedup.nearDupPairs(distinct).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nTok = distinct.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").count(_.nonEmpty).toLong).toMap
+    val expected = ids.groupBy(find).map { case (lbl, members) =>
+      val surv = members.maxBy(m => (nTok(m), m))
+      (lbl, surv, nTok(surv))
+    }.toSeq.sortBy(_._1)
+    val got = TierFourteen.q104.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the POLICY changes which doc survives, never how many clusters exist
+    assert(got.map(_._1).toSet == ids.groupBy(find).keySet)
+    assert(got.exists { case (lbl, surv, _) => lbl != surv },
+      "some cluster must pick a non-min survivor or the policy is untested")
+  }
+
   test("q101/q102 plans: no CartesianProduct, no single-partition exchange") {
     for (q <- Seq(TierFourteen.q101, TierFourteen.q102)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
