@@ -126,7 +126,16 @@ object Tables {
   private[graft] final case class TsFooter(
       unit: String, adjustedUtc: Boolean, statMin: Option[Long], statMax: Option[Long])
 
-  private[graft] def sniffTs(spark: SparkSession, path: String): TsFooter = {
+  /** One footer read per distinct events path per JVM: Verify/Bench load
+    * the table once per query, and the annotation cannot change mid-run
+    * (the corpus directory is immutable for a session's lifetime). */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsFooter]()
+
+  private[graft] def sniffTs(spark: SparkSession, path: String): TsFooter =
+    footerCache.computeIfAbsent(path, p => sniffTsUncached(spark, p))
+
+  private def sniffTsUncached(spark: SparkSession, path: String): TsFooter = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -136,8 +136,9 @@ class TierFourteenSpec extends SparkSpec {
       "some cluster must pick a non-min survivor or the policy is untested")
   }
 
-  test("q101/q102 plans: no CartesianProduct, no single-partition exchange") {
-    for (q <- Seq(TierFourteen.q101, TierFourteen.q102)) {
+  test("tier-14 plans: no CartesianProduct, no single-partition exchange") {
+    for (q <- Seq(TierFourteen.q101, TierFourteen.q102,
+        TierFourteen.q103, TierFourteen.q104)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(500)}")
       assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(500)}")
