@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tier 11 — the RETRIEVAL and MODEL-APPLY surface of a training-data
@@ -153,6 +154,19 @@ object TierEleven {
        |       CASE WHEN coalesce(sc.score_c, 0) >= 0 THEN 'keep' ELSE 'drop' END AS label
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    classifierScores(s, dir)
+      .withColumn("label",
+        when(col("score_c") >= 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
+  /** q83's scored corpus as a reusable frame — `(doc_id, score_c)`, every
+    * document present (token-less docs score 0 via the left join). The
+    * vocab-rank + affine-bucket + broadcast-weight-join plan is q83's;
+    * q105's percentile gate consumes it twice (rank pass + admission
+    * agg). */
+  private[graft] def classifierScores(
+      s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -173,9 +187,6 @@ object TierEleven {
     docs.select("doc_id").join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("score_c"), lit(0L)).as("score_c"))
-      .withColumn("label",
-        when(col("score_c") >= 0, "keep").otherwise("drop"))
-      .orderBy("doc_id")
   }
 
   /** Text normalization — the pass every tokenizer assumes has already run:

@@ -282,5 +282,67 @@ object TierFourteen {
       .orderBy("cluster")
   }
 
-  val all: Seq[Q] = Seq(q101, q102, q103, q104)
+  /** AUTO-CALIBRATED admission — "keep the top 10 % by classifier score"
+    * with the threshold derived from the corpus itself, the way a
+    * model-scored filter is actually operated (a fixed threshold drifts
+    * as the corpus mix changes; a percentile doesn't). The threshold is
+    * the EXACT order statistic at rank ⌈0.9·n⌉ of (score, doc_id) —
+    * computed by [[Cumulative.rowNumber]]'s two-pass distributed rank +
+    * one bounded driver read of the single rank-k row, never a global
+    * sort to one partition and never an approximate percentile (approx
+    * would hash-diverge across engines). Scoring is q83's exact
+    * vocab-rank + affine-bucket pipeline, paid twice (rank pass +
+    * admission agg) instead of caching — at 100 TB recomputing a
+    * broadcast-join projection is cheaper than pinning the scored corpus.
+    * Output: per-language doc/admitted counts with the threshold pinned
+    * as a column.
+    */
+  val q105 = Q("q105_percentile_gate",
+    s"""WITH toks AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS tid
+       |  FROM (SELECT DISTINCT token FROM toks)),
+       |wts AS (
+       |  SELECT b AS bucket,
+       |         CAST(((b * ${TierFour.A0} + ${TierFour.B0}) % ${TierFour.P}) % 2001 - 1000 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(4096)) AS b)),
+       |feat AS (
+       |  SELECT doc_id, ((tid % ${TierFour.P}) * ${TierFour.A0} + ${TierFour.B0}) % ${TierFour.P} % 4096 AS bucket
+       |  FROM toks JOIN vocab USING (token)),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_c
+       |  FROM feat JOIN wts USING (bucket) GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang, coalesce(sc.score_c, 0) AS score_c
+       |  FROM documents d LEFT JOIN sc USING (doc_id)),
+       |rk AS (
+       |  SELECT score_c, row_number() OVER (ORDER BY score_c, doc_id) AS rk
+       |  FROM scored),
+       |t AS (
+       |  SELECT score_c AS thr FROM rk
+       |  WHERE rk = (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) FROM scored))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN score_c >= (SELECT thr FROM t) THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       (SELECT thr FROM t) AS thr
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val scored = TierEleven.classifierScores(s, dir)
+      .join(Tables.load(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+    val n = scored.count()
+    val k = math.ceil(0.9 * n).toLong
+    // the rank-k row: one bounded driver read (the IvfStore centroid-read
+    // convention — a scalar plan parameter, not data movement)
+    val thr = Cumulative.rowNumber(s, scored.select("score_c", "doc_id"),
+        Seq(col("score_c"), col("doc_id")), "rk")
+      .filter(col("rk") === k).select("score_c").head.getLong(0)
+    scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_c") >= thr, 1L).otherwise(0L)).as("n_admitted"))
+      .withColumn("thr", lit(thr))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q101, q102, q103, q104, q105)
 }

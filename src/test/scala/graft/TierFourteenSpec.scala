@@ -136,9 +136,27 @@ class TierFourteenSpec extends SparkSpec {
       "some cluster must pick a non-min survivor or the policy is untested")
   }
 
+  test("q105 gate ≡ brute-force exact order statistic; admits ~10% plus threshold ties") {
+    import graft.operators.TierEleven
+    val scores = TierEleven.classifierScores(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = scores.size
+    val k = math.ceil(0.9 * n).toInt
+    val thr = scores.toSeq.map { case (id, sc) => (sc, id) }.sorted.apply(k - 1)._1
+    val admitted = scores.values.count(_ >= thr)
+    val got = TierFourteen.q105.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).distinct.toSeq == Seq(thr), "threshold must be the exact rank-k score")
+    assert(got.map(_._2).sum == n && got.map(_._3).sum == admitted)
+    // the gate admits the top decile up to ties at the threshold value
+    val ties = scores.values.count(_ == thr)
+    assert(admitted >= n - k + 1 && admitted <= n - k + ties)
+    assert(admitted < n / 2, "gate must actually gate")
+  }
+
   test("tier-14 plans: no CartesianProduct, no single-partition exchange") {
     for (q <- Seq(TierFourteen.q101, TierFourteen.q102,
-        TierFourteen.q103, TierFourteen.q104)) {
+        TierFourteen.q103, TierFourteen.q104, TierFourteen.q105)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(500)}")
       assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(500)}")
