@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{TierFifteen, TierFive, TierNine}
+
+/** Tier-15 differentials against independent brute force on the real
+  * corpus/embeddings, plus plan gates: q106's rules recomputed naively in
+  * Scala; q107's vote against an exact in-memory kNN; q108's celled pairs
+  * against (brute-force pairs ∩ same-cell) with the straddle accounting
+  * that explains every q35 pair the celled plan misses.
+  */
+class TierFifteenSpec extends SparkSpec {
+
+  private val stop = Set("the", "a", "of", "and", "to", "in")
+
+  test("q106 gopher rules ≡ brute-force integer rule battery (real corpus)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val d = toks.distinct.length.toLong
+      val maxTf = if (n == 0) 0L else toks.groupBy(identity).values.map(_.length).max.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val nStop = toks.distinct.count(stop).toLong
+      val rCount = if (n >= 50 && n <= 100000) 1L else 0L
+      val rMean = if (n > 0 && 3 * n <= chars && chars <= 10 * n) 1L else 0L
+      val rStop = if (nStop >= 2) 1L else 0L
+      val rTtr = if (n > 0 && 10 * d >= 3 * n) 1L else 0L
+      val rTop = if (n > 0 && 5 * maxTf <= n) 1L else 0L
+      (id, n, rCount, rMean, rStop, rTtr, rTop, rCount * rMean * rStop * rTtr * rTop)
+    }
+    val got = TierFifteen.q106.run(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    // the battery must discriminate on this corpus — some admitted, some not
+    assert(got.exists(_._8 == 1L) && got.exists(_._8 == 0L))
+  }
+
+  private def vectors: Map[Long, (Long, Array[Double])] =
+    Tables.load(spark, sf, "embeddings").collect().map { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+      r.getLong(0) -> (r.getAs[Int]("label").toLong, e)
+    }.toMap
+
+  private def sq(a: Array[Double], b: Array[Double]): Double = {
+    // the dot-identity form the queries use (NOT Σ(x−y)² — must match the
+    // engine's float math bit for bit)
+    def dot(x: Array[Double], y: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+    }
+    dot(a, a) - 2 * dot(a, b) + dot(b, b)
+  }
+
+  test("q107 kNN vote ≡ exact in-memory 5-NN majority (real embeddings)") {
+    val v = vectors
+    val expected = v.toSeq.sortBy(_._1).map { case (id, (label, e)) =>
+      val top = v.toSeq.filter(_._1 != id)
+        .map { case (nb, (nbl, f)) => (sq(e, f), nb, nbl) }
+        .sortBy(t => (t._1, t._2)).take(5)
+      val votes = top.groupBy(_._3).toSeq.map { case (l, g) => (-g.size.toLong, l) }
+      val pred = votes.min._2
+      (id, label, pred, if (label == pred) 1L else 0L)
+    }
+    val got = TierFifteen.q107.run(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // sanity: one verdict per vector; votes are not degenerate (the fixture's
+    // labels are near-random w.r.t. geometry — accuracy ≈ 1/k — so the audit
+    // value here is the DISAGREEMENT signal, and the gate is distributional)
+    assert(got.size == v.size)
+    assert(got.map(_._3).distinct.size > 1, "all predictions collapsed to one label")
+  }
+
+  test("q108 celled pairs ≡ same-cell brute force; misses vs q35 are exactly the straddlers") {
+    val v = vectors
+    val cell = TierFifteen.cellAssignment(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cid")).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val ids = v.keys.toSeq.sorted
+    val all = for {
+      i <- ids; j <- ids if i < j
+      c = cos(v(i)._2, v(j)._2) if c >= 0.45
+    } yield (i, j, c)
+    val expected = all.filter { case (i, j, _) => cell(i) == cell(j) }
+      .map { case (i, j, c) =>
+        (i, j, cell(i), BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(t => (t._1, t._2))
+    val got = TierFifteen.q108.run(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // recall accounting: every q35 pair absent here straddles two cells
+    val gotPairs = got.map(t => (t._1, t._2)).toSet
+    val missed = all.filter { case (i, j, _) => !gotPairs((i, j)) }
+    assert(missed.forall { case (i, j, _) => cell(i) != cell(j) })
+    assert(gotPairs.nonEmpty, "celled candidate set must be non-empty")
+  }
+
+  test("q108 pairs ⊆ q35 pairs with identical rounded cosine") {
+    val q35 = TierFive.q35.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = TierFifteen.q108.run(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(got.forall { case (p, c) => q35.get(p).contains(c) })
+  }
+
+  test("tier-15 plans: no CartesianProduct; q106/q108 no single-partition exchange") {
+    for (q <- Seq(TierFifteen.q106, TierFifteen.q107, TierFifteen.q108)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(600)}")
+    }
+    // q107 is the documented O(n²) BNLJ anchor (q24/q35 posture); the other
+    // two must also be exchange-clean
+    for (q <- Seq(TierFifteen.q106, TierFifteen.q108)) {
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"), s"${q.name}: ${plan.take(600)}")
+    }
+  }
+}
