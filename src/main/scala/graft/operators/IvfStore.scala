@@ -54,15 +54,23 @@ object IvfStore {
     * forever after. Returns `(cid, c)` with 6-dp-rounded components (both
     * engines rank identical centroids — the cross-engine determinism
     * rule). */
-  def train(emb: DataFrame, k: Int = 4): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("e").as("c"))
-    TierNine.assignTo(emb, seeds).join(emb, "vec_id")
+  def train(emb: DataFrame, k: Int = 4): DataFrame =
+    step(emb, emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("e").as("c")))
+
+  /** One Lloyd UPDATE from arbitrary current centroids `(cid, c)`:
+    * nearest-centroid assignment, then 6-dp-rounded per-cluster dimension
+    * means. [[train]] is `step(emb, first-k seeds)`; the multi-iteration
+    * trainer ([[TierFifteen.q109]]) folds this with a driver-collected
+    * literal rebuild of the centroids between rounds (k×dim scalars —
+    * bounded), which truncates lineage exactly like [[Components]]'
+    * per-round checkpoint. */
+  def step(emb: DataFrame, cents: DataFrame): DataFrame =
+    TierNine.assignTo(emb, cents).join(emb, "vec_id")
       .select(col("cid"), posexplode(col("e")).as(Seq("j", "v")))
       .groupBy("cid", "j").agg(round(avg("v"), 6).as("cv"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(j, cv))), x -> x.cv)").as("c"))
-  }
 
   /** `(vec_id, e, cell)` rows assigned to the nearest stored centroid —
     * the single assignment definition [[build]] and [[append]] share (the

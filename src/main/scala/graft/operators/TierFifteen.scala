@@ -158,12 +158,13 @@ object TierFifteen {
     val v = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("e"))
+    // squared norms once per vector (O(n)); one codegen'd dot per pair
     val a = v.select(col("vec_id"), col("e").as("ea"))
+      .withColumn("na2", dot(col("ea"), col("ea")))
     val b = v.select(col("vec_id").as("nb"), col("label").as("nb_label"), col("e").as("eb"))
+      .withColumn("nb2", dot(col("eb"), col("eb")))
     val top = a.join(broadcast(b), col("vec_id") =!= col("nb"))
-      .withColumn("d",
-        dot(col("ea"), col("ea")) - lit(2) * dot(col("ea"), col("eb"))
-          + dot(col("eb"), col("eb")))
+      .withColumn("d", col("na2") - lit(2) * dot(col("ea"), col("eb")) + col("nb2"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d").asc, col("nb").asc)))
       .filter(col("rk") <= K)
@@ -230,5 +231,70 @@ object TierFifteen {
       .filter(col("c") >= 0.45)
   }
 
-  val all: Seq[Q] = Seq(q106, q107, q108)
+  private val Iters = 3 // Lloyd updates
+
+  /** Multi-iteration k-means TRAINING — q67's single Lloyd update run to
+    * `Iters` rounds, the loop an IVF quantizer is actually trained with.
+    * Between rounds the k×dim centroid table (a few KB at ANY corpus
+    * size) is collected to the driver and re-emitted as a literal frame:
+    * each round's plan starts from a fresh leaf, so lineage never
+    * accumulates across iterations ([[graft.operators.Components]]'
+    * truncation posture, here by bounded driver state instead of
+    * checkpoint files) and every assignment pass is one broadcast +
+    * map-side argmin over the embeddings. Per-dimension means re-round to
+    * 6 dp each iteration ([[IvfStore.train]]'s cross-engine determinism
+    * rule), so both engines walk identical centroid sequences. Output:
+    * final cluster sizes with the dim-0 centroid component as the
+    * convergence witness.
+    */
+  val q109 = Q("q109_kmeans_train",
+    s"""WITH ${TierNine.lloydSql},
+       |${lloydIterSql(2)},
+       |${lloydIterSql(3)}
+       |SELECT CAST(a3.cid AS BIGINT) AS cluster,
+       |       CAST(count(*) AS BIGINT) AS csize,
+       |       min(cent3.c[1]) AS c0
+       |FROM a3 JOIN cent3 USING (cid)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = TierNine.embOf(s, dir)
+    var cents = IvfStore.train(emb, 4) // update 1 (the q67/q70/IvfStore trainer)
+    for (_ <- 2 to Iters) {
+      val frozen = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.toDF("cid", "c")
+      cents = IvfStore.step(emb, frozen)
+    }
+    val finalCents = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val centDf = finalCents.toDF("cid", "c")
+    TierNine.assignTo(emb, centDf)
+      .groupBy("cid").agg(count(lit(1)).as("csize"))
+      .join(finalCents.map { case (cid, c) => (cid, c.head) }.toDF("cid", "c0"), "cid")
+      .select(col("cid").cast("long").as("cluster"), col("csize"), col("c0"))
+      .orderBy("cluster")
+  }
+
+  /** Oracle-side Lloyd iteration `n`: means of `a{n-1}`'s assignment
+    * (6-dp rounded), then re-assignment — the `cent`/`d1`/`a1` block of
+    * [[TierNine.lloydSql]] templated per round. */
+  private def lloydIterSql(n: Int): String =
+    s"""cent$n AS (
+       |  SELECT cid, list(round(av, 6) ORDER BY j) AS c FROM (
+       |    SELECT p.cid, j.j, avg(v.e[j.j]) AS av
+       |    FROM a${n - 1} p JOIN v USING (vec_id)
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) AS j
+       |    GROUP BY 1, 2) GROUP BY cid),
+       |d$n AS (
+       |  SELECT vec_id, cid,
+       |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d
+       |  FROM v CROSS JOIN cent$n),
+       |a$n AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+       |    FROM d$n) WHERE rk = 1)""".stripMargin
+
+  val all: Seq[Q] = Seq(q106, q107, q108, q109)
 }

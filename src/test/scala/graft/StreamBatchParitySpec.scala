@@ -493,4 +493,29 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("s28: Gopher rule gate runs LIVE per micro-batch ≡ batch q106 (foreachBatch)") {
+    import graft.operators.TierFifteen
+    // the rule battery is per-doc independent, so the production ingest
+    // shape is foreachBatch + the SAME gopherFlags call — admission flags
+    // on the drained stream must equal the batch run on the full table
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val batch = TierFifteen.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).toVector).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val acc = scala.collection.mutable.Map.empty[Long, Vector[Any]]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        TierFifteen.gopherFlags(df).collect()
+          .foreach(r => acc(r.getLong(0)) = r.toSeq.drop(1).toVector)
+        ()
+      }.start()
+    try {
+      rows.grouped(120).foreach { c => in.addData(c); q.processAllAvailable() }
+      assert(acc.toMap == batch)
+      assert(acc.nonEmpty)
+    } finally q.stop()
+  }
 }

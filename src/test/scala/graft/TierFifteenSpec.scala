@@ -111,6 +111,39 @@ class TierFifteenSpec extends SparkSpec {
     assert(got.forall { case (p, c) => q35.get(p).contains(c) })
   }
 
+  test("q109 3-round training: objective non-increasing vs 1 round; sizes account for every vector") {
+    val v = vectors
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    def inertia(cents: Seq[Array[Double]]): Double =
+      v.values.map { case (_, e) => cents.map(c => d2(e, c)).min }.sum
+    val emb = graft.operators.TierNine.embOf(spark, sf)
+    val round1 = graft.operators.IvfStore.train(emb, 4).collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+    val got = TierFifteen.q109.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).sum == v.size, "every vector assigned exactly once")
+    // re-derive round-3 centroids through the library step calls and check
+    // the k-means objective kept moving down (ties allowed: 6-dp rounding)
+    import spark.implicits._
+    var cents = round1
+    for (_ <- 2 to 3) {
+      val frozen = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cid", "c")
+      // cid relabeling is irrelevant to the objective
+      cents = graft.operators.IvfStore.step(emb, frozen).collect()
+        .map(_.getSeq[Double](1).toArray).toSeq
+    }
+    assert(inertia(cents) <= inertia(round1) * 1.0000001,
+      s"3-round inertia ${inertia(cents)} vs 1-round ${inertia(round1)}")
+    // the convergence witness rides the output: c0 is a real 6-dp centroid
+    // component of the final round
+    val c0s = cents.map(c => c.head).toSet
+    assert(got.forall(r => c0s.contains(r._3)), s"${got.toSeq} vs $c0s")
+  }
+
   test("tier-15 plans: no CartesianProduct; q106/q108 no single-partition exchange") {
     for (q <- Seq(TierFifteen.q106, TierFifteen.q107, TierFifteen.q108)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
