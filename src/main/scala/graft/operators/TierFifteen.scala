@@ -296,5 +296,82 @@ object TierFifteen {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
        |    FROM d$n) WHERE rk = 1)""".stripMargin
 
-  val all: Seq[Q] = Seq(q106, q107, q108, q109)
+  /** BPE ENCODE apply — the tokenizer-apply side of q99's training step:
+    * the corpus's top-20 learned char-pair merges (q99's exact ranking,
+    * weight desc then pair asc) applied to every document in rank order,
+    * reporting per-doc symbol counts before/after and the compression
+    * ratio in integer ppm.
+    *
+    * Encoding runs as a STATICALLY UNROLLED chain of 20 codegen'd
+    * `regexp_replace` steps over a space-separated symbol string (words
+    * joined by ` / ` so merges never cross a word boundary; `\b` guards
+    * so a pattern never matches inside an already-merged multi-char
+    * symbol — both engines' regex engines treat the ASCII word boundary
+    * identically, and leftmost-first non-overlapping replacement is
+    * exactly BPE's scan order). The merge table is collected once at plan
+    * time (20 rows — the q105/q109 bounded-driver-read convention); the
+    * encode itself is a zero-shuffle narrow projection, so it pipelines
+    * at any corpus size. The only shuffle anywhere is q99's merge
+    * LEARNING aggregation. Merge symbols are alphanumeric on this corpus;
+    * a production build would `Pattern.quote` them.
+    */
+  val q110 = Q("q110_bpe_encode",
+    raw"""WITH RECURSIVE
+       |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks WHERE w <> '' GROUP BY 1),
+       |prs AS (
+       |  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, f
+       |  FROM wf, unnest(range(1, length(w))) AS t(i)),
+       |merges AS (
+       |  SELECT a, b, row_number() OVER (ORDER BY sum(f) DESC, a, b) AS rk
+       |  FROM prs GROUP BY a, b
+       |  QUALIFY rk <= 20),
+       |prep AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(
+       |           list_filter(string_split(text, ' '), w -> w <> ''),
+       |           w -> array_to_string(string_split(w, ''), ' ')), ' / ') AS s0,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_before
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, s0 AS s, 0 AS r FROM prep
+       |  UNION ALL
+       |  SELECT e.doc_id, regexp_replace(e.s, '\b' || m.a || ' ' || m.b || '\b', m.a || m.b, 'g'), e.r + 1
+       |  FROM enc e JOIN merges m ON m.rk = e.r + 1
+       |  WHERE e.r < 20),
+       |fin AS (
+       |  SELECT p.doc_id, p.n_before,
+       |         CAST(CASE WHEN p.n_before = 0 THEN 0
+       |              ELSE len(list_filter(string_split(e.s, ' '), x -> x <> '/')) END AS BIGINT) AS n_after
+       |  FROM prep p JOIN enc e ON e.doc_id = p.doc_id AND e.r = 20)
+       |SELECT doc_id, n_before, n_after,
+       |       CAST(CASE WHEN n_before = 0 THEN 0
+       |            ELSE n_after * 1000000 // n_before END AS BIGINT) AS ppm
+       |FROM fin ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val merges = TierThirteen.q99.run(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeEncodeCounts(Tables.load(s, dir, "documents"), merges).orderBy("doc_id")
+  }
+
+  /** The encode as a LIBRARY call: apply `merges` (rank order) to any
+    * `(doc_id, text, …)` frame → `(doc_id, n_before, n_after, ppm)`. */
+  def bpeEncodeCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val s0 = concat_ws(" / ",
+      transform(words, w => concat_ws(" ", filter(split(w, ""), c => c =!= ""))))
+    val enc = merges.foldLeft(s0) { case (c, (a, b)) =>
+      regexp_replace(c, "\\b" + a + " " + b + "\\b", a + b)
+    }
+    val nBefore = length(translate(col("text"), " ", "")).cast("long")
+    docs.select(col("doc_id"), nBefore.as("n_before"), enc.as("enc"))
+      .select(col("doc_id"), col("n_before"),
+        when(col("n_before") === 0L, 0L)
+          .otherwise(size(filter(split(col("enc"), " "), x => x =!= "/")).cast("long"))
+          .as("n_after"))
+      .withColumn("ppm",
+        when(col("n_before") === 0L, 0L)
+          .otherwise(expr("n_after * 1000000 div n_before")))
+  }
+
+  val all: Seq[Q] = Seq(q106, q107, q108, q109, q110)
 }

@@ -144,6 +144,47 @@ class TierFifteenSpec extends SparkSpec {
     assert(got.forall(r => c0s.contains(r._3)), s"${got.toSeq} vs $c0s")
   }
 
+  test("q110 BPE encode ≡ reference greedy merge scan (real corpus + learned merges)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // learn merges exactly as q99: char-pair weight = sum of word freq
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    for ((_, t) <- docs; w <- t.split(" ") if w.nonEmpty)
+      wf(w) = wf.getOrElse(w, 0L) + 1
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((w, f) <- wf; i <- 0 until w.length - 1) {
+      val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+      pc(k) = pc.getOrElse(k, 0L) + f
+    }
+    val merges = pc.toSeq.sortBy { case ((a, b), wt) => (-wt, a, b) }.take(20).map(_._1)
+    // reference BPE encode: leftmost-first non-overlapping scan per merge
+    def encWord(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((a, b) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val expected = docs.toSeq.sortBy(_._1).map { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val nb = ws.map(_.length.toLong).sum
+      val na = ws.map(w => encWord(w).length.toLong).sum
+      (id, nb, na, if (nb == 0) 0L else na * 1000000 / nb)
+    }
+    val got = TierFifteen.q110.run(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // merges must actually compress on this corpus
+    assert(got.exists(r => r._3 < r._2))
+  }
+
   test("tier-15 plans: no CartesianProduct; q106/q108 no single-partition exchange") {
     for (q <- Seq(TierFifteen.q106, TierFifteen.q107, TierFifteen.q108)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
