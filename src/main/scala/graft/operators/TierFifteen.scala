@@ -373,5 +373,62 @@ object TierFifteen {
           .otherwise(expr("n_after * 1000000 div n_before")))
   }
 
-  val all: Seq[Q] = Seq(q106, q107, q108, q109, q110)
+  /** Token-distribution DRIFT between the train and valid splits — the
+    * data-mix regression check run before every training launch: if the
+    * deterministic split (q75's affine buckets) is healthy, per-token
+    * rates agree; a skewed shard assignment or an upstream filter applied
+    * to one split and not the other shows up as rate drift. Rates are
+    * integer ppm of each split's token mass (`cnt·10⁶ div total` — no
+    * floats), drift their signed difference; top-20 by |drift|.
+    *
+    * Scale: ONE (token) shuffle — the per-split counts fold as
+    * conditional sums in a single aggregation; the two split totals ride
+    * in on a broadcast single-row frame (the q46/q51 scalar-join
+    * convention). The top-20 is a TakeOrdered over the vocabulary, never
+    * the corpus.
+    */
+  val q111 = Q("q111_split_drift",
+    s"""WITH s AS (
+       |  SELECT CASE WHEN ((doc_id % ${TierFour.P}) * ${TierFour.A0} + ${TierFour.B0}) % ${TierFour.P} % 1000 < 980
+       |              THEN 'train' ELSE 'valid' END AS split, text
+       |  FROM documents
+       |  WHERE ((doc_id % ${TierFour.P}) * ${TierFour.A0} + ${TierFour.B0}) % ${TierFour.P} % 1000 < 990),
+       |t AS (
+       |  SELECT split, token FROM (
+       |    SELECT split, unnest(string_split(text, ' ')) AS token FROM s)
+       |  WHERE token <> ''),
+       |c AS (
+       |  SELECT token,
+       |         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |         CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+       |  FROM t GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(n_train) AS t_train, sum(n_valid) AS t_valid FROM c),
+       |r AS (
+       |  SELECT token,
+       |         CAST(n_train * 1000000 // t_train AS BIGINT) AS ppm_train,
+       |         CAST(n_valid * 1000000 // t_valid AS BIGINT) AS ppm_valid
+       |  FROM c, tot)
+       |SELECT token, ppm_train, ppm_valid,
+       |       ppm_train - ppm_valid AS drift_ppm
+       |FROM r ORDER BY abs(ppm_train - ppm_valid) DESC, token ASC LIMIT 20""".stripMargin) { (s, dir) =>
+    val bkt = ((col("doc_id") % TierFour.P) * TierFour.A0 + TierFour.B0) % TierFour.P % 1000
+    val toks = Tables.load(s, dir, "documents")
+      .filter(bkt < 990)
+      .select(when(bkt < 980, "train").otherwise("valid").as("split"),
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("token"))
+    val c = toks.groupBy("token").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"))
+    val tot = c.agg(sum("n_train").as("t_train"), sum("n_valid").as("t_valid"))
+    c.join(broadcast(tot))
+      .select(col("token"),
+        expr("n_train * 1000000 div t_train").as("ppm_train"),
+        expr("n_valid * 1000000 div t_valid").as("ppm_valid"))
+      .withColumn("drift_ppm", col("ppm_train") - col("ppm_valid"))
+      .orderBy(abs(col("drift_ppm")).desc, col("token").asc)
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
 }

@@ -518,4 +518,28 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(acc.nonEmpty)
     } finally q.stop()
   }
+
+  test("s29: BPE encode on a stream ≡ batch q110 (frozen merges, stateless replace chain)") {
+    import graft.operators.{TierFifteen, TierThirteen}
+    // freeze the merge table once (the trained-artifact convention: learn in
+    // batch, screen the stream), then the unrolled replace chain is a pure
+    // narrow projection — append mode, no state
+    val merges = TierThirteen.q99.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val batch = TierFifteen.bpeEncodeCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = TierFifteen.bpeEncodeCounts(
+        in.toDF().select(col("_1").as("doc_id"), col("_2").as("text")), merges)
+      .writeStream.format("memory").queryName("s29_out").outputMode("append").start()
+    try {
+      rows.grouped(150).foreach { c => in.addData(c); q.processAllAvailable() }
+      val streamed = spark.table("s29_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

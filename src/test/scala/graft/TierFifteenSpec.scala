@@ -185,6 +185,33 @@ class TierFifteenSpec extends SparkSpec {
     assert(got.exists(r => r._3 < r._2))
   }
 
+  test("q111 split drift ≡ brute-force ppm arithmetic (real corpus, q75 split rule)") {
+    val P = 2147483647L; val A0 = 2654435761L; val B0 = 40503L
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val cnt = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var (tTrain, tValid) = (0L, 0L)
+    for ((id, t) <- docs) {
+      val bkt = ((id % P) * A0 + B0) % P % 1000
+      if (bkt < 990) {
+        val isTrain = bkt < 980
+        for (w <- t.split(" ") if w.nonEmpty) {
+          val (a, b) = cnt.getOrElse(w, (0L, 0L))
+          cnt(w) = if (isTrain) (a + 1, b) else (a, b + 1)
+          if (isTrain) tTrain += 1 else tValid += 1
+        }
+      }
+    }
+    val expected = cnt.toSeq.map { case (w, (a, b)) =>
+      val pt = a * 1000000 / tTrain; val pv = b * 1000000 / tValid
+      (w, pt, pv, pt - pv)
+    }.sortBy(r => (-math.abs(r._4), r._1)).take(20)
+    val got = TierFifteen.q111.run(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._4 != 0L), "fixture must show some drift")
+  }
+
   test("tier-15 plans: no CartesianProduct; q106/q108 no single-partition exchange") {
     for (q <- Seq(TierFifteen.q106, TierFifteen.q107, TierFifteen.q108)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
