@@ -298,17 +298,7 @@ object TierEleven {
     // convention for shared intermediates).
     val cents = TierNine.lloydCentroids(s, dir).persist()
     val own = TierNine.assignTo(emb, cents).persist()
-    val xAsg =
-      if (!probe2) own
-      else own.unionAll(
-        // runner-up cell: the SAME candidate frame assignTo min-aggs over
-        // (shared tie-break semantics), minus each vector's own cell
-        TierNine.candidates(emb, cents)
-          .join(own.withColumnRenamed("cid", "cid1"), "vec_id")
-          .filter(col("cid") =!= col("cid1"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d"), col("cid"))).as("b"))
-          .select(col("vec_id"), col("b.cid").as("cid")))
+    val xAsg = probeAssign(emb, cents, own, probe2)
     val xs = xAsg.join(emb, "vec_id")
       .select(col("cid"), col("vec_id"), col("e").as("xe"),
         sqrt(TierNine.dotc(col("e"), col("e"))).as("nx"))
@@ -326,6 +316,22 @@ object TierEleven {
       .select(col("vec_id"), col("b.nn_id").as("nn_id"), col("b.cos").as("cos"))
       .orderBy("vec_id")
   }
+
+  /** The query-side probe set: each vector's own cell, plus (probe2) its
+    * runner-up — the SAME candidate frame assignTo min-aggs over (shared
+    * tie-break semantics), minus the own cell. Shared by [[knnJoin]] and
+    * [[TierFifteen.cellVote]]. */
+  private[graft] def probeAssign(
+      emb: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame,
+      own: org.apache.spark.sql.DataFrame, probe2: Boolean): org.apache.spark.sql.DataFrame =
+    if (!probe2) own
+    else own.unionAll(
+      TierNine.candidates(emb, cents)
+        .join(own.withColumnRenamed("cid", "cid1"), "vec_id")
+        .filter(col("cid") =!= col("cid1"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as("cid")))
 
   /** The q83 weight table as a plain array: w(b) for buckets 0..4095 —
     * deterministic stand-ins for trained parameters (see [[q83]]). */

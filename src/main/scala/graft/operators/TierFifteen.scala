@@ -430,5 +430,42 @@ object TierFifteen {
       .limit(20)
   }
 
+  /** q107's vote over the IVF-CELLED candidate set — the production path
+    * the brute-force anchor validates: each vector's 5 nearest among the
+    * vectors of its own + runner-up Lloyd cell ([[TierEleven.probeAssign]],
+    * q85's two-probe widening), then the identical majority vote. The
+    * per-vector window sorts one-to-two CELLS' worth of candidates, never
+    * n, so the whole plan is two cell-keyed shuffles at any corpus size.
+    * `(vec_id, pred)`; agreement vs q107 measured and floored in
+    * TierFifteenSpec.
+    */
+  private[graft] def cellVote(s: SparkSession, dir: String,
+      probe2: Boolean = true, pins: Pins = new Pins): DataFrame = {
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    val emb = TierNine.embOf(s, dir)
+    val lbl = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("nb_label"))
+    val cents = pins(TierNine.lloydCentroids(s, dir))
+    val own = pins(TierNine.assignTo(emb, cents))
+    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+      .join(emb, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e").as("xe"))
+      .withColumn("nx2", dot(col("xe"), col("xe")))
+    val ys = own.join(emb, "vec_id").join(lbl, "vec_id")
+      .select(col("cid"), col("vec_id").as("nb"), col("nb_label"), col("e").as("ye"))
+      .withColumn("ny2", dot(col("ye"), col("ye")))
+    xs.join(ys, Seq("cid"))
+      .filter(col("vec_id") =!= col("nb"))
+      .withColumn("d", col("nx2") - lit(2) * dot(col("xe"), col("ye")) + col("ny2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d").asc, col("nb").asc)))
+      .filter(col("rk") <= K)
+      .groupBy("vec_id", "nb_label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("vec_id")
+      .agg(min(struct(-col("cnt"), col("nb_label"))).as("m"))
+      .select(col("vec_id"), col("m.nb_label").as("pred"))
+  }
+
   val all: Seq[Q] = Seq(q106, q107, q108, q109, q110, q111)
 }

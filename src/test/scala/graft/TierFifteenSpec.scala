@@ -212,6 +212,27 @@ class TierFifteenSpec extends SparkSpec {
     assert(got.exists(_._4 != 0L), "fixture must show some drift")
   }
 
+  test("cellVote (IVF-celled 5-NN vote) agrees with the brute-force q107 anchor on most vectors") {
+    val brute = TierFifteen.q107.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val celled = TierFifteen.cellVote(spark, sf, probe2 = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(celled.keySet == brute.keySet, "every vector voted")
+    val agree = celled.count { case (id, p) => brute(id) == p }.toDouble / brute.size
+    // measured 0.574 two-probe on this fixture (near-random labels make the
+    // vote knife-edged: one displaced neighbor flips a tie) — the floor pins
+    // the recall regression the way AnnRecallSpec does, just under measured
+    assert(agree >= 0.55, s"celled-vote agreement $agree below measured floor")
+    // measured 0.338 single-probe: the second probe lifts agreement by
+    // ~24 points on this fixture — the widening must keep strictly winning
+    val single = TierFifteen.cellVote(spark, sf, probe2 = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agreeSingle = single.count { case (id, p) => brute(id) == p }.toDouble / brute.size
+    info(s"agreement: single-probe $agreeSingle, two-probe $agree")
+    assert(agreeSingle < agree, s"single $agreeSingle vs two-probe $agree")
+    assert(agreeSingle >= 0.30, s"single-probe agreement $agreeSingle collapsed")
+  }
+
   test("tier-15 plans: no CartesianProduct; q106/q108 no single-partition exchange") {
     for (q <- Seq(TierFifteen.q106, TierFifteen.q107, TierFifteen.q108)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
