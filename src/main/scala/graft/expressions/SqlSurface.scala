@@ -157,6 +157,21 @@ object SqlSurface {
           graft.operators.TierFourteen.stripForeignSpans(spark.table(view)))
       }),
 
+    ("graft_gopher_flags",
+      "graft_gopher_flags(docs STRING) - Gopher/MassiveText integer rule" +
+        " battery over a (doc_id, text) table/view: per-doc admission flags" +
+        " (TierFifteen.gopherFlags)",
+      exprs => {
+        val view = exprs match {
+          case Seq(Literal(s: UTF8String, StringType)) => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_gopher_flags expects one STRING literal naming a (doc_id, text) table/view")
+        }
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(
+          graft.operators.TierFifteen.gopherFlags(spark.table(view)))
+      }),
+
     ("graft_phrase_probe",
       "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
         " exact-phrase hit counts from a persisted positional inverted index" +

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *   3. PER-ROW GATES — cheap codegen'd filters (q31's heuristic quality
   *      gate, q83's classifier as the stateless [[TierEleven.scoreCol]])
   *      run BEFORE the expensive pairwise stage so dedup never pays for
-  *      documents the gates would drop anyway.
+  *      documents the gates would drop anyway. With `gopherRules = true`
+  *      the q106 rule battery ([[TierFifteen.gopherFlags]]) joins the
+  *      gate stage as an admitted-ids semi-join — one (doc, token)
+  *      shuffle, still far cheaper than the pairwise stage it shields.
   *   4. DEDUP ([[Dedup.deduplicateReleasable]]) — exact digests, then
   *      MinHash/LSH near-dup clusters, one survivor per cluster.
   *   5. optional SUBSTRING STRIP ([[TierFourteen.stripForeignSpans]],
@@ -43,16 +46,28 @@ object Prepare {
       input: Long, afterGates: Long, afterDedup: Long,
       train: Long, valid: Long, test: Long, strippedTokens: Long = 0L)
 
-  def corpus(docs: DataFrame, stripSpans: Boolean = false): (DataFrame, Report) = {
+  def corpus(docs: DataFrame, stripSpans: Boolean = false,
+      gopherRules: Boolean = false): (DataFrame, Report) = {
     import TierFour.{A0, B0, P}
     val input = docs.count()
-    val gated = docs
+    val gatePins = new Pins
+    val rowGated = docs
       .select(col("doc_id"),
         TierEleven.redact(TierEleven.normalize(col("text"))).as("text"))
       .filter(TierFour.qualityCol(col("text")) >= 2)
       .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("text")) >= 0L)
-      .persist() // feeds its count + three dedup consumers
+    val gated = (if (!gopherRules) rowGated
+      else {
+        // the rule battery reads the row-gated frame twice (flags + join) —
+        // pin it for the gate stage, released once `gated` materializes
+        val pinned = gatePins(rowGated)
+        pinned.join(
+          TierFifteen.gopherFlags(pinned)
+            .filter(col("admitted") === 1L).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }).persist() // feeds its count + three dedup consumers
     val afterGates = gated.count()
+    gatePins.release()
     val (survivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
     val stripPins = new Pins
     val (cleaned, strippedTokens) =

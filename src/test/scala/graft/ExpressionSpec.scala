@@ -116,6 +116,17 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_gopher_flags table function from SQL ≡ TierFifteen.gopherFlags") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("gopher_docs")
+    val sql = spark.sql("SELECT * FROM graft_gopher_flags('gopher_docs')")
+      .collect().map(_.toString).sorted.toSeq
+    val scala = graft.operators.TierFifteen.gopherFlags(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == scala && sql.nonEmpty)
+  }
+
   test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
     import graft.operators.LexIndex
     GraftFunctions.register(spark)

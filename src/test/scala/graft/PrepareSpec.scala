@@ -78,6 +78,27 @@ class PrepareSpec extends SparkSpec {
     assert(tokens(out0) - tokens(out1) == r1.strippedTokens)
   }
 
+  test("gopherRules stage: afterGates equals the directly-computed admitted set; default-off unchanged") {
+    import graft.operators.{TierEleven, TierFour, TierFifteen}
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val (outG, rG) = Prepare.corpus(docs, gopherRules = true)
+    // direct computation: row gates first, then the q106 battery
+    val rowGated = docs
+      .select(col("doc_id"),
+        TierEleven.redact(TierEleven.normalize(col("text"))).as("text"))
+      .filter(TierFour.qualityCol(col("text")) >= 2)
+      .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("text")) >= 0L)
+    val admitted = TierFifteen.gopherFlags(rowGated)
+      .filter(col("admitted") === 1L).count()
+    assert(rG.afterGates == admitted)
+    val (_, r0) = result
+    assert(rG.afterGates < r0.afterGates,
+      "the battery must drop docs the row gates admit (discriminating fixture)")
+    assert(rG.afterDedup <= rG.afterGates &&
+      rG.train + rG.valid + rG.test == rG.afterDedup)
+    assert(outG.count() == rG.afterDedup)
+  }
+
   test("deterministic: a second run reproduces ids, splits, and the report") {
     val (out, r) = result
     val (out2, r2) = Prepare.corpus(
