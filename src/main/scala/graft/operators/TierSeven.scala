@@ -121,8 +121,11 @@ object TierSeven {
     * past ~1 PB, shrink the ppm factor or route the product through
     * DECIMAL(38,0) on both engines — the ranking is unchanged.
     */
-  val q57 = Q("q57_bigram_lm",
-    """WITH tl AS (
+  /** q57's model + scoring as reusable oracle CTEs, ending in
+    * `lm(doc_id, n_bigrams, lm_score)` — shared with the perplexity-split
+    * gate ([[TierSixteen.q113]]), whose oracle restates the same corpus LM. */
+  private[operators] val lmCtes: String =
+    """tl AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
       |  FROM documents),
       |big AS (
@@ -133,11 +136,24 @@ object TierSeven {
       |ucnt AS (SELECT w1, count(*) AS ucnt FROM big GROUP BY 1),
       |bcnt AS (SELECT w1, w2, count(*) AS bcnt FROM big GROUP BY 1, 2),
       |ppm AS (SELECT w1, w2, (bcnt * 1000000) // ucnt AS ppm
-      |        FROM bcnt JOIN ucnt USING (w1))
-      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |       CAST(sum(ppm) // count(*) AS BIGINT) AS lm_score
-      |FROM big JOIN ppm USING (w1, w2)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |        FROM bcnt JOIN ucnt USING (w1)),
+      |lm AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(sum(ppm) // count(*) AS BIGINT) AS lm_score
+      |  FROM big JOIN ppm USING (w1, w2)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val q57 = Q("q57_bigram_lm",
+    s"""WITH $lmCtes
+       |SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""".stripMargin) {
+    (s, dir) => lmScores(s, dir).orderBy("doc_id")
+  }
+
+  /** q57's scored corpus as a reusable frame — `(doc_id, n_bigrams,
+    * lm_score)`, unordered; documents with fewer than two tokens carry no
+    * bigram and are absent. */
+  private[operators] def lmScores(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val big = Tables.load(s, dir, "documents")
       .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("l"))
       .filter(size(col("l")) >= 2)
@@ -162,7 +178,6 @@ object TierSeven {
     big.join(pinned(ppm), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), expr("sum(ppm) div count(1)").as("lm_score"))
-      .orderBy("doc_id")
   }
 
   /** The FULL dedup pipeline as one oracle-checked action —
