@@ -172,6 +172,40 @@ object SqlSurface {
           graft.operators.TierFifteen.gopherFlags(spark.table(view)))
       }),
 
+    ("graft_span_corrupt",
+      "graft_span_corrupt(docs STRING) - T5-style deterministic span" +
+        " corruption over a (doc_id, text) table/view: (input, target)" +
+        " denoising pairs with numbered sentinels (TierSeventeen.spanCorrupt)",
+      exprs => {
+        val view = exprs match {
+          case Seq(Literal(s: UTF8String, StringType)) => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_span_corrupt expects one STRING literal naming a (doc_id, text) table/view")
+        }
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(
+          graft.operators.TierSeventeen.spanCorrupt(spark.table(view)))
+      }),
+
+    ("graft_hash_embed",
+      "graft_hash_embed(docs STRING, vocab STRING) - feature-hashed" +
+        " signed-count 8-dim doc embedding over a (doc_id, text) table/view" +
+        " against a FROZEN (token, tid) vocab-rank table/view" +
+        " (TierSixteen.hashEmbed; out-of-vocab tokens drop)",
+      exprs => {
+        val views = exprs.map {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_hash_embed expects STRING literals naming (doc_id, text) docs" +
+              " and (token, tid) vocab views, got " + other)
+        }
+        if (views.length != 2) throw new IllegalArgumentException(
+          "graft_hash_embed expects exactly two view names (docs, vocab)")
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.TierSixteen.hashEmbed(
+          spark.table(views.head), spark.table(views(1))))
+      }),
+
     ("graft_phrase_probe",
       "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
         " exact-phrase hit counts from a persisted positional inverted index" +

@@ -311,6 +311,41 @@ object TierSixteen {
       .orderBy("doc_id", "rk")
   }
 
+  /** q115's PRODUCTION path — hard negatives mined within IVF cells
+    * ([[TierFifteen.cellVote]]'s shape with the label filter riding the
+    * celled join): each vector's candidates are the vectors of its own +
+    * runner-up Lloyd cell ([[TierEleven.probeAssign]], q85's two-probe
+    * widening) with a DIFFERENT label, ranked by the same exact-double
+    * cosine. The per-vector window sorts one-to-two cells' worth of
+    * candidates, never n, so the whole plan is two cell-keyed shuffles at
+    * any corpus size; recall vs the q115 brute-force anchor is measured
+    * and floored in TierSixteenSpec. `(vec_id, neg_id, rk)`.
+    */
+  private[graft] def cellHardNegatives(s: SparkSession, dir: String,
+      probe2: Boolean = true, pins: Pins = new Pins): DataFrame = {
+    def dot(x: Column, y: Column) = call_function("graft_dot", x, y)
+    val emb = TierNine.embOf(s, dir)
+    val lbl = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("lb"))
+    val cents = pins(TierNine.lloydCentroids(s, dir))
+    val own = pins(TierNine.assignTo(emb, cents))
+    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+      .join(emb, "vec_id").join(lbl, "vec_id")
+      .select(col("cid"), col("vec_id"), col("lb"), col("e").as("xe"))
+      .withColumn("nx", sqrt(dot(col("xe"), col("xe"))))
+    val ys = own.join(emb, "vec_id").join(lbl, "vec_id")
+      .select(col("cid"), col("vec_id").as("neg_id"), col("lb").as("nl"),
+        col("e").as("ye"))
+      .withColumn("ny", sqrt(dot(col("ye"), col("ye"))))
+    xs.join(ys, Seq("cid"))
+      .filter(col("vec_id") =!= col("neg_id") && col("lb") =!= col("nl"))
+      .withColumn("c", dot(col("xe"), col("ye")) / (col("nx") * col("ny")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c").desc, col("neg_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("neg_id"), col("rk").cast("long").as("rk"))
+  }
+
   /** q112's embed as a reusable column pipeline over an arbitrary
     * `(doc_id, text)` frame against a FROZEN vocab-rank table — the
     * model-apply form: a stream micro-batch embeds against the corpus

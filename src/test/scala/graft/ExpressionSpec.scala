@@ -127,6 +127,42 @@ class ExpressionSpec extends SparkSpec {
     assert(sql == scala && sql.nonEmpty)
   }
 
+  test("graft_span_corrupt table function from SQL ≡ TierSeventeen.spanCorrupt") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.createOrReplaceTempView("corrupt_docs")
+    val sql = spark.sql("SELECT * FROM graft_span_corrupt('corrupt_docs')")
+      .collect().map(_.toString).sorted.toSeq
+    val scala = graft.operators.TierSeventeen.spanCorrupt(docs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == scala && sql.nonEmpty)
+  }
+
+  test("graft_hash_embed table function from SQL ≡ TierSixteen.hashEmbed (frozen vocab)") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val vocab = graft.operators.Cumulative.rowNumber(spark,
+      docs.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+        .filter(org.apache.spark.sql.functions.col("token") =!= "")
+        .select("token").distinct(),
+      Seq(org.apache.spark.sql.functions.col("token")), "tid").persist()
+    vocab.count() // freeze before both consumers
+    try {
+      docs.createOrReplaceTempView("embed_docs")
+      vocab.createOrReplaceTempView("embed_vocab")
+      val sql = spark.sql("SELECT * FROM graft_hash_embed('embed_docs', 'embed_vocab')")
+        .collect().map(_.toString).sorted.toSeq
+      val scala = graft.operators.TierSixteen.hashEmbed(docs, vocab)
+        .collect().map(_.toString).sorted.toSeq
+      assert(sql == scala && sql.nonEmpty)
+    } finally {
+      vocab.unpersist()
+      graft.operators.Cumulative.releaseAll()
+    }
+  }
+
   test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
     import graft.operators.LexIndex
     GraftFunctions.register(spark)

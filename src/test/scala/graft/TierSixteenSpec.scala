@@ -170,6 +170,21 @@ class TierSixteenSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cellHardNegatives (IVF-celled mining) recalls most q115 anchor pairs; probe-2 strictly wins") {
+    val anchor = TierSixteen.q115.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = TierSixteen.cellHardNegatives(spark, sf, probe2 = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = TierSixteen.cellHardNegatives(spark, sf, probe2 = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rTwo = (two & anchor).size.toDouble / anchor.size
+    val rOne = (one & anchor).size.toDouble / anchor.size
+    info(s"celled hard-negative recall: single-probe $rOne, two-probe $rTwo")
+    assert(rOne < rTwo, s"widening must strictly win: $rOne vs $rTwo")
+    assert(rTwo >= 0.50, s"two-probe recall $rTwo below measured floor")
+    assert(rOne >= 0.25, s"single-probe recall $rOne collapsed")
+  }
+
   private def heavyPlan(q: Q): String = {
     val plan = q.run(spark, sf).queryExecution.executedPlan.toString
     Cumulative.releaseAll()
