@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier 19 (round 8, seventh wave): the text→vector bridge CLOSED end to
+  * end — semantic similarity computed on corpora that ship no embedding
+  * column, using q112's feature-hashed doc vectors.
+  *
+  *  - q121: hash-embed near-dup candidate pairs — q35's exact-cosine
+  *    semantics over the 8-dim hashed embeds: text-only semantic dedup
+  *    candidates (SemDeDup's detector with the trained encoder swapped
+  *    for the deterministic hashing-trick featurizer).
+  *  - q122: semantic cross-SPLIT leakage — q121's pairs that straddle
+  *    the q75 train/valid boundary: the pre-launch check that the valid
+  *    set is not semantically contaminated by train (exact-match
+  *    decontamination q78/q96 cannot see a paraphrase; an embedding
+  *    pair can).
+  *
+  * Reference mapping: none (SURVEY.md §2.1); north-star LLM-pipeline ops.
+  */
+object TierNineteen {
+
+  import TierFour.{A0, B0, P}
+
+  /** q112's oracle CTE chain ending in per-doc DOUBLE components
+    * `e(doc_id, e0..e7)` — token-less docs (zero vectors) are absent, so
+    * downstream cosine never divides by zero. */
+  private val embSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, token FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+       |  WHERE token <> ''),
+       |tc AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS tid
+       |  FROM (SELECT DISTINCT token FROM toks)),
+       |f AS (
+       |  SELECT doc_id,
+       |         ((tid % $P) * $A0 + $B0) % $P % 8 AS b,
+       |         CASE WHEN (((tid % $P) * $A0 + $B0) % $P // 8) % 2 = 0
+       |              THEN cnt ELSE -cnt END AS v
+       |  FROM tc JOIN vocab USING (token)),
+       |e AS (
+       |  SELECT doc_id,
+       |         ${(0 until 8).map(k =>
+             s"CAST(sum(CASE WHEN b = $k THEN v ELSE 0 END) AS DOUBLE) AS e$k")
+             .mkString(",\n       |         ")}
+       |  FROM f GROUP BY 1)""".stripMargin
+
+  private def dotSql(a: String, b: String): String =
+    (0 until 8).map(k => s"$a.e$k * $b.e$k").mkString(" + ")
+
+  /** Pair CTE on top of [[embSql]]: exact cosine over hashed embeds,
+    * `p(doc_a, doc_b, c)` with doc_a < doc_b and c ≥ `thr`. */
+  private def pairSql(thr: Double): String =
+    s"""p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         (${dotSql("a", "b")}) /
+       |         (sqrt(${dotSql("a", "a")}) * sqrt(${dotSql("b", "b")})) AS c
+       |  FROM e a JOIN e b ON a.doc_id < b.doc_id
+       |  WHERE (${dotSql("a", "a")}) > 0 AND (${dotSql("b", "b")}) > 0),
+       |hits AS (SELECT doc_a, doc_b, c FROM p WHERE c >= $thr)""".stripMargin
+
+  /** Engine-side pair generator shared by q121/q122: hashed embeds as 8
+    * DOUBLE columns (pure codegen'd scalar math — no arrays, no HOFs in
+    * the pair loop), norms hoisted once per doc, all-pairs candidates.
+    * This is the brute-force ANCHOR (q35's posture); the scale path
+    * buckets the same 8-dim embeds through the existing vector family —
+    * hyperplane LSH (q29/q61) or Lloyd cells (q67/q108) — with this
+    * exact cosine as the verifier.
+    */
+  private[operators] def embedPairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
+    val emb = TierSixteen.hashEmbed(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        Cumulative.rowNumber(s,
+          Tables.load(s, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= "").select("token").distinct(),
+          Seq(col("token")), "tid"))
+      .select(col("doc_id") +: (0 until 8).map(k => col(s"e$k").cast("double")): _*)
+    def dot(x: String, y: String) =
+      (0 until 8).map(k => col(s"$x$k") * col(s"$y$k")).reduce(_ + _)
+    val a = emb.select(col("doc_id").as("doc_a") +:
+      (0 until 8).map(k => col(s"e$k").as(s"a$k")): _*)
+      .withColumn("na", sqrt(dot("a", "a"))).filter(col("na") > 0)
+    val b = emb.select(col("doc_id").as("doc_b") +:
+      (0 until 8).map(k => col(s"e$k").as(s"b$k")): _*)
+      .withColumn("nb", sqrt(dot("b", "b"))).filter(col("nb") > 0)
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("c", dot("a", "b") / (col("na") * col("nb")))
+      .filter(col("c") >= thr)
+      .select(col("doc_a"), col("doc_b"), col("c"))
+  }
+
+  /** Hash-embed near-duplicate candidate pairs, cosine ≥ 0.95 over the
+    * q112 vectors — text-only semantic dedup: the SemDeDup detector
+    * shape (q35 → q100) with the trained encoder replaced by the
+    * deterministic hashing-trick featurizer, so it runs on a corpus
+    * that ships no embedding column. Zero vectors (token-less docs)
+    * are excluded — cosine is undefined there. */
+  val q121 = Q("q121_embed_near_dup",
+    s"""WITH $embSql,
+       |${pairSql(0.95)}
+       |SELECT doc_a, doc_b, round(c, 6) AS cos
+       |FROM hits ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    embedPairs(s, dir, 0.95)
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Semantic cross-SPLIT leakage — q121's near-dup pairs that straddle
+    * q75's train/valid boundary (same deterministic doc_id buckets:
+    * <980 train, <990 valid, test excluded): a valid doc whose semantic
+    * twin sits in train inflates eval. Exact-match decontamination
+    * (q78/q96) cannot see a paraphrase; the embedding pair can. Output:
+    * the leaked pairs, train side first.
+    *
+    * Scale: the pair source is q121's (anchor here, celled in
+    * production); the split stamp is a pure projection on doc_id —
+    * no extra shuffle beyond the pair join.
+    */
+  val q122 = Q("q122_split_leakage",
+    s"""WITH $embSql,
+       |${pairSql(0.95)},
+       |sp AS (
+       |  SELECT doc_id, ((doc_id % $P) * $A0 + $B0) % $P % 1000 AS bkt
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, CASE WHEN bkt < 980 THEN 'train' ELSE 'valid' END AS split
+       |  FROM sp WHERE bkt < 990)
+       |SELECT CASE WHEN sa.split = 'train' THEN h.doc_a ELSE h.doc_b END AS train_doc,
+       |       CASE WHEN sa.split = 'train' THEN h.doc_b ELSE h.doc_a END AS valid_doc,
+       |       round(h.c, 6) AS cos
+       |FROM hits h
+       |JOIN st sa ON sa.doc_id = h.doc_a
+       |JOIN st sb ON sb.doc_id = h.doc_b
+       |WHERE sa.split <> sb.split
+       |ORDER BY train_doc, valid_doc""".stripMargin) { (s, dir) =>
+    val bkt = ((col("doc_id") % P) * A0 + B0) % P % 1000
+    val st = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), bkt.as("bkt"))
+      .filter(col("bkt") < 990)
+      .select(col("doc_id"),
+        when(col("bkt") < 980, "train").otherwise("valid").as("split"))
+    embedPairs(s, dir, 0.95)
+      .join(st.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(st.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === "train", col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
+        when(col("sa") === "train", col("doc_b")).otherwise(col("doc_a")).as("valid_doc"),
+        round(col("c"), 6).as("cos"))
+      .orderBy("train_doc", "valid_doc")
+  }
+
+  val all: Seq[Q] = Seq(q121, q122)
+}
