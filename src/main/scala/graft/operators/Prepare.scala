@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   *      shuffle, still far cheaper than the pairwise stage it shields.
   *   4. DEDUP ([[Dedup.deduplicateReleasable]]) — exact digests, then
   *      MinHash/LSH near-dup clusters, one survivor per cluster.
+  *   4b. optional SEMANTIC DEDUP (`semanticDedup = true`) — SemDeDup's
+  *      position in the order: hash-embed near-dup pairs
+  *      ([[TierNineteen.embedPairsOf]], q121's text-only detector) over
+  *      the lexical survivors → connected components → keep each
+  *      cluster's min doc_id. After the lexical stage deliberately: the
+  *      embed pass pays only for documents lexical dedup could not
+  *      collapse (the paraphrase tail).
   *   5. optional SUBSTRING STRIP ([[TierFourteen.stripForeignSpans]],
   *      `stripSpans = true`) — cross-doc repeated regions removed from
   *      every non-canonical survivor. AFTER dedup deliberately: whole-doc
@@ -41,13 +48,17 @@ object Prepare {
 
   /** Per-stage counts: `input ≥ afterGates ≥ afterDedup ≥ Σ splits`;
     * `strippedTokens` counts tokens the optional substring stage removed
-    * (0 when `stripSpans = false`, where also `afterDedup = Σ splits`). */
+    * (0 when `stripSpans = false`, where also `afterDedup = Σ splits`);
+    * `semanticDropped` counts survivors the optional semantic pass
+    * removed (0 when `semanticDedup = false`; already excluded from
+    * `afterDedup`). */
   final case class Report(
       input: Long, afterGates: Long, afterDedup: Long,
-      train: Long, valid: Long, test: Long, strippedTokens: Long = 0L)
+      train: Long, valid: Long, test: Long, strippedTokens: Long = 0L,
+      semanticDropped: Long = 0L)
 
   def corpus(docs: DataFrame, stripSpans: Boolean = false,
-      gopherRules: Boolean = false): (DataFrame, Report) = {
+      gopherRules: Boolean = false, semanticDedup: Boolean = false): (DataFrame, Report) = {
     import TierFour.{A0, B0, P}
     val input = docs.count()
     val gatePins = new Pins
@@ -68,7 +79,25 @@ object Prepare {
       }).persist() // feeds its count + three dedup consumers
     val afterGates = gated.count()
     gatePins.release()
-    val (survivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
+    val (mhSurvivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
+    // optional SEMANTIC pass (SemDeDup's position in the order: after the
+    // lexical whole-doc dedup, before the substring strip) — hash-embed
+    // near-dup pairs (q121's detector, text-only) → connected components →
+    // keep each cluster's min doc_id. The survivor rule and the
+    // self-labeled-min shortcut are Dedup.deduplicateReleasable's.
+    val semPins = new Pins
+    val (survivors, semanticDropped) =
+      if (!semanticDedup) (mhSurvivors, 0L)
+      else {
+        val base = semPins(mhSurvivors) // embeds + node set + final semi join
+        val nBase = base.count()
+        val pairs = TierNineteen.embedPairsOf(base, 0.95, Some(semPins))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val keep = Components.connected(base.select(col("doc_id").as("id")), pairs)
+          .filter(col("id") === col("lbl")).select(col("id").as("doc_id"))
+        val kept = base.join(keep, Seq("doc_id"), "left_semi")
+        (kept, nBase - kept.count())
+      }
     val stripPins = new Pins
     val (cleaned, strippedTokens) =
       if (!stripSpans) (survivors, 0L)
@@ -96,11 +125,15 @@ object Prepare {
     // further (fully-stripped-empty docs), never add
     val afterDedup = if (stripSpans) survivors.count() else bySplit.values.sum
     releaseDedup()
+    if (semanticDedup) { // the semantic stage's embeds/vocab caches + its
+      semPins.release()  // Components label leaf free with the dedup stage
+      org.apache.spark.sql.GraftSqlBridge.releaseLeaves(survivors)
+    }
     stripPins.release()
     gated.unpersist(blocking = false)
     val report = Report(input, afterGates, afterDedup,
       bySplit.getOrElse("train", 0L), bySplit.getOrElse("valid", 0L),
-      bySplit.getOrElse("test", 0L), strippedTokens)
+      bySplit.getOrElse("test", 0L), strippedTokens, semanticDropped)
     (out, report)
   }
 }

@@ -65,23 +65,30 @@ object TierNineteen {
        |  WHERE (${dotSql("a", "a")}) > 0 AND (${dotSql("b", "b")}) > 0),
        |hits AS (SELECT doc_a, doc_b, c FROM p WHERE c >= $thr)""".stripMargin
 
-  /** Engine-side pair generator shared by q121/q122: hashed embeds as 8
-    * DOUBLE columns (pure codegen'd scalar math — no arrays, no HOFs in
-    * the pair loop), norms hoisted once per doc, all-pairs candidates.
-    * This is the brute-force ANCHOR (q35's posture); the scale path
-    * buckets the same 8-dim embeds through the existing vector family —
-    * hyperplane LSH (q29/q61) or Lloyd cells (q67/q108) — with this
-    * exact cosine as the verifier.
+  /** Engine-side pair generator shared by q121/q122 and the
+    * [[Prepare]] semantic-dedup stage: hashed embeds as 8 DOUBLE columns
+    * (pure codegen'd scalar math — no arrays, no HOFs in the pair loop),
+    * norms hoisted once per doc, all-pairs candidates over an arbitrary
+    * `(doc_id, text)` frame. This is the brute-force ANCHOR (q35's
+    * posture); the scale path buckets the same 8-dim embeds through the
+    * existing vector family — hyperplane LSH (q29/q61) or Lloyd cells
+    * (q67/q108) — with this exact cosine as the verifier.
+    *
+    * The embed frame feeds both join sides, so it persists — into the
+    * caller's [[Pins]] when provided (a composed pipeline that owns its
+    * release, Prepare's posture), else a plain `persist()` swept by
+    * Verify/Bench per query (the q57/q103 convention).
     */
-  private[operators] def embedPairs(s: SparkSession, dir: String, thr: Double): DataFrame = {
-    val emb = TierSixteen.hashEmbed(
-        Tables.load(s, dir, "documents").select("doc_id", "text"),
-        Cumulative.rowNumber(s,
-          Tables.load(s, dir, "documents")
-            .select(explode(split(col("text"), " ")).as("token"))
-            .filter(col("token") =!= "").select("token").distinct(),
-          Seq(col("token")), "tid"))
+  private[graft] def embedPairsOf(docs: DataFrame, thr: Double,
+      pins: Option[Pins] = None): DataFrame = {
+    val s = docs.sparkSession
+    val vocab = Cumulative.rowNumber(s,
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").select("token").distinct(),
+      Seq(col("token")), "tid", pins = pins)
+    val emb0 = TierSixteen.hashEmbed(docs.select("doc_id", "text"), vocab)
       .select(col("doc_id") +: (0 until 8).map(k => col(s"e$k").cast("double")): _*)
+    val emb = pins.map(_(emb0)).getOrElse(emb0.persist())
     def dot(x: String, y: String) =
       (0 until 8).map(k => col(s"$x$k") * col(s"$y$k")).reduce(_ + _)
     val a = emb.select(col("doc_id").as("doc_a") +:
@@ -90,11 +97,20 @@ object TierNineteen {
     val b = emb.select(col("doc_id").as("doc_b") +:
       (0 until 8).map(k => col(s"e$k").as(s"b$k")): _*)
       .withColumn("nb", sqrt(dot("b", "b"))).filter(col("nb") > 0)
-    a.join(b, col("doc_a") < col("doc_b"))
+    // the anchor's pair join is explicitly broadcast-NLJ: without the pin,
+    // Catalyst's size estimate for the embed frame (derived from the
+    // corpus-sized token scan upstream) exceeds the broadcast threshold at
+    // sf0.1 and the non-equi join degrades to CartesianProduct — measured
+    // 8.7 s vs ~3 s pinned. Valid precisely because this IS the bounded
+    // anchor (q24/q35/q107 posture); the scale path cells the embeds.
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
       .withColumn("c", dot("a", "b") / (col("na") * col("nb")))
       .filter(col("c") >= thr)
       .select(col("doc_a"), col("doc_b"), col("c"))
   }
+
+  private[operators] def embedPairs(s: SparkSession, dir: String, thr: Double): DataFrame =
+    embedPairsOf(Tables.load(s, dir, "documents").select("doc_id", "text"), thr)
 
   /** Hash-embed near-duplicate candidate pairs, cosine ≥ 0.95 over the
     * q112 vectors — text-only semantic dedup: the SemDeDup detector

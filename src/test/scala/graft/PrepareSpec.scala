@@ -35,6 +35,33 @@ class PrepareSpec extends SparkSpec {
       "no two survivors share a text")
   }
 
+  test("semanticDedup stage: ids ≡ direct embed-pair + components recompute, default-off unchanged") {
+    import graft.operators.{Components, TierNineteen}
+    val raw = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val (out0, r0) = Prepare.corpus(raw)
+    val (out1, r1) = Prepare.corpus(raw, semanticDedup = true)
+    // stages before the semantic pass are byte-identical with the flag off
+    assert(r1.input == r0.input && r1.afterGates == r0.afterGates)
+    assert(r0.semanticDropped == 0L)
+    assert(r1.afterDedup == r0.afterDedup - r1.semanticDropped)
+    assert(r1.train + r1.valid + r1.test == r1.afterDedup)
+    val ids0 = out0.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids1 = out1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(ids0), "semantic pass can only drop")
+    // the flag-off output IS the lexical-survivor corpus (same
+    // deterministic pipeline), so recomputing the semantic pass on it
+    // must reproduce the flag-on survivor set exactly
+    val pairs = TierNineteen.embedPairsOf(out0.select("doc_id", "text"), 0.95)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val expected = Components.connected(
+        out0.select(col("doc_id").as("id")), pairs)
+      .filter(col("id") === col("lbl"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == expected, "flag-on survivors ≠ direct semantic recompute")
+    assert(r1.semanticDropped == (ids0 -- expected).size.toLong)
+    graft.operators.Cumulative.releaseAll()
+  }
+
   test("stripSpans stage: boilerplate tokens removed after dedup, ids a subset, default-off unchanged") {
     // the raw sf0.001 corpus's cross-doc 8-grams all live in docs the
     // near-dup stage removes, so inject the classic failure mode the stage
