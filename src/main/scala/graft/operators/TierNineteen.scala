@@ -112,6 +112,54 @@ object TierNineteen {
   private[operators] def embedPairs(s: SparkSession, dir: String, thr: Double): DataFrame =
     embedPairsOf(Tables.load(s, dir, "documents").select("doc_id", "text"), thr)
 
+  /** q121's PRODUCTION pair source — Lloyd cells trained ON the 8-dim
+    * hash embeds themselves (two rounds of [[IvfStore.step]] with the
+    * q109 driver-literal centroid rebuild between rounds; seeds = the k
+    * lowest doc_ids), then candidates within own + runner-up cell
+    * ([[TierEleven.probeAssign]]) verified by the same exact cosine.
+    * Every stage is cell-keyed — nothing all-pairs, nothing sorts the
+    * corpus; a pair reachable from both endpoints' probe sets dedups
+    * AFTER the threshold filter (the distinct runs on hits, not
+    * candidates). Pair recall vs the q121 anchor is measured and floored
+    * in TierNineteenSpec — the cellVote/cellHardNegatives convention.
+    */
+  private[graft] def celledEmbedPairs(s: SparkSession, dir: String, thr: Double,
+      probe2: Boolean = true, k: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.expressions.GraftFunctions.register(s)
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val vocab = Cumulative.rowNumber(s,
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").select("token").distinct(),
+      Seq(col("token")), "tid")
+    val emb = TierSixteen.hashEmbed(docs, vocab)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until 8).map(c => col(s"e$c").cast("double")): _*).as("e"))
+      .filter(dotc(col("e"), col("e")) > 0)
+      .persist() // trainer (2 passes) + assignment + both pair sides
+    val seeds = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val r1 = IvfStore.step(emb, seeds).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
+    val cents = IvfStore.step(emb, r1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
+    val own = TierNine.assignTo(emb, cents)
+    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+      .join(emb, "vec_id")
+      .select(col("cid"), col("vec_id").as("doc_a"), col("e").as("ea"))
+      .withColumn("na", sqrt(dotc(col("ea"), col("ea"))))
+    val ys = own.join(emb, "vec_id")
+      .select(col("cid"), col("vec_id").as("doc_b"), col("e").as("eb"))
+      .withColumn("nb", sqrt(dotc(col("eb"), col("eb"))))
+    xs.join(ys, Seq("cid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("c", dotc(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("c") >= thr)
+      .select("doc_a", "doc_b").distinct()
+  }
+
   /** Hash-embed near-duplicate candidate pairs, cosine ≥ 0.95 over the
     * q112 vectors — text-only semantic dedup: the SemDeDup detector
     * shape (q35 → q100) with the trained encoder replaced by the

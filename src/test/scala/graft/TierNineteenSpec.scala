@@ -79,6 +79,23 @@ class TierNineteenSpec extends SparkSpec {
     Cumulative.releaseAll()
   }
 
+  test("celledEmbedPairs (Lloyd cells on hash embeds) recalls most q121 pairs; probe-2 wins") {
+    val anchor = TierNineteen.q121.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val two = TierNineteen.celledEmbedPairs(spark, sf, 0.95, probe2 = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = TierNineteen.celledEmbedPairs(spark, sf, 0.95, probe2 = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates are verified by the same cosine, so celled ⊆ anchor
+    assert(two.subsetOf(anchor) && one.subsetOf(anchor))
+    val rTwo = (two & anchor).size.toDouble / anchor.size
+    val rOne = (one & anchor).size.toDouble / anchor.size
+    info(s"celled embed-pair recall: single-probe $rOne, two-probe $rTwo")
+    assert(rOne <= rTwo, s"widening must not lose pairs: $rOne vs $rTwo")
+    assert(rTwo >= 0.50, s"two-probe recall $rTwo below measured floor")
+    Cumulative.releaseAll()
+  }
+
   test("tier-19 plan gates: no CartesianProduct (broadcast-NLJ anchor allowed)") {
     for (q <- Seq(TierNineteen.q121, TierNineteen.q122)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
