@@ -27,7 +27,7 @@ object TierNineteen {
   /** q112's oracle CTE chain ending in per-doc DOUBLE components
     * `e(doc_id, e0..e7)` — token-less docs (zero vectors) are absent, so
     * downstream cosine never divides by zero. */
-  private val embSql: String =
+  private[operators] val embSql: String =
     s"""toks AS (
        |  SELECT doc_id, token FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
@@ -56,7 +56,7 @@ object TierNineteen {
 
   /** Pair CTE on top of [[embSql]]: exact cosine over hashed embeds,
     * `p(doc_a, doc_b, c)` with doc_a < doc_b and c ≥ `thr`. */
-  private def pairSql(thr: Double): String =
+  private[operators] def pairSql(thr: Double): String =
     s"""p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         (${dotSql("a", "b")}) /
