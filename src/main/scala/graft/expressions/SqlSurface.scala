@@ -206,6 +206,24 @@ object SqlSurface {
           spark.table(views.head), spark.table(views(1))))
       }),
 
+    ("graft_scrub_rare",
+      "graft_scrub_rare(docs STRING, rare STRING) - fold tokens of the" +
+        " frozen rare set into <unk> over a (doc_id, text) table/view" +
+        " (TierEighteen.scrubRare; rare names a (token) table/view)",
+      exprs => {
+        val views = exprs.map {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_scrub_rare expects STRING literals naming (doc_id, text) docs" +
+              " and (token) rare views, got " + other)
+        }
+        if (views.length != 2) throw new IllegalArgumentException(
+          "graft_scrub_rare expects exactly two view names (docs, rare)")
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.TierEighteen.scrubRare(
+          spark.table(views.head), spark.table(views(1))))
+      }),
+
     ("graft_phrase_probe",
       "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
         " exact-phrase hit counts from a persisted positional inverted index" +

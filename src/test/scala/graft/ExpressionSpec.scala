@@ -163,6 +163,23 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("graft_scrub_rare table function from SQL ≡ TierEighteen.scrubRare (frozen rare set)") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    // a small frozen "rare" set drawn from the corpus vocabulary
+    val rare = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").distinct().orderBy("token").limit(3)
+    docs.createOrReplaceTempView("scrub_docs")
+    rare.createOrReplaceTempView("scrub_rare")
+    val sql = spark.sql("SELECT * FROM graft_scrub_rare('scrub_docs', 'scrub_rare')")
+      .collect().map(_.toString).sorted.toSeq
+    val scala = graft.operators.TierEighteen.scrubRare(docs, rare)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == scala && sql.nonEmpty)
+    assert(sql.exists(_.contains("<unk>")), "the frozen set must actually scrub")
+  }
+
   test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
     import graft.operators.LexIndex
     GraftFunctions.register(spark)
