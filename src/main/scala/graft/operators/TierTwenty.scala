@@ -131,5 +131,39 @@ object TierTwenty {
       .orderBy("doc_id")
   }
 
+  /** q123's STREAMING twin — a budget gate that admits documents in
+    * arrival order until the global budget is spent, with q123's PREFIX
+    * semantics (the first overflowing doc CLOSES the gate — later smaller
+    * docs do not squeeze in; a greedy remaining-budget rule would, and
+    * would diverge from the batch cut). Carries `cum` across
+    * micro-batches; rows within a batch order by `(h, doc_id)` so a
+    * hash-ordered feed reproduces the batch prefix exactly (s33 pins
+    * stream ≡ batch q123).
+    *
+    * The per-batch `collect` is the batch's (doc_id, n_tok) manifest —
+    * metadata-scale; admission is inherently sequential, which is the
+    * point of a budget. At-least-once replay would double-count `cum`;
+    * production records absorbed batch ids exactly as [[IvfStore]]'s
+    * ledger does.
+    */
+  private[graft] final class BudgetGate(budget: Long = Budget) {
+    private var cum = 0L
+    private var stopped = false
+    /** Admit one micro-batch of `(doc_id, n_tok, h)` rows; returns the
+      * admitted doc_ids in order. */
+    def admit(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val rows = df.select(col("h"), col("doc_id"), col("n_tok")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      rows.iterator.flatMap { case (_, id, n) =>
+        if (stopped) None
+        else {
+          cum += n
+          if (cum <= budget) Some(id) else { stopped = true; None }
+        }
+      }.toSeq
+    }
+  }
+
   val all: Seq[Q] = Seq(q123, q124)
 }

@@ -88,6 +88,24 @@ class TierEighteenSpec extends SparkSpec {
     }
   }
 
+  test("scrubRare is idempotent under a frozen rare set (scrub ∘ scrub = scrub)") {
+    import spark.implicits._
+    val aug = augmented
+    val freq = aug.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rare = freq.filter(_._2 < 3).keys.toSeq.toDF("token")
+    val docs = aug.toDF("doc_id", "text")
+    val once = TierEighteen.scrubRare(docs, rare)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    val onceRows = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twice = TierEighteen.scrubRare(once, rare).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    twice.foreach { case (id, text, n) =>
+      assert(text == onceRows(id), s"doc $id changed on the second scrub")
+      assert(n == 0L, s"doc $id re-replaced $n tokens on the second scrub")
+    }
+  }
+
   test("tier-18 plan gates: no CartesianProduct; q119 no single-partition exchange") {
     for (q <- Seq(TierEighteen.q119, TierEighteen.q120)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -60,6 +60,38 @@ class TierTwentySpec extends SparkSpec {
     Cumulative.releaseAll()
   }
 
+  test("s33: budget-gated streaming admission ≡ batch q123 (hash-order replay, prefix semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = TierTwenty.q123.run(spark, sf).collect().map(_.getLong(0)).toSet
+    Cumulative.releaseAll()
+    // the production feed order for a budget cut IS the hash order
+    val ordered = corpus.map { case (id, t) =>
+      (((id % P) * A0 + B0) % P, id, t)
+    }.sortBy(t => (t._1, t._2))
+    val gate = new TierTwenty.BudgetGate()
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tok"),
+        (((col("doc_id") % P) * A0 + B0) % P).as("h"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        admitted ++= gate.admit(df)
+        ()
+      }.start()
+    try {
+      ordered.map(t => (t._2, t._3)).grouped(90).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      assert(admitted.toSet == batch)
+      // prefix semantics: admitted ids arrive in hash order, no gaps
+      assert(admitted.toSeq == ordered.map(_._2).take(admitted.size))
+    } finally q.stop()
+  }
+
   test("tier-20 plan gates: no CartesianProduct; q123 no single-partition exchange") {
     for (q <- Seq(TierTwenty.q123, TierTwenty.q124)) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
