@@ -133,10 +133,11 @@ object TierTwentyOne {
     * ratio at fixed length; a float log-weight would hash-diverge across
     * engines' libm — q57's rule).
     *
-    * Scale: one corpus tokenize feeds four aggregates that all collapse to
-    * ≤ D2+1 rows (bucket tables, totals) and ride broadcasts; the only
-    * corpus-scale shuffles are the (doc, bucket) count and the final
-    * per-doc sum — partial+final all the way. The vocab id table reuses
+    * Scale: one corpus tokenize feeds three aggregates that all collapse
+    * to ≤ D2+1 rows (bucket tables, totals) and ride broadcasts; the only
+    * corpus-scale shuffle in the scoring pass is the final per-doc sum
+    * ([[dsirApply]] — the model rides the same broadcast join that fetched
+    * the bucket id) — partial+final all the way. The vocab id table reuses
     * [[Cumulative.rowNumber]] (10⁹-token vocabs never pass through one
     * partition). Int64 envelope: `(cnt+1)·10⁶` wraps once ONE bucket
     * holds > 9.2·10¹² tokens — at 16 buckets that is a ~10¹⁴-token
@@ -169,15 +170,27 @@ object TierTwentyOne {
        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
        |       CAST(sum(c * lr_ppm) // sum(c) AS BIGINT) AS dsir_ppm
        |FROM db JOIN lr USING (b) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    dsirApply(Tables.load(s, dir, "documents").select("doc_id", "text"),
+      dsirModel(s, dir), unseenPpm = 0L)
+      .orderBy("doc_id")
+  }
+
+  /** The batch-LEARNED q126 model as per-TOKEN weights `(token, lr_ppm)` —
+    * vocab id → affine bucket → smoothed target/raw ppm ratio, flattened
+    * back to the token so [[dsirApply]] is one broadcast join (the join
+    * that fetched the bucket id fetches the weight instead — same cost,
+    * and Σ over instances of lr(token) ≡ Σ_b c_b·lr_b exactly). */
+  private[graft] def dsirModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val vocab = Cumulative.rowNumber(s,
       toks.select("token").distinct(), Seq(col("token")), "tid")
+      .select(col("token"), expr(s"((tid % $P) * $A0 + $B0) % $P % $D2").as("b"))
     val tb = toks.join(broadcast(vocab), "token")
-      .select(col("doc_id"), col("lang"),
-        expr(s"((tid % $P) * $A0 + $B0) % $P % $D2").as("b"))
-      .persist() // raw/tgt/tot/db all fold it
+      .select(col("lang"), col("b"))
+      .persist() // raw/tgt/tot all fold it
     val raw = tb.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgt = tb.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
     val tot = tb.agg(count(lit(1)).as("tr"),
@@ -188,13 +201,26 @@ object TierTwentyOne {
           .cast("long") /
           expr(s"greatest(((cr + 1) * 1000000) div (tr + $D2), CAST(1 AS BIGINT))"))
           .cast("long").as("lr_ppm"))
-    val db = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    db.join(broadcast(lr), "b")
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tok"), expr("sum(c * lr_ppm) div sum(c)").as("dsir_ppm"))
-      .select(col("doc_id"), col("n_tok"), col("dsir_ppm"))
-      .orderBy("doc_id")
+    vocab.join(broadcast(lr), "b").select(col("token"), col("lr_ppm"))
   }
+
+  /** Score any `(doc_id, text)` frame against FROZEN per-token weights
+    * `(token, lr_ppm)` — the learn-in-batch / score-in-flight split (the
+    * s32 frozen-set discipline; s34 pins stream ≡ batch q126). Tokens the
+    * model never saw carry `unseenPpm` (the floor a production model
+    * ships; q126 itself passes 0 — its model covers its corpus by
+    * construction). One broadcast join + one per-doc fold: stateless,
+    * micro-batch safe, no corpus-side shuffle beyond the doc_id agg. */
+  def dsirApply(docs: org.apache.spark.sql.DataFrame,
+      weights: org.apache.spark.sql.DataFrame,
+      unseenPpm: Long): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("lr_ppm"), lit(unseenPpm))).as("w"))
+      .select(col("doc_id"), col("n_tok"), expr("w div n_tok").as("dsir_ppm"))
 
   /** Cluster-balanced sample — keep ⌊√size⌋ vectors per q67 Lloyd cell in
     * the deterministic affine-hash order (rank within cell, keep rank ≤

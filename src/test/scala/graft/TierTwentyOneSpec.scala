@@ -96,6 +96,36 @@ class TierTwentyOneSpec extends SparkSpec {
     Cumulative.releaseAll()
   }
 
+  test("s34: DSIR scoring on a stream ≡ batch q126 (frozen per-token weights); unseen floor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // learn in batch, score live (the s32 frozen-set discipline)
+    val weights = TierTwentyOne.dsirModel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("token", "lr_ppm")
+    Cumulative.releaseAll()
+    val batch = TierTwentyOne.q126.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Cumulative.releaseAll()
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val unseen = (90001L, "zzzz yyyy xxxx") // no model token — floor applies
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        TierTwentyOne.dsirApply(df, weights, unseenPpm = 777L).collect()
+          .foreach(r => acc(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      (docs :+ unseen).grouped(120).foreach { c => in.addData(c); q.processAllAvailable() }
+      assert(acc(unseen._1) == ((3L, 777L)), "all-unseen doc must score the floor")
+      assert((acc - unseen._1).toMap == batch)
+    } finally q.stop()
+  }
+
   test("tier-21 plan gates: no CartesianProduct anywhere; q127 rank has no Window") {
     for (q <- TierTwentyOne.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
