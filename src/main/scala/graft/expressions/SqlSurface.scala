@@ -224,6 +224,26 @@ object SqlSurface {
           spark.table(views.head), spark.table(views(1))))
       }),
 
+    ("graft_dsir_score",
+      "graft_dsir_score(docs STRING, weights STRING[, unseen INT]) - score a" +
+        " (doc_id, text) table/view against FROZEN per-token DSIR importance" +
+        " weights (token, lr_ppm) (TierTwentyOne.dsirApply); tokens outside" +
+        " the model score `unseen` ppm (default 0)",
+      exprs => {
+        arity("graft_dsir_score", exprs, 2, 3)
+        val views = exprs.take(2).map {
+          case Literal(s: UTF8String, StringType) => s.toString
+          case other => throw new IllegalArgumentException(
+            "graft_dsir_score expects STRING literals naming (doc_id, text) docs" +
+              " and (token, lr_ppm) weights views, got " + other)
+        }
+        val unseen =
+          if (exprs.length == 3) intLit(exprs(2), "graft_dsir_score", "unseen") else 0
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.TierTwentyOne.dsirApply(
+          spark.table(views.head), spark.table(views(1)), unseen.toLong))
+      }),
+
     ("graft_phrase_probe",
       "graft_phrase_probe(index STRING, term STRING, ...) - per-document" +
         " exact-phrase hit counts from a persisted positional inverted index" +

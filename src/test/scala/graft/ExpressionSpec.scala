@@ -180,6 +180,29 @@ class ExpressionSpec extends SparkSpec {
     assert(sql.exists(_.contains("<unk>")), "the frozen set must actually scrub")
   }
 
+  test("graft_dsir_score table function from SQL ≡ TierTwentyOne.dsirApply (frozen weights)") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val weights = graft.operators.TierTwentyOne.dsirModel(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.operators.Cumulative.releaseAll()
+    import spark.implicits._
+    val wdf = weights.toDF("token", "lr_ppm")
+    docs.createOrReplaceTempView("dsir_docs")
+    wdf.createOrReplaceTempView("dsir_weights")
+    val sql = spark.sql(
+        "SELECT * FROM graft_dsir_score('dsir_docs', 'dsir_weights', 777)")
+      .collect().map(_.toString).sorted.toSeq
+    val scala = graft.operators.TierTwentyOne.dsirApply(docs, wdf, 777L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(sql == scala && sql.nonEmpty)
+    // the unseen floor must be an INT literal (it is an analysis-time knob)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_dsir_score('dsir_docs', 'dsir_weights', 1 + 1)"))
+    assert(e.getMessage.contains("INT literal"))
+  }
+
   test("graft_phrase_probe table function from SQL ≡ LexIndex.phraseProbe (VERDICT r7 #6)") {
     import graft.operators.LexIndex
     GraftFunctions.register(spark)
