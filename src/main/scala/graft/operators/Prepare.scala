@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *      the q106 rule battery ([[TierFifteen.gopherFlags]]) joins the
   *      gate stage as an admitted-ids semi-join — one (doc, token)
   *      shuffle, still far cheaper than the pairwise stage it shields.
+  *      With `dsirGate = Some(…)` the q126 importance screen joins the
+  *      same stage: documents score against FROZEN per-token weights
+  *      ([[TierTwentyOne.dsirApply]] — learned on a reference corpus,
+  *      shipped with the pipeline, the s34 discipline) and must clear
+  *      `floorPpm` — the "keep what looks like the target" admission
+  *      (DSIR's selection step) in the position where it shields dedup.
   *   4. DEDUP ([[Dedup.deduplicateReleasable]]) — exact digests, then
   *      MinHash/LSH near-dup clusters, one survivor per cluster.
   *   4b. optional SEMANTIC DEDUP (`semanticDedup = true`) — SemDeDup's
@@ -57,8 +63,16 @@ object Prepare {
       train: Long, valid: Long, test: Long, strippedTokens: Long = 0L,
       semanticDropped: Long = 0L)
 
+  /** Frozen DSIR admission screen for the gate stage: per-token `weights`
+    * `(token, lr_ppm)` (learn once on a reference corpus —
+    * [[TierTwentyOne.dsirModel]] — ship frozen), the `unseenPpm` floor an
+    * out-of-model token scores, and the `floorPpm` a document's mean
+    * importance must clear to be admitted. */
+  final case class DsirGate(weights: DataFrame, unseenPpm: Long, floorPpm: Long)
+
   def corpus(docs: DataFrame, stripSpans: Boolean = false,
-      gopherRules: Boolean = false, semanticDedup: Boolean = false): (DataFrame, Report) = {
+      gopherRules: Boolean = false, semanticDedup: Boolean = false,
+      dsirGate: Option[DsirGate] = None): (DataFrame, Report) = {
     import TierFour.{A0, B0, P}
     val input = docs.count()
     val gatePins = new Pins
@@ -67,7 +81,7 @@ object Prepare {
         TierEleven.redact(TierEleven.normalize(col("text"))).as("text"))
       .filter(TierFour.qualityCol(col("text")) >= 2)
       .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("text")) >= 0L)
-    val gated = (if (!gopherRules) rowGated
+    val tokenGated = if (!gopherRules) rowGated
       else {
         // the rule battery reads the row-gated frame twice (flags + join) —
         // pin it for the gate stage, released once `gated` materializes
@@ -76,7 +90,17 @@ object Prepare {
           TierFifteen.gopherFlags(pinned)
             .filter(col("admitted") === 1L).select("doc_id"),
           Seq("doc_id"), "left_semi")
-      }).persist() // feeds its count + three dedup consumers
+      }
+    val gated = (dsirGate match {
+      case None => tokenGated
+      case Some(DsirGate(weights, unseenPpm, floorPpm)) =>
+        // same two-read shape as the gopher branch: score + semi-join
+        val pinned = gatePins(tokenGated)
+        pinned.join(
+          TierTwentyOne.dsirApply(pinned, weights, unseenPpm)
+            .filter(col("dsir_ppm") >= floorPpm).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+    }).persist() // feeds its count + three dedup consumers
     val afterGates = gated.count()
     gatePins.release()
     val (mhSurvivors, releaseDedup) = Dedup.deduplicateReleasable(gated)

@@ -81,8 +81,19 @@ object TierTwentyTwo {
        |SELECT nid AS doc_id, t AS trust_fp FROM t$TrustIters ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    val hits = TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
-      .select("doc_a", "doc_b").persist()
+    trustOver(docs, TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr))
+  }
+
+  /** q128's propagation engine over an ARBITRARY undirected pair frame
+    * `(doc_a, doc_b)` — parameterized by the edge source so the celled
+    * scale path ([[TierNineteen.celledEmbedPairs]]) drops in unchanged.
+    * Since celled edges ⊆ anchor edges (same-verifier construction), the
+    * celled run's trust-reached set is a SUBSET of the anchor's — the
+    * monotonicity law TierTwentyTwoSpec pins. `docs` carries
+    * (doc_id, source). */
+  private[graft] def trustOver(docs: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = pairs.select("doc_a", "doc_b").persist()
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))

@@ -126,6 +126,36 @@ class PrepareSpec extends SparkSpec {
     assert(outG.count() == rG.afterDedup)
   }
 
+  test("dsirGate stage: afterGates ≡ direct frozen-weight recompute, default-off unchanged") {
+    import graft.operators.{Cumulative, TierEleven, TierFour, TierTwentyOne}
+    import spark.implicits._
+    val raw = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val weights = TierTwentyOne.dsirModel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("token", "lr_ppm")
+    Cumulative.releaseAll()
+    // the exact text the screen sees: normalize → redact → row gates
+    val gateText = raw.select(col("doc_id"),
+        TierEleven.redact(TierEleven.normalize(col("text"))).as("text"))
+      .filter(TierFour.qualityCol(col("text")) >= 2)
+      .filter(TierEleven.scoreCol(TierEleven.pseudoWeights, col("text")) >= 0L)
+    val scores = TierTwentyOne.dsirApply(gateText, weights, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val (lo, hi) = (scores.values.min, scores.values.max)
+    assert(lo < hi, "fixture scores must vary for a meaningful floor")
+    val floor = (lo + hi) / 2
+    val admitted = scores.filter(_._2 >= floor).keySet
+    val (_, r0) = result
+    val (out1, r1) = Prepare.corpus(raw,
+      dsirGate = Some(Prepare.DsirGate(weights, 0L, floor)))
+    assert(r1.input == r0.input)
+    assert(r1.afterGates == admitted.size.toLong,
+      "gate-stage admissions must equal the direct frozen-weight recompute")
+    assert(r1.afterGates < r0.afterGates, "the floor must actually drop documents")
+    val ids1 = out1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(admitted), "every survivor cleared the floor")
+    Cumulative.releaseAll()
+  }
+
   test("deterministic: a second run reproduces ids, splits, and the report") {
     val (out, r) = result
     val (out2, r2) = Prepare.corpus(

@@ -75,6 +75,31 @@ class TierTwentyTwoSpec extends SparkSpec {
     assert(got.exists(_._4 > 0) && got.exists(_._4 < 1000000L))
   }
 
+  test("q128 scale path: trust over celled pairs reaches ⊆ the anchor's reached set, floored") {
+    val docs = Tables.load(spark, sf, "documents")
+    val anchor = TierTwentyTwo.q128.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Cumulative.releaseAll()
+    val celled = TierTwentyTwo.trustOver(docs,
+        graft.operators.TierNineteen.celledEmbedPairs(spark, sf, 0.9))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Cumulative.releaseAll()
+    val seeds = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reachedA = anchor.filter(_._2 > 0).keySet
+    val reachedC = celled.filter(_._2 > 0).keySet
+    // celled edges ⊆ anchor edges (same-verifier construction) ⇒ the
+    // trust-reached set can only shrink — monotonicity, not just recall
+    assert(reachedC.subsetOf(reachedA))
+    assert(seeds.subsetOf(reachedC), "seeds always hold trust")
+    assert(reachedC.size > seeds.size, "celled path must propagate beyond the seeds")
+    // reach-recall floor vs the anchor's non-seed reach (the celled
+    // convention: floors beside celledEmbedPairs' 0.60/0.75 pair recall)
+    val nsA = (reachedA -- seeds).size
+    val nsC = (reachedC -- seeds).size
+    assert(nsA == 0 || nsC * 10 >= nsA * 4, s"celled non-seed reach $nsC vs anchor $nsA under the 0.4 floor")
+  }
+
   test("tier-22 plan gates: no CartesianProduct (the pair anchor is pinned broadcast-NLJ)") {
     for (q <- TierTwentyTwo.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
