@@ -81,10 +81,21 @@ object TierTwentyOne {
        |r0 AS (SELECT nid, CAST($S // cnt AS BIGINT) AS r FROM n CROSS JOIN nn),
        |${(0 until Iters).map(iterSql).mkString(",\n")}
        |SELECT nid, r AS rank_fp FROM r$Iters ORDER BY nid""".stripMargin) { (s, dir) =>
-    val e = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    pageRankOver(
+      Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")))
+  }
+
+  /** q125's iteration engine over an ARBITRARY directed edge frame
+    * `(src, dst)` (duplicates tolerated — deduped on entry). Extracted so
+    * the randomized-graph differential (TierTwentyOneSpec) exercises the
+    * engine beyond the one relational fixture — the [[TierTwentyTwo
+    * .trustOver]] parameterization convention. */
+  private[graft] def pageRankOver(
+      rawEdges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = rawEdges.select(col("src"), col("dst"))
       .distinct()
       .persist() // nodes, deg, and edges all derive from the distinct edge set
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))

@@ -45,6 +45,39 @@ class TierTwentyOneSpec extends SparkSpec {
     assert(got.forall(_._2 > 0), "every node keeps positive rank")
   }
 
+  test("pageRankOver ≡ in-memory iteration on random digraphs (seeded LCG sweep)") {
+    import spark.implicits._
+    for (seed <- 0 until 3) {
+      // deterministic LCG edge generator: ~60 directed edges over 30 nodes,
+      // self-loop-free, shapes vary by seed (hubs, chains, isolates)
+      var x = seed * 2654435761L + 40503L
+      def next(m: Long): Long = { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x % m }
+      val edges = (0 until 60).map { _ =>
+        val a = next(30); val b = next(30)
+        (a, if (b == a) (a + 1) % 30 else b)
+      }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.length.toLong
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+      var r = nodes.map(_ -> S / n).toMap
+      for (_ <- 1 to 3) {
+        val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+        }
+        val dang = nodes.filterNot(deg.contains).map(r).sum
+        r = nodes.map { nid =>
+          nid -> (15L * S / (100L * n) +
+            85L * (contrib.getOrElse(nid, 0L) + dang / n) / 100L)
+        }.toMap
+      }
+      val expected = nodes.map(nid => (nid, r(nid))).toSeq
+      val got = graft.operators.TierTwentyOne.pageRankOver(
+          edges.toDF("src", "dst"))
+        .orderBy("nid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
   test("q126 DSIR importance ppm ≡ from-scratch replication of the bucket math") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
