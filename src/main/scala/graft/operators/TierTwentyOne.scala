@@ -110,6 +110,7 @@ object TierTwentyOne {
     val edges = e.join(deg, "src").persist() // (src, dst, d) reread every iteration
     // the one driver scalar: |V|, for the teleport constant (metadata-scale)
     val n = nodes.count()
+    require(n > 0, "pageRankOver: edge frame is empty — no nodes to rank")
     var r = nodes.select(col("nid"), col("has_out"), lit(S / n).as("r"))
     for (_ <- 1 to Iters) {
       val contrib = edges.join(r.select(col("nid"), col("r")), edges("src") === col("nid"))

@@ -101,8 +101,11 @@ object TierTwentyThree {
     * DECIMAL(38,0) on both engines (q57's documented escape hatch); the
     * ranking is unchanged.
     */
-  val q131 = Q("q131_collocations",
-    s"""WITH dt AS (
+  /** q131's oracle CTE chain ending in `lift(ta, tb, c_ab, lift_ppm)` —
+    * shared with the token-community query ([[TierTwentyFour.q133]]),
+    * which clusters the same association graph. */
+  private[operators] val liftSql: String =
+    s"""dt AS (
        |  SELECT DISTINCT doc_id, token FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
        |  WHERE token <> ''),
@@ -117,9 +120,13 @@ object TierTwentyThree {
        |         CAST((c_ab * n * 1000000) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
        |  FROM pc JOIN cf ca ON ca.token = pc.ta
        |  JOIN cf cb ON cb.token = pc.tb CROSS JOIN nn
-       |  WHERE c_ab >= $MinPairDocs)
-       |SELECT ta, tb, c_ab, lift_ppm FROM lift
-       |ORDER BY lift_ppm DESC, ta, tb LIMIT 20""".stripMargin) { (s, dir) =>
+       |  WHERE c_ab >= $MinPairDocs)""".stripMargin
+
+  /** q131's engine-side lift table `(ta, tb, c_ab, lift_ppm)`, unordered —
+    * the full association graph; q131 takes its top-20, q133 clusters its
+    * top-[[TierTwentyFour.CommunityEdges]]. */
+  private[operators] def collocationLift(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val dt = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "").distinct().persist()
@@ -136,6 +143,13 @@ object TierTwentyThree {
       .crossJoin(broadcast(nn))
       .select(col("ta"), col("tb"), col("c_ab"),
         expr("CAST((c_ab * n * 1000000) div (ca * cb) AS BIGINT)").as("lift_ppm"))
+  }
+
+  val q131 = Q("q131_collocations",
+    s"""WITH $liftSql
+       |SELECT ta, tb, c_ab, lift_ppm FROM lift
+       |ORDER BY lift_ppm DESC, ta, tb LIMIT 20""".stripMargin) { (s, dir) =>
+    collocationLift(s, dir)
       .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
       .limit(20)
   }

@@ -107,6 +107,8 @@ object TierTwentyTwo {
       .persist()
     // the one driver scalar: |seeds| for the teleport constant
     val ns = seeds.filter(col("seed")).count()
+    require(ns > 0,
+      "trustOver: no seed documents (source = 'src0') — trust has nowhere to start")
     var t = seeds.select(col("nid"), col("seed"), col("has_out"),
       when(col("seed"), lit(S / ns)).otherwise(lit(0L)).as("t"))
     for (_ <- 1 to TrustIters) {
