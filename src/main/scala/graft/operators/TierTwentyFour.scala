@@ -67,6 +67,33 @@ object TierTwentyFour {
       .orderBy("doc_id")
   }
 
+  /** q132's metrics as ONE per-row column expression — `struct(n_tok,
+    * n_types, ttr_ppm, gini_ppm)` computed from the token array with
+    * array HOFs, NO shuffle at all: the stateless form that screens a
+    * live STREAM (s35 pins streamed ≡ batch q132 row for row — a genuine
+    * cross-implementation differential: HOF arithmetic vs the shuffle
+    * aggregation). Work is O(tokens·types) per row — right for real
+    * documents; a pathological mega-doc prefers q132's aggregation shape
+    * (chunk first, q63). NULL for token-less text (the batch query's
+    * absent-row twin). */
+  def diversity(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = filter(split(text, " "), x => x =!= "")
+    val counts = transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)).cast("long"))
+    val n = size(toks).cast("long")
+    val types = size(array_distinct(toks)).cast("long")
+    val s2 = aggregate(counts, lit(0L), (acc, c) => acc + c * c)
+    // exact integer division without an expr() name dependency: subtract
+    // the remainder first, then the double division is exact (all values
+    // < 2^53)
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    when(n > 0, struct(
+      n.as("n_tok"), types.as("n_types"),
+      idiv(types * 1000000L, n).as("ttr_ppm"),
+      idiv((n * n - s2) * 1000000L, n * n).as("gini_ppm")))
+  }
+
   /** Token communities — connected components over the top-K collocation
     * edges (q131's lift graph, K = [[CommunityEdges]], the same pinned
     * (lift DESC, ta, tb) order): each community labeled by its

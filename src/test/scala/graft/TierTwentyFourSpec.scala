@@ -76,6 +76,35 @@ class TierTwentyFourSpec extends SparkSpec {
     }
   }
 
+  test("s35: per-row diversity column on a stream ≡ batch q132 (cross-implementation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = TierTwentyFour.q132.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val acc = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().select(col("_1").as("doc_id"),
+        TierTwentyFour.diversity(col("_2")).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("doc_id"), col("d.n_tok"), col("d.n_types"),
+        col("d.ttr_ppm"), col("d.gini_ppm"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => acc(r.getLong(0)) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        ()
+      }.start()
+    try {
+      val docs = corpus :+ ((90001L, "   ")) // token-less doc must NOT emit
+      docs.grouped(120).foreach { c => in.addData(c); q.processAllAvailable() }
+      assert(!acc.contains(90001L), "token-less doc leaked through the stream gate")
+      assert(acc.toMap == batch,
+        "HOF per-row arithmetic diverged from the shuffle aggregation")
+    } finally q.stop()
+  }
+
   test("graph engines fail loudly on degenerate input (no silent division by zero)") {
     import spark.implicits._
     val e1 = intercept[IllegalArgumentException] {
