@@ -93,4 +93,30 @@ class ShortDocSpec extends SparkSpec {
     val stats = graft.operators.TierTen.q76.run(spark, tmp).collect()
     assert(stats.map(_.getLong(1)).sum == 5L)
   }
+
+  test("round-8 document queries degrade gracefully (q126/q129/q131/q132/q133)") {
+    import graft.operators.{Cumulative, TierTwentyFour, TierTwentyThree, TierTwentyTwo, TierTwentyOne}
+    // q126 DSIR: the empty doc carries no tokens → absent; everyone else scored
+    val dsir = TierTwentyOne.q126.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Cumulative.releaseAll()
+    assert(!dsir.contains(0L) && dsir(4L) == 6L && dsir.size == 4)
+    // q129 memorization risk: only the 6-token doc carries a 5-gram
+    val risk = TierTwentyTwo.q129.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(risk.map(_._1).toSeq == Seq(4L), s"got ${risk.mkString(",")}")
+    assert(risk.head._2 == 2L && risk.head._3 == 0L) // 2 unique-instance 5-grams, no dups
+    // q131 collocations: no pair reaches the 5-doc support floor → empty
+    assert(TierTwentyThree.q131.run(spark, tmp).collect().isEmpty)
+    // q132 diversity: empty doc absent; single-type law; 'a b a b a b' gini
+    val div = TierTwentyFour.q132.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(!div.contains(0L) && div(1L)._3 == 0L)
+    assert(div(4L) == ((6L, 2L, 500000L)), s"got ${div(4L)}")
+    // q133 communities over an EMPTY association graph: empty output, not
+    // a crash (the Components empty-node-set path)
+    val comm = TierTwentyFour.q133.run(spark, tmp).collect()
+    Cumulative.releaseAll()
+    assert(comm.isEmpty, s"got ${comm.mkString(",")}")
+  }
 }
