@@ -103,33 +103,6 @@ object Dedup {
     */
   def deduplicate(docs: DataFrame): DataFrame = {
     val (out, release) = deduplicateReleasable(docs)
-    releaseOnFirstExecution(out, release)
-    out
-  }
-
-  /** Fire `release` once, after the first query execution whose logical
-    * plan contains `df`'s — matched by node identity, so derived frames
-    * (`df.select(…)`, a parquet write of a join over it) trigger too. */
-  private def releaseOnFirstExecution(df: DataFrame, release: () => Unit): Unit = {
-    import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.util.QueryExecutionListener
-    val spark = df.sparkSession
-    // match on the ANALYZED tree: actions compose over Dataset.logicalPlan
-    // (= the analyzed/commandExecuted plan), so the raw logical nodes never
-    // appear in a derived action's execution
-    val marker = df.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def fire(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_ eq marker) && done.compareAndSet(false, true)) {
-          release()
-          spark.listenerManager.unregister(this)
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        fire(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        fire(qe)
-    }
-    spark.listenerManager.register(listener)
+    Release.onFirstExecution(out, release)
   }
 }

@@ -89,50 +89,15 @@ object TierTwentyOne {
   }
 
   /** q125's iteration engine over an ARBITRARY directed edge frame
-    * `(src, dst)` (duplicates tolerated — deduped on entry). Extracted so
-    * the randomized-graph differential (TierTwentyOneSpec) exercises the
-    * engine beyond the one relational fixture — the [[TierTwentyTwo
-    * .trustOver]] parameterization convention. */
+    * `(src, dst)` (duplicates tolerated — deduped on entry). Round 9:
+    * delegates to the unified [[Graph]] engine (uniform teleport, [[Iters]]
+    * rounds) — one iterate-shuffle-checkpoint skeleton shared with q128/
+    * q136/q137, with per-round block release and a single-shot auto-release
+    * on the result (execute the returned frame once; the
+    * [[Dedup.deduplicate]] contract). */
   private[graft] def pageRankOver(
-      rawEdges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val e = rawEdges.select(col("src"), col("dst"))
-      .distinct()
-      .persist() // nodes, deg, and edges all derive from the distinct edge set
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    // dangling-ness is STATIC — stamp it on the node set once, so each
-    // iteration's dangling mass is a column-filtered aggregate over the
-    // rank frame, not a per-iteration anti-join
-    val nodes = e.select(col("src").as("nid"))
-      .union(e.select(col("dst").as("nid"))).distinct()
-      .join(deg.select(col("src").as("nid"), lit(true).as("has_out")), Seq("nid"), "left")
-      .select(col("nid"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .persist()
-    val edges = e.join(deg, "src").persist() // (src, dst, d) reread every iteration
-    // the one driver scalar: |V|, for the teleport constant (metadata-scale)
-    val n = nodes.count()
-    require(n > 0, "pageRankOver: edge frame is empty — no nodes to rank")
-    var r = nodes.select(col("nid"), col("has_out"), lit(S / n).as("r"))
-    for (_ <- 1 to Iters) {
-      val contrib = edges.join(r.select(col("nid"), col("r")), edges("src") === col("nid"))
-        .select(col("dst").as("nid2"), expr("r div d").as("c"))
-        .groupBy("nid2").agg(sum("c").as("c"))
-        .select(col("nid2").as("nid"), col("c"))
-      val dang = r.agg(
-        coalesce(sum(when(!col("has_out"), col("r")).otherwise(0L)), lit(0L)).as("dang"))
-      r = nodes.crossJoin(broadcast(dang))
-        .join(contrib, Seq("nid"), "left")
-        .select(col("nid"), col("has_out"),
-          (lit(15L * S / (100L * n)) +
-            expr(s"(85 * (coalesce(c, CAST(0 AS BIGINT)) + (dang div $n))) div 100")).as("r"))
-      // per-round lineage truncation (the [[Components]] discipline): an
-      // iterative frame that references its predecessor doubles the plan
-      // every round and compounds join-size estimates geometrically;
-      // checkpoint keeps plan + stats O(1) per round (production: reliable
-      // checkpoint() instead of local)
-      r = org.apache.spark.sql.GraftSqlBridge.freshLeaf(r.localCheckpoint(true))
-    }
-    r.select(col("nid"), col("r").as("rank_fp")).orderBy("nid")
-  }
+      rawEdges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Graph.pageRank(rawEdges, iters = Iters)
 
   /** DSIR-style hashed importance weight per document (Xie et al. 2023:
     * n-gram features hashed into buckets; weight = how much more likely

@@ -93,41 +93,22 @@ object TierTwentyTwo {
     * (doc_id, source). */
   private[graft] def trustOver(docs: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hits = pairs.select("doc_a", "doc_b").persist()
+    // round 9: the iteration skeleton lives in the unified [[Graph]] engine
+    // (seeded teleport, [[TrustIters]] rounds); this wrapper symmetrizes
+    // the pair frame and maps the doc schema. The pair detector is pinned
+    // HERE (the symmetrizing union reads it twice) and rides the engine's
+    // release handle; single-shot auto-release on the result (the
+    // [[Dedup.deduplicate]] contract).
+    val pins = new Pins
+    val hits = pins(pairs.select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val deg = ed.groupBy("src").agg(count(lit(1)).as("d"))
-    val edges = ed.join(deg, "src").persist()
-    // static node frame: seed flag AND dangling flag stamped once (q125's
-    // discipline — per-iteration dangling mass is a filtered aggregate,
-    // not an anti-join)
-    val seeds = docs.select(col("doc_id").as("nid"), (col("source") === "src0").as("seed"))
-      .join(deg.select(col("src").as("nid"), lit(true).as("has_out")), Seq("nid"), "left")
-      .select(col("nid"), col("seed"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .persist()
-    // the one driver scalar: |seeds| for the teleport constant
-    val ns = seeds.filter(col("seed")).count()
-    require(ns > 0,
-      "trustOver: no seed documents (source = 'src0') — trust has nowhere to start")
-    var t = seeds.select(col("nid"), col("seed"), col("has_out"),
-      when(col("seed"), lit(S / ns)).otherwise(lit(0L)).as("t"))
-    for (_ <- 1 to TrustIters) {
-      val contrib = edges.join(t.select(col("nid"), col("t")), edges("src") === col("nid"))
-        .select(col("dst").as("nid2"), expr("t div d").as("c"))
-        .groupBy("nid2").agg(sum("c").as("c"))
-        .select(col("nid2").as("nid"), col("c"))
-      val dang = t.agg(
-        coalesce(sum(when(!col("has_out"), col("t")).otherwise(0L)), lit(0L)).as("dang"))
-      t = seeds.crossJoin(broadcast(dang))
-        .join(contrib, Seq("nid"), "left")
-        .select(col("nid"), col("seed"), col("has_out"),
-          (when(col("seed"),
-            lit(15L * S / (100L * ns)) + expr(s"(85 * (dang div $ns)) div 100"))
-            .otherwise(lit(0L)) +
-            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("t"))
-      t = org.apache.spark.sql.GraftSqlBridge.freshLeaf(t.localCheckpoint(true))
-    }
-    t.select(col("nid").as("doc_id"), col("t").as("trust_fp")).orderBy("doc_id")
+    val nodes = docs.select(col("doc_id").as("nid"),
+      (col("source") === "src0").as("tele"))
+    val rk = Graph.trustReleasable(nodes, ed, iters = TrustIters, pins = pins)
+    Release.onFirstExecution(
+      rk.ranks.select(col("nid").as("doc_id"), col("rank_fp").as("trust_fp")),
+      rk.release)
   }
 
   /** Per-doc memorization-risk ratio: of the document's overlapping
