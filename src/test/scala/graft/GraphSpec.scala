@@ -1,0 +1,182 @@
+package graft
+
+import graft.operators.{Graph, Release}
+import org.apache.spark.sql.functions._
+
+/** The unified [[Graph]] engine's own contract (round-9 VERDICT #2 — the
+  * capabilities its q125/q128/q136/q137 callers don't reach):
+  *
+  *  - frontier BFS with `maxHops = None` runs until the frontier empties
+  *    (exact distances on a diameter-7 chain a 4-hop unroll provably
+  *    misses);
+  *  - `epsilon = Some(0)` stops exactly when a round is a no-op — early
+  *    on a stationary cycle, never on the q125 fixture — and is always
+  *    bit-identical to the plain fixed-iteration run;
+  *  - weighted propagation ≡ an in-memory integer iteration;
+  *  - release discipline: the handles drop every pinned cache AND
+  *    localCheckpoint block (id-diff gates, the DedupSpec pattern), a
+  *    released frame cannot be re-executed (the documented single-shot
+  *    finality), a FAILED first action does NOT consume the auto-release
+  *    shot (round-9 ADVICE), and [[Release.sweep]] drains
+  *    built-but-never-executed frames.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  private def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def awaitReleased(ids: Set[Int]): Set[Int] = {
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while ((pinnedIds & ids).nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    pinnedIds & ids
+  }
+
+  /** 1→2→…→8: diameter 7 from node 1. */
+  private def chain = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+
+  test("bfs maxHops=None runs until the frontier empties — reaches what a 4-hop unroll misses") {
+    val bf = Graph.bfsReleasable(chain, Seq(1L).toDF("nid"))
+    val dist = bf.dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == (1L to 8L).map(i => i -> (i - 1)).toMap, s"exact chain distances, got $dist")
+    // the last round discovers the empty frontier: 7 growing + 1 empty
+    assert(bf.rounds == 8, s"rounds=${bf.rounds}")
+    bf.release()
+
+    val capped = Graph.bfsReleasable(chain, Seq(1L).toDF("nid"), maxHops = Some(4))
+    val d4 = capped.dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped.rounds == 4)
+    assert(d4 == (1L to 5L).map(i => i -> (i - 1)).toMap,
+      s"the 4-hop unroll must miss nodes 6..8 (d=5..7), got $d4")
+    assert(!d4.contains(6L) && dist(6L) == 5L,
+      "node 6 is exactly what open-ended BFS adds over the fixed unroll")
+    capped.release()
+  }
+
+  test("bfs distances are layered-exact on a branchy graph (≡ in-memory BFS)") {
+    // two sources, a diamond, and an unreachable island {20,21}
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L),
+      (6L, 1L), (20L, 21L)).toDF("src", "dst")
+    val adj = Seq((1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L),
+      (6L, 1L), (20L, 21L)).groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = Map(1L -> 0L, 2L -> 0L)
+    var frontier = Set(1L, 2L)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)).filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> (dist(frontier.head) + 1))
+      frontier = next
+    }
+    val bf = Graph.bfsReleasable(edges, Seq(1L, 2L).toDF("nid"))
+    val got = bf.dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bf.release()
+    assert(got == dist, s"got $got expected $dist")
+    assert(!got.contains(20L) && !got.contains(21L), "island must stay unreached")
+  }
+
+  test("epsilon=0 fires the early stop on a stationary cycle, bit-identical to the long fixed run") {
+    // a directed 3-cycle is stationary from the uniform init: round 1 is a
+    // no-op, so Σ|Δr| = 0 and the engine must stop after it
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val eps = Graph.pageRankReleasable(cycle, iters = 5, epsilon = Some(0L))
+    val epsRows = eps.ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(eps.rounds == 1, s"early stop must fire after the first no-op round, ran ${eps.rounds}")
+    eps.release()
+    val fixed = Graph.pageRankReleasable(cycle, iters = 5)
+    val fixedRows = fixed.ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fixed.rounds == 5)
+    fixed.release()
+    assert(epsRows == fixedRows, "a monotone-contraction no-op round ⇒ every later iterate is bit-identical")
+    assert(epsRows.forall(_._2 == S / 3), "cycle fixed point is the uniform share")
+  }
+
+  test("epsilon=Some(0) ≡ plain fixed-iter on the q125 fixture (no early stop fires)") {
+    val e = Tables.load(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.load(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val eps = Graph.pageRankReleasable(e, iters = 3, epsilon = Some(0L))
+    val epsRows = eps.ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    eps.release()
+    val fixed = Graph.pageRankReleasable(e, iters = 3)
+    val fixedRows = fixed.ranks.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    fixed.release()
+    assert(eps.rounds == 3, s"the bipartite purchase graph must not converge in 3 rounds, stopped at ${eps.rounds}")
+    assert(epsRows == fixedRows)
+  }
+
+  test("weightedPageRank ≡ in-memory integer iteration; proportional split matters") {
+    // node 1 splits 3:1 between 2 and 3 — under the uniform split both get
+    // the same share, so any divergence proves the weights are live
+    val wedges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
+    val ww = wedges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val nodes = Seq(1L, 2L, 3L)
+    var r = nodes.map(_ -> S / 3).toMap
+    for (_ <- 1 to 3) {
+      val contrib = wedges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => r(src) * w / ww(src) }.sum
+      }
+      r = nodes.map(n => n ->
+        (15L * S / (100L * 3) + 85L * (contrib.getOrElse(n, 0L) + 0L) / 100L)).toMap
+    }
+    val expected = nodes.map(n => (n, r(n)))
+    val rk = Graph.weightedPageRankReleasable(wedges.toDF("src", "dst", "w"), iters = 3)
+    val got = rk.ranks.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(rk.rounds == 3)
+    rk.release()
+    assert(got == expected, s"got $got expected $expected")
+    assert(r(2L) != r(3L), "fixture must make the proportional split visible")
+  }
+
+  test("release handles drop every pinned cache AND checkpoint block; released frames are final") {
+    val before = pinnedIds
+    val rk = Graph.pageRankReleasable(chain, iters = 2)
+    rk.ranks.count()
+    val mine = pinnedIds -- before
+    assert(mine.nonEmpty, "the engine pins at least the edge frame and the final checkpoint leaf")
+    rk.release()
+    val left = awaitReleased(mine)
+    assert(left.isEmpty, s"release must drop caches and checkpoint blocks; still pinned: $left")
+    // FINALITY (round-9 VERDICT #3): the lineage bottoms out in a dropped
+    // localCheckpoint leaf — a second materialization must fail, not
+    // silently recompute
+    intercept[Exception] { rk.ranks.count() }
+
+    val bfore = pinnedIds
+    val bf = Graph.bfsReleasable(chain, Seq(1L).toDF("nid"), maxHops = Some(2))
+    bf.dist.count()
+    val bmine = pinnedIds -- bfore
+    assert(bmine.nonEmpty)
+    bf.release()
+    val bleft = awaitReleased(bmine)
+    assert(bleft.isEmpty, s"bfs release must drop caches and checkpoint blocks; still pinned: $bleft")
+  }
+
+  test("auto-release fires on first SUCCESS only — a failed action keeps the frame retryable") {
+    val before = pinnedIds
+    val out = Graph.pageRank(chain, iters = 2)
+    // a derived action that fails at runtime: onFailure must NOT consume
+    // the shot (round-9 ADVICE — transient failures stay retryable)
+    intercept[Exception] {
+      out.select(assert_true(col("rank_fp") < 0).as("x")).collect()
+    }
+    val n = out.count() // the retry works and NOW fires the release
+    assert(n == 8L)
+    val left = awaitReleased(pinnedIds -- before)
+    assert(left.isEmpty, s"first SUCCESS must release the engine's pins; still pinned: $left")
+  }
+
+  test("Release.sweep drains built-but-never-executed auto-release frames (round-9 ADVICE)") {
+    Release.sweep(spark) // drain leftovers from earlier tests for a clean gauge
+    val before = pinnedIds
+    val outstandingBefore = Release.outstanding(spark)
+    Graph.pageRank(chain, iters = 2) // built, never executed — a plan-audit shape
+    assert(Release.outstanding(spark) == outstandingBefore + 1)
+    val mine = pinnedIds -- before
+    assert(mine.nonEmpty, "the abandoned build left pinned state behind")
+    Release.sweep(spark)
+    assert(Release.outstanding(spark) == outstandingBefore)
+    val left = awaitReleased(mine)
+    assert(left.isEmpty, s"sweep must drop the abandoned build's pins; still pinned: $left")
+  }
+}

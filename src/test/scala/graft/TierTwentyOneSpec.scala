@@ -168,5 +168,8 @@ class TierTwentyOneSpec extends SparkSpec {
     val p127 = TierTwentyOne.q127.run(spark, sf).queryExecution.executedPlan.toString
     Cumulative.releaseAll()
     assert(!p127.contains("Window"), s"q127 must rank via the two-pass prefix, got: ${p127.take(800)}")
+    // built-but-never-executed engine frames leave armed auto-release
+    // listeners + pinned checkpoint leaves — drain them (round-9 ADVICE)
+    operators.Release.sweep(spark)
   }
 }

@@ -106,5 +106,8 @@ class TierTwentyTwoSpec extends SparkSpec {
       Cumulative.releaseAll()
       assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
     }
+    // built-but-never-executed engine frames leave armed auto-release
+    // listeners + pinned checkpoint leaves — drain them (round-9 ADVICE)
+    operators.Release.sweep(spark)
   }
 }
