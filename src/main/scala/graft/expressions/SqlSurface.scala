@@ -122,6 +122,12 @@ object SqlSurface {
     }
   }
 
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a STRING literal naming a table/view, got $other")
+  }
+
   /** (name, usage, builder) for every table-valued function — whole-plan
     * operators, reachable as `SELECT … FROM graft_xxx('view_name')`. The
     * argument names a table/view visible to the ACTIVE session; the builder
@@ -277,6 +283,82 @@ object SqlSurface {
         val nprobe = if (exprs.length >= 4) intLit(exprs(3), "graft_ivf_probe", "nprobe") else 1
         GraftSqlBridge.analyzed(
           graft.operators.IvfStore.probe(SparkSession.active, path, query, k, nprobe))
+      }),
+
+    // The graph-engine twins (round-10, carried round-8 advice #5). Like
+    // graft_ivf_probe, the iterative engine runs EAGERLY at analysis time
+    // on the driver; the spliced plan reads the final checkpointed rank /
+    // distance frame. The results inherit the engines' single-shot
+    // auto-release contract: execute the SELECT once and keep the output
+    // (ExpressionSpec pins that the release fires through the SQL path).
+    ("graft_pagerank",
+      "graft_pagerank(edges STRING[, iters INT[, eps INT]]) - integer" +
+        " fixed-point PageRank (nid, rank_fp) over a directed (src, dst)" +
+        " edge table/view (Graph.pageRank; duplicates deduped on entry;" +
+        " eps = integer L1 early-stop threshold, omit to run `iters` rounds)",
+      exprs => {
+        arity("graft_pagerank", exprs, 1, 2, 3)
+        val view = strLit(exprs.head, "graft_pagerank", "edges")
+        val iters =
+          if (exprs.length >= 2) intLit(exprs(1), "graft_pagerank", "iters") else 3
+        val eps =
+          if (exprs.length >= 3) Some(intLit(exprs(2), "graft_pagerank", "eps").toLong)
+          else None
+        GraftSqlBridge.analyzed(
+          graft.operators.Graph.pageRank(SparkSession.active.table(view), iters, eps))
+      }),
+
+    ("graft_weighted_pagerank",
+      "graft_weighted_pagerank(edges STRING[, iters INT[, eps INT]]) -" +
+        " integer fixed-point PageRank with PROPORTIONAL rank split over a" +
+        " pre-aggregated (src, dst, w) edge table/view" +
+        " (Graph.weightedPageRank)",
+      exprs => {
+        arity("graft_weighted_pagerank", exprs, 1, 2, 3)
+        val view = strLit(exprs.head, "graft_weighted_pagerank", "edges")
+        val iters =
+          if (exprs.length >= 2) intLit(exprs(1), "graft_weighted_pagerank", "iters") else 3
+        val eps =
+          if (exprs.length >= 3)
+            Some(intLit(exprs(2), "graft_weighted_pagerank", "eps").toLong)
+          else None
+        GraftSqlBridge.analyzed(graft.operators.Graph.weightedPageRank(
+          SparkSession.active.table(view), iters, eps))
+      }),
+
+    ("graft_trust",
+      "graft_trust(nodes STRING, edges STRING[, iters INT[, eps INT]]) -" +
+        " seeded TrustRank (nid, rank_fp) over a (nid, tele BOOLEAN) node" +
+        " universe and directed (src, dst) edges (Graph.trust; teleport and" +
+        " dangling mass land only on tele nodes; parallel edges weight the" +
+        " split — symmetrize/dedupe upstream as the semantics require)",
+      exprs => {
+        arity("graft_trust", exprs, 2, 3, 4)
+        val nodes = strLit(exprs.head, "graft_trust", "nodes")
+        val edges = strLit(exprs(1), "graft_trust", "edges")
+        val iters = if (exprs.length >= 3) intLit(exprs(2), "graft_trust", "iters") else 2
+        val eps =
+          if (exprs.length >= 4) Some(intLit(exprs(3), "graft_trust", "eps").toLong)
+          else None
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.Graph.trust(
+          spark.table(nodes), spark.table(edges), iters, eps))
+      }),
+
+    ("graft_bfs",
+      "graft_bfs(edges STRING, sources STRING[, max_hops INT]) - exact" +
+        " multi-source hop distances (nid, d) over directed (src, dst)" +
+        " edges from a (nid) source table/view (Graph.bfs; omit max_hops" +
+        " to run until the frontier empties — the whole reachable set)",
+      exprs => {
+        arity("graft_bfs", exprs, 2, 3)
+        val edges = strLit(exprs.head, "graft_bfs", "edges")
+        val sources = strLit(exprs(1), "graft_bfs", "sources")
+        val maxHops =
+          if (exprs.length >= 3) Some(intLit(exprs(2), "graft_bfs", "max_hops")) else None
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.Graph.bfs(
+          spark.table(edges), spark.table(sources), maxHops))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

@@ -369,4 +369,60 @@ class ExpressionSpec extends SparkSpec {
     // and the value is right
     assert(v.agg(min("d")).head().getDouble(0) > 0.0)
   }
+
+  test("graph-engine table functions from SQL ≡ the Graph engine, and auto-release fires through SQL") {
+    import spark.implicits._
+    import graft.operators.Graph
+    GraftFunctions.register(spark)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    edges.createOrReplaceTempView("gr_edges")
+    Seq((1L, true), (2L, false), (3L, false), (4L, false)).toDF("nid", "tele")
+      .createOrReplaceTempView("gr_nodes")
+    Seq(Tuple1(4L)).toDF("nid").createOrReplaceTempView("gr_seeds")
+    Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w").createOrReplaceTempView("gr_wedges")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedIds
+    // SQL twin ≡ Scala engine, bit-for-bit (same integer fixed-point path)
+    val prSql = rows(spark.sql("SELECT * FROM graft_pagerank('gr_edges', 4)"))
+    val pr = Graph.pageRankReleasable(edges, iters = 4)
+    assert(prSql == rows(pr.ranks) && prSql.nonEmpty)
+    pr.release()
+
+    val wSql = rows(spark.sql("SELECT * FROM graft_weighted_pagerank('gr_wedges', 3)"))
+    val w = Graph.weightedPageRankReleasable(
+      spark.table("gr_wedges"), iters = 3)
+    assert(wSql == rows(w.ranks))
+    w.release()
+
+    val tSql = rows(spark.sql("SELECT * FROM graft_trust('gr_nodes', 'gr_edges', 2)"))
+    val t = Graph.trustReleasable(spark.table("gr_nodes"), edges, iters = 2)
+    assert(tSql == rows(t.ranks))
+    assert(tSql.find(_._1 == 1L).exists(_._2 > 0), "seed must hold trust")
+    t.release()
+
+    val bSql = rows(spark.sql("SELECT * FROM graft_bfs('gr_edges', 'gr_seeds')")
+      .orderBy("nid"))
+    // 4→1→{2,3}, then 2→3/3→1 add nothing new
+    assert(bSql == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 0L)))
+    val bCap = rows(spark.sql("SELECT * FROM graft_bfs('gr_edges', 'gr_seeds', 1)")
+      .orderBy("nid"))
+    assert(bCap == Seq((1L, 1L), (4L, 0L)), "max_hops must cap the reach")
+
+    // the SQL SELECTs executed each single-shot frame once — their
+    // auto-release listeners must have fired through the spliced plan
+    // (node identity survives table-function resolution)
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while ((pinnedIds -- before).nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert((pinnedIds -- before).isEmpty,
+      s"SQL executions must fire the engines' auto-release; still pinned: ${pinnedIds -- before}")
+
+    // arity / literal guards surface as analysis-time errors
+    val err = intercept[Exception](spark.sql("SELECT * FROM graft_bfs('gr_edges')"))
+    assert(err.getMessage.contains("2 or 3"), err.getMessage)
+  }
 }
