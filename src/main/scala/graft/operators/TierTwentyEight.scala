@@ -31,6 +31,26 @@ object TierTwentyEight {
     * delays — production swaps in `Sketches.approxQuantile` when even
     * that column is too wide).
     */
+  /** The per-converted-user delay column (whole seconds) q140 folds —
+    * exposed so the documented scale path ([[graft.functions.Sketches
+    * .approxQuantiles]] when even the delay column is too wide for the
+    * exact SinglePartition percentile) is spec-pinned against the exact
+    * fold (TierTwentyEightSpec's rank-error gate). */
+  private[graft] def delays(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu_user"), col("ts"))
+      .join(su, col("pu_user") === su("user_id"))
+      .filter(col("ts") >= col("s_ts"))
+      .groupBy("pu_user").agg(min("ts").as("p_ts"))
+    su.join(pu, su("user_id") === col("pu_user"))
+      .select(expr("(unix_micros(CAST(p_ts AS TIMESTAMP)) - unix_micros(CAST(s_ts AS TIMESTAMP))) div 1000000")
+        .as("delay_s"))
+  }
+
   val q140 = Q("q140_conversion_latency",
     """WITH su AS (
       |  SELECT user_id, min(ts) AS s_ts FROM events
@@ -46,17 +66,7 @@ object TierTwentyEight {
       |       round(quantile_cont(CAST(delay_s AS DOUBLE), 0.5), 6) AS p50_s,
       |       round(quantile_cont(CAST(delay_s AS DOUBLE), 0.9), 6) AS p90_s
       |FROM d""".stripMargin) { (s, dir) =>
-    val ev = Tables.load(s, dir, "events")
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("s_ts"))
-    val pu = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu_user"), col("ts"))
-      .join(su, col("pu_user") === su("user_id"))
-      .filter(col("ts") >= col("s_ts"))
-      .groupBy("pu_user").agg(min("ts").as("p_ts"))
-    su.join(pu, su("user_id") === col("pu_user"))
-      .select(expr("(unix_micros(CAST(p_ts AS TIMESTAMP)) - unix_micros(CAST(s_ts AS TIMESTAMP))) div 1000000")
-        .as("delay_s"))
+    delays(s, dir)
       .agg(count(lit(1)).as("n_converted"),
         round(expr("percentile(CAST(delay_s AS DOUBLE), 0.5)"), 6).as("p50_s"),
         round(expr("percentile(CAST(delay_s AS DOUBLE), 0.9)"), 6).as("p90_s"))

@@ -430,6 +430,70 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s36: LIVE SCD-2 history (transformWithState) ≡ batch q138 (closed stream + open state)") {
+    // the q138 event-to-state fold on a stream: each event closes the
+    // user's open version (emitted once, append mode) and opens its own.
+    // Full-table parity: streamed closed rows ≡ q138's is_current=0 rows
+    // bit for bit, and q138's is_current=1 rows ≡ the per-user open
+    // versions the state is holding when the stream drains (reconstructed
+    // here from the replayed input — they can't appear in append output)
+    import graft.streaming.ScdProcessor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("ts").cast("timestamp"), col("event_id"),
+          col("value").cast("double"),
+          floor(col("value") * 100).cast("long")) // cents for the open-state law
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4)))
+        // full-precision (ts, event_id) order — the processor's documented
+        // per-user delivery assumption (same shape as s23)
+        .sortBy(t => (t._2.getTime, t._2.getNanos, t._3))
+      val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double, Long)]
+      // the RAW value double rides into the processor — its floor(value*100)
+      // is the same Spark expression the batch history() applies
+      val q = ScdProcessor.history(
+          in.toDF().select(col("_1").as("user_id"), col("_2").as("ts"),
+            col("_3").as("event_id"), col("_4").as("value")))
+        .toDF()
+        .writeStream.format("memory").queryName("s36_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 6)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        val streamedClosed = spark.table("s36_out").collect()
+          .map(r => (r.getLong(0), micros(r.getTimestamp(1)),
+            micros(r.getTimestamp(2)), r.getLong(3))).toSeq.sorted
+        val batch = graft.operators.TierTwentySeven.q138.run(spark, sf).collect()
+          .map(r => (r.getLong(0),
+            r.getAs[java.time.LocalDateTime]("valid_from"),
+            r.getAs[java.time.LocalDateTime]("valid_to"),
+            r.getLong(3), r.getLong(4)))
+        def ntzMicros(t: java.time.LocalDateTime): Long =
+          t.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L + t.getNano / 1000L
+        val batchClosed = batch.filter(_._5 == 0L)
+          .map(b => (b._1, ntzMicros(b._2), ntzMicros(b._3), b._4)).toSeq.sorted
+        assert(streamedClosed == batchClosed,
+          s"closed-version stream must equal q138's closed rows (${streamedClosed.length} vs ${batchClosed.length})")
+        assert(streamedClosed.nonEmpty)
+        // the versions still OPEN in state = per-user last event — must be
+        // exactly q138's is_current=1 rows (so stream ∪ state ≡ q138)
+        val openExpected = rows.groupBy(_._1).values
+          .map(_.maxBy(t => (micros(t._2), t._3)))
+          .map(t => (t._1, micros(t._2), t._5)).toSeq.sorted
+        val batchCurrent = batch.filter(_._5 == 1L)
+          .map(b => { assert(b._3 == null, "current rows are open-ended")
+            (b._1, ntzMicros(b._2), b._4) }).toSeq.sorted
+        assert(openExpected == batchCurrent)
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s24: stateless classifier gate on a stream ≡ batch (string-hash scoreCol)") {
     // the quality-classifier admission as pure flow: scoreCol is one column
     // expression (literal weight array, xxhash64 bucketing, higher-order

@@ -62,6 +62,37 @@ class TierTwentyEightSpec extends SparkSpec {
       "fixture must attribute something")
   }
 
+  test("q140's documented sketch path: approxQuantiles lands inside the 1% rank band of the exact fold") {
+    // TierTwentyEight.delays names Sketches.approxQuantiles as the
+    // production swap when even the per-converted-user delay column is too
+    // wide for the exact SinglePartition percentile; nothing pinned that
+    // claim until now (round-9 advice). The sketch's contract is a RANK
+    // guarantee (relativeError = 0.01): the returned value's rank must sit
+    // within ±1%·n of the requested quantile — that, not value closeness,
+    // is what this gate asserts.
+    val d = TierTwentyEight.delays(spark, sf)
+    val sorted = d.collect().map(_.getLong(0)).sorted
+    val n = sorted.length
+    assert(n > 10, "fixture must have converted users")
+    val eps = 0.01
+    val approx = graft.functions.Sketches.approxQuantiles(d, "delay_s", Array(0.5, 0.9))
+    Seq(0.5 -> approx(0), 0.9 -> approx(1)).foreach { case (p, v) =>
+      val below = sorted.count(_ < v) // ranks the value could occupy: [below, atOrBelow]
+      val atOrBelow = sorted.count(_ <= v)
+      assert(below <= math.ceil((p + eps) * n) && atOrBelow >= math.floor((p - eps) * n),
+        s"p$p sketch value $v has rank window [$below, $atOrBelow] outside ±1% of ${p * n} (n=$n)")
+      assert(sorted.contains(v.toLong) && v == v.toLong.toDouble,
+        s"approxQuantile must return an actual delay element, got $v")
+    }
+    // and on this fixture the p50 sketch is also VALUE-exact vs the exact
+    // fold's median when n is odd (both pick the same middle element) —
+    // a stronger anchor the rank band alone wouldn't give
+    val exact = TierTwentyEight.q140.run(spark, sf).head()
+    assert(exact.getLong(0) == n.toLong, "delays frame and q140 must agree on n_converted")
+    if (n % 2 == 1)
+      assert(approx(0) == exact.getDouble(1), "odd-n median is a data element both paths must hit")
+  }
+
   test("tier-28 plan gates: no CartesianProduct; q141's arg-max is agg, not Window") {
     for (q <- TierTwentyEight.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
