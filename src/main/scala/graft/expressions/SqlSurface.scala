@@ -359,6 +359,34 @@ object SqlSurface {
         val spark = SparkSession.active
         GraftSqlBridge.analyzed(graft.operators.Graph.bfs(
           spark.table(edges), spark.table(sources), maxHops))
+      }),
+
+    ("graft_hits",
+      "graft_hits(edges STRING[, iters INT]) - HITS hubs & authorities" +
+        " (nid, hub_fp, auth_fp) at 1e9 fixed-point scale over a directed" +
+        " (src, dst) edge table/view (Graph.hits; duplicates deduped;" +
+        " alternating L1-normalized fixed point)",
+      exprs => {
+        arity("graft_hits", exprs, 1, 2)
+        val view = strLit(exprs.head, "graft_hits", "edges")
+        val iters = if (exprs.length >= 2) intLit(exprs(1), "graft_hits", "iters") else 2
+        GraftSqlBridge.analyzed(
+          graft.operators.Graph.hits(SparkSession.active.table(view), iters))
+      }),
+
+    ("graft_kcore",
+      "graft_kcore(edges STRING, k INT[, max_rounds INT]) - k-core" +
+        " membership (nid) of a (src, dst) edge table/view by iterative" +
+        " degree peel (Graph.kcore; pass symmetrized edges for undirected" +
+        " semantics; stops at the fixpoint or after max_rounds, default 10)",
+      exprs => {
+        arity("graft_kcore", exprs, 2, 3)
+        val view = strLit(exprs.head, "graft_kcore", "edges")
+        val k = intLit(exprs(1), "graft_kcore", "k")
+        val rounds =
+          if (exprs.length >= 3) intLit(exprs(2), "graft_kcore", "max_rounds") else 10
+        GraftSqlBridge.analyzed(
+          graft.operators.Graph.kcore(SparkSession.active.table(view), k, rounds))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

@@ -3,13 +3,15 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 
-/** THE iterative graph engine — one iterate-shuffle-checkpoint skeleton
+/** THE iterative graph engine — one iterate-shuffle-checkpoint discipline
   * behind every fixed-point query in the family (q125 PageRank, q128
-  * TrustRank, q136 multi-source BFS, q137 weighted PageRank), extracted in
-  * round 9 from the four hand-rolled copies the round-8 verdict flagged
-  * (the [[Components]] precedent: one engine, many callers).
+  * TrustRank, q136 multi-source BFS, q137 weighted PageRank, q142 HITS,
+  * q143 k-core), extracted in round 9 from the four hand-rolled copies the
+  * round-8 verdict flagged (the [[Components]] precedent: one engine, many
+  * callers) and extended in round 10 with the alternating ([[hits]]) and
+  * shrinking ([[kcore]]) shapes.
   *
-  * Two skeletons, both all-integer (the q57 determinism rule — float ranks
+  * Four skeletons, all all-integer (the q57 determinism rule — float ranks
   * would hash-diverge across engines' partial-agg summation orders):
   *
   *  - [[damped]]: damped mass propagation at fixed-point scale [[S]].
@@ -29,6 +31,12 @@ import org.apache.spark.sql.functions._
   *    frontier-count long on the driver. With `maxHops = None` the loop
   *    runs until the frontier empties — exact distances for the entire
   *    reachable set, no fixed unroll bound.
+  *  - [[hitsReleasable]]: the ALTERNATING hub/authority fixed point
+  *    (Kleinberg) — two keyed shuffles + two 1-row normalization
+  *    broadcasts per round at the overflow-safe [[SH]] scale.
+  *  - [[kcoreReleasable]]: the SHRINKING fixed point — iterative
+  *    degree-< k peel until a pass changes nothing (or a caller-shared
+  *    round cap for fixed SQL unrolls), one membership count per round.
   *
   * Scale posture shared by both: per-round lineage truncation through
   * eager `localCheckpoint` + [[GraftSqlBridge.freshLeaf]] (plans and
@@ -61,6 +69,12 @@ object Graph {
   /** Integer fixed-point scale shared by every propagation: ranks are
     * micro-millionths of the total mass (Σ r ≤ S with floor losses). */
   private[graft] val S = 1000000000000L
+
+  /** The HITS scale is deliberately smaller (10⁹): a raw authority score
+    * is a SUM of hub scores (≤ Σh ≤ SH), and normalization multiplies it
+    * by SH again — SH² = 10¹⁸ stays inside Int64 where S² = 10²⁴ would
+    * not. Same floor-division determinism contract as [[S]]. */
+  private[graft] val SH = 1000000000L
 
   /** A propagation result: the rank frame `(nid, rank_fp)` ordered by nid,
     * the number of rounds that actually ran (< maxIters when an epsilon
@@ -221,6 +235,133 @@ object Graph {
     val last = r
     val out = r.select(col("nid"), col("r").as("rank_fp")).orderBy("nid")
     Ranked(out, rounds,
+      () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
+  }
+
+  /** A HITS result: `(nid, hub_fp, auth_fp)` at scale [[SH]], ordered by
+    * nid (isolated-side nodes score 0), plus the release handle. Same
+    * single-shot finality as [[Ranked]]. */
+  final case class HubsAuths(scores: DataFrame, release: () => Unit)
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) over a directed
+    * `(src, dst)` edge frame (duplicates deduped on entry) — the
+    * alternating fixed point the damped skeleton cannot express: each
+    * round sets `auth = Σ hub(in-neighbors)` then `hub = Σ auth(out-
+    * neighbors)`, L1-normalizing each side to [[SH]] with the same
+    * floor-division determinism as every other propagation (`(v·SH) div
+    * max(Σv, 1)` — integer, order-free, bit-identical across engines).
+    * On a bipartite graph the two sides separate exactly: pure sources
+    * get `auth_fp = 0`, pure sinks `hub_fp = 0`.
+    *
+    * Scale posture: per round TWO dst/src-keyed shuffles (the two inflow
+    * groupBys) + two 1-row broadcast normalization scalars; the deduped
+    * edge set pins once; per-round checkpoint truncation and block
+    * release (the [[damped]] discipline). Single-shot auto-release. */
+  def hits(rawEdges: DataFrame, iters: Int = 2): DataFrame = {
+    val r = hitsReleasable(rawEdges, iters)
+    Release.onFirstExecution(r.scores, r.release)
+  }
+
+  def hitsReleasable(rawEdges: DataFrame, iters: Int = 2,
+      pins: Pins = new Pins): HubsAuths = {
+    require(iters >= 1, "Graph.hits: iters must be >= 1")
+    val e = pins(rawEdges.select(col("src"), col("dst")).distinct())
+    val nodes = pins(e.select(col("src").as("nid"))
+      .union(e.select(col("dst").as("nid"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "Graph.hits: edge frame is empty — no nodes to score")
+    def ckpt(df: DataFrame): DataFrame =
+      GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
+    // (nid, v) summed along edges from side `from` onto side `to`
+    def inflow(from: String, to: String, x: DataFrame): DataFrame =
+      e.join(x.select(col("nid").as("xn"), col("v")), col(from) === col("xn"))
+        .select(col(to).as("nid"), col("v"))
+        .groupBy("nid").agg(sum("v").as("v"))
+    // L1-normalize to SH: all-integer, summation-order-free
+    def normalized(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(coalesce(sum("v"), lit(0L)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("nid"), expr(s"(v * $SH) div greatest(tot, CAST(1 AS BIGINT))").as("v"))
+    }
+    var h = nodes.select(col("nid"), lit(SH / n).as("v"))
+    var a: DataFrame = null
+    var rounds = 0
+    while (rounds < iters) {
+      val (ph, pa) = (h, a)
+      a = ckpt(normalized(inflow("src", "dst", h)))
+      h = ckpt(normalized(inflow("dst", "src", a)))
+      // the previous round's blocks have no readers left (round 0's h is
+      // the un-checkpointed init projection — releaseLeaf no-ops there)
+      GraftSqlBridge.releaseLeaf(ph)
+      if (pa != null) GraftSqlBridge.releaseLeaf(pa)
+      rounds += 1
+    }
+    val (lastH, lastA) = (h, a)
+    val out = nodes
+      .join(h.select(col("nid"), col("v").as("hub_fp")), Seq("nid"), "left")
+      .join(a.select(col("nid"), col("v").as("auth_fp")), Seq("nid"), "left")
+      .select(col("nid"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+        coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+      .orderBy("nid")
+    HubsAuths(out, () => {
+      pins.release()
+      GraftSqlBridge.releaseLeaf(lastH)
+      GraftSqlBridge.releaseLeaf(lastA)
+    })
+  }
+
+  /** A k-core result: the surviving `(nid)` membership frame, the number
+    * of peel rounds executed (the last one observes no change when the
+    * fixpoint is reached before `maxRounds`), and the release handle. */
+  final case class Core(core: DataFrame, rounds: Int, release: () => Unit)
+
+  /** k-core decomposition membership (Seidman 1983) by iterative peeling:
+    * drop every node whose degree within the surviving subgraph is < k,
+    * until a pass changes nothing (or `maxRounds` passes ran — the cap
+    * makes a fixed SQL unroll of the same bound bit-identical even on a
+    * fixture that hasn't converged). Degree = out-degree over the edge
+    * frame — pass SYMMETRIZED edges for the undirected semantics.
+    *
+    * The link-graph curation diagnostic behind "dense duplicate cores":
+    * a near-dup cluster's 2-core is its cyclically-connected heart, the
+    * part that survives when chains and pendant pairs peel away.
+    *
+    * Scale posture: per round one alive-semijoin on each endpoint + one
+    * src-keyed count — all partial+final; the alive set only shrinks;
+    * per-round checkpoint truncation + block release; one membership
+    * count long on the driver per round. */
+  def kcore(edgesIn: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    val c = kcoreReleasable(edgesIn, k, maxRounds)
+    Release.onFirstExecution(c.core, c.release)
+  }
+
+  def kcoreReleasable(edgesIn: DataFrame, k: Int, maxRounds: Int = 10,
+      pins: Pins = new Pins): Core = {
+    require(k >= 1 && maxRounds >= 1, "Graph.kcore: k and maxRounds must be >= 1")
+    val ed = pins(edgesIn.select(col("src"), col("dst")))
+    def ckpt(df: DataFrame): DataFrame =
+      GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
+    var alive = ckpt(ed.select(col("src").as("nid"))
+      .union(ed.select(col("dst").as("nid"))).distinct())
+    var size = alive.count()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val prev = alive
+      val next = ckpt(ed
+        .join(prev.select(col("nid").as("sa")), col("src") === col("sa"))
+        .join(prev.select(col("nid").as("da")), col("dst") === col("da"))
+        .groupBy(col("src").as("nid")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("nid")))
+      val nsize = next.count()
+      changed = nsize != size // next ⊆ prev, so equal size ⇔ equal set
+      GraftSqlBridge.releaseLeaf(prev)
+      alive = next
+      size = nsize
+      rounds += 1
+    }
+    val last = alive
+    Core(last, rounds,
       () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
   }
 

@@ -413,6 +413,21 @@ class ExpressionSpec extends SparkSpec {
       .orderBy("nid"))
     assert(bCap == Seq((1L, 1L), (4L, 0L)), "max_hops must cap the reach")
 
+    val hSql = spark.sql("SELECT * FROM graft_hits('gr_edges', 2)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hits = Graph.hitsReleasable(edges, iters = 2)
+    val hScala = hits.scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hSql == hScala && hSql.nonEmpty)
+    hits.release()
+
+    // symmetrized 3-cycle + pendant: 2-core = the cycle
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+      .createOrReplaceTempView("gr_sym")
+    val kSql = spark.sql("SELECT * FROM graft_kcore('gr_sym', 2)")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(kSql == Seq(1L, 2L, 3L), s"2-core must be the cycle, got $kSql")
+
     // the SQL SELECTs executed each single-shot frame once — their
     // auto-release listeners must have fired through the spliced plan
     // (node identity survives table-function resolution)

@@ -128,6 +128,53 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) != r(3L), "fixture must make the proportional split visible")
   }
 
+  test("hits ≡ in-memory alternating iteration on a tiny bipartite graph; normalization guard; release gate") {
+    val SHl = 1000000000L
+    val edges = Seq((1L, 11L), (2L, 11L), (2L, 12L))
+    val nodes = Seq(1L, 2L, 11L, 12L)
+    var h = nodes.map(_ -> SHl / 4).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => h(e._1)).sum }
+      a = ar.map { case (k, v) => k -> v * SHl / math.max(ar.values.sum, 1L) }
+      val hr = edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => a(e._2)).sum }
+      h = hr.map { case (k, v) => k -> v * SHl / math.max(hr.values.sum, 1L) }
+    }
+    val expected = nodes.map(nid => (nid, h.getOrElse(nid, 0L), a.getOrElse(nid, 0L)))
+    val before = pinnedIds
+    val rk = Graph.hitsReleasable(edges.toDF("src", "dst"), iters = 2)
+    val got = rk.scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mine = pinnedIds -- before
+    assert(mine.nonEmpty, "hits pins the edge/node frames and the final checkpoint leaves")
+    rk.release()
+    assert(got == expected, s"got $got expected $expected")
+    // node 2 feeds both authorities — it must out-hub node 1
+    val byId = got.map(x => x._1 -> x).toMap
+    assert(byId(2L)._2 > byId(1L)._2, "the two-authority feeder must out-hub the single")
+    val left = awaitReleased(mine)
+    assert(left.isEmpty, s"hits release must drop caches and checkpoint blocks; still pinned: $left")
+  }
+
+  test("kcore peels a chain to empty and a pendant off a triangle; rounds counted; release gate") {
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+    // triangle {1,2,3} with pendant 4—1: one peel drops 4, the next
+    // observes the fixpoint
+    val tri = Graph.kcoreReleasable(sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))), k = 2)
+    assert(tri.core.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L))
+    assert(tri.rounds == 2, s"drop-pendant + confirm = 2 rounds, ran ${tri.rounds}")
+    tri.release()
+    // a 5-chain has NO 2-core: endpoints peel first, then inward —
+    // multi-round shrink ending empty (the shape a single filter misses)
+    val before = pinnedIds
+    val chain = Graph.kcoreReleasable(sym((1L to 4L).map(i => (i, i + 1))), k = 2)
+    assert(chain.core.count() == 0L, "a chain must peel to nothing")
+    assert(chain.rounds == 4, s"5-chain peels in 3 shrinking rounds + 1 confirm, ran ${chain.rounds}")
+    chain.release()
+    val left = awaitReleased(pinnedIds -- before)
+    assert(left.isEmpty, s"kcore release must drop caches and checkpoint blocks; still pinned: $left")
+  }
+
   test("release handles drop every pinned cache AND checkpoint block; released frames are final") {
     val before = pinnedIds
     val rk = Graph.pageRankReleasable(chain, iters = 2)
