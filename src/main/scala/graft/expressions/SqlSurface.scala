@@ -387,6 +387,23 @@ object SqlSurface {
           if (exprs.length >= 3) intLit(exprs(2), "graft_kcore", "max_rounds") else 10
         GraftSqlBridge.analyzed(
           graft.operators.Graph.kcore(SparkSession.active.table(view), k, rounds))
+      }),
+
+    ("graft_sssp",
+      "graft_sssp(edges STRING, sources STRING[, max_rounds INT]) -" +
+        " multi-source shortest-path costs (nid, d) over a (src, dst," +
+        " w BIGINT>=0) edge table/view from a (nid) source table/view" +
+        " (Graph.sssp Bellman-Ford; stops at the fixpoint or after" +
+        " max_rounds, default 10)",
+      exprs => {
+        arity("graft_sssp", exprs, 2, 3)
+        val edges = strLit(exprs.head, "graft_sssp", "edges")
+        val sources = strLit(exprs(1), "graft_sssp", "sources")
+        val rounds =
+          if (exprs.length >= 3) intLit(exprs(2), "graft_sssp", "max_rounds") else 10
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.Graph.sssp(
+          spark.table(edges), spark.table(sources), rounds))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

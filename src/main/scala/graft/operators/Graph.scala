@@ -365,6 +365,65 @@ object Graph {
       () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
   }
 
+  /** A shortest-path result: `(nid, d)` minimum accumulated edge cost
+    * from the source set (unordered — compose at the edge), rounds
+    * executed (the last observes the fixpoint when it lands before
+    * `maxRounds`), and the release handle. */
+  final case class Costed(dist: DataFrame, rounds: Int, release: () => Unit)
+
+  /** Multi-source shortest path with NON-NEGATIVE integer edge costs
+    * (Bellman-Ford relaxation): per round every reached node re-offers
+    * `d + w` along its out-edges and each node keeps the minimum — the
+    * VALUE-improving fixed point [[bfs]]'s set-growing frontier can't
+    * express (a longer path may be cheaper, so reached nodes can still
+    * improve). Stops when a round changes nothing — detected from two
+    * monotone driver scalars per round (reached count only grows, Σd
+    * over reached nodes only shrinks; both stationary ⇔ no relaxation
+    * fired) — or at `maxRounds`, the cap that keeps a fixed SQL unroll of
+    * the same bound bit-identical on an unconverged input (monotone
+    * lattice: once stationary, every later unroll step is a no-op).
+    *
+    * Scale posture: per round one dst-keyed shuffle carrying the whole
+    * reached set (the Bellman-Ford envelope — production graphs with
+    * small diameters converge in a handful of rounds) + one 2-scalar
+    * driver read; per-round checkpoint truncation + block release. */
+  def sssp(edges: DataFrame, sources: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val c = ssspReleasable(edges, sources, maxRounds)
+    Release.onFirstExecution(c.dist, c.release)
+  }
+
+  def ssspReleasable(edgesIn: DataFrame, sources: DataFrame,
+      maxRounds: Int = 10, pins: Pins = new Pins): Costed = {
+    require(maxRounds >= 1, "Graph.sssp: maxRounds must be >= 1")
+    val ed = pins(edgesIn.select(col("src"), col("dst"), col("w")))
+    def ckpt(df: DataFrame): DataFrame =
+      GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
+    var dist = ckpt(sources.select(col("nid")).distinct()
+      .select(col("nid"), lit(0L).as("d")))
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("d"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var s = sig(dist)
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val prev = dist
+      dist = ckpt(prev.select(col("nid"), col("d"))
+        .union(ed.join(prev, ed("src") === prev("nid"))
+          .select(col("dst").as("nid"), (col("d") + col("w")).as("d")))
+        .groupBy("nid").agg(min("d").as("d")))
+      val s2 = sig(dist)
+      changed = s2 != s
+      s = s2
+      GraftSqlBridge.releaseLeaf(prev)
+      rounds += 1
+    }
+    val last = dist
+    Costed(last, rounds,
+      () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
+  }
+
   /** Multi-source frontier BFS over directed `(src, dst)` edges from the
     * `(nid)` source set: exact hop distances for every node within
     * `maxHops` (None = the whole reachable set — the loop runs until the

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 30 (round 10, second wave): semantic-distance closers on the
+  * near-dup graph — cost-weighted reachability and the highest-precision
+  * mutual pairing.
+  *
+  *  - q144: SEMANTIC DRIFT DISTANCE — minimum ACCUMULATED DISSIMILARITY
+  *    from the vetted seed set through the near-dup graph (edge cost =
+  *    `10⁶ − ⌊cos·10⁶⌋` ppm): q136 counts hops, this prices them — two
+  *    hops through near-identical docs cost less than one hop through a
+  *    borderline pair, the trust-decay metric a curator actually wants.
+  *    The [[Graph.sssp]] Bellman-Ford shape: reached nodes can still
+  *    improve, so BFS's grow-only frontier doesn't apply.
+  *  - q145: RECIPROCAL NEAREST NEIGHBORS — doc pairs that are each
+  *    other's top-1 cosine neighbor: the classic highest-precision
+  *    near-dup/entity-match candidate set (mutual-kNN), stricter than
+  *    any threshold cut because BOTH sides must agree.
+  *
+  * Reference mapping: none (SURVEY.md §2.1) — north-star graph ops.
+  */
+object TierThirty {
+
+  private val Thr = 0.9
+  private val SpRounds = 10
+
+  /** Edge cost in ppm: `10⁶ − ⌊c·10⁶⌋` — exact on both engines because
+    * the hash-embed dot products are integer-valued doubles, so c and the
+    * product `c·10⁶` are bit-identical IEEE results (the q121 argument),
+    * and floor is exact. */
+  private val costSql = "CAST(1000000 - floor(c * 1000000) AS BIGINT)"
+
+  /** One oracle-SQL Bellman-Ford relaxation (MATERIALIZED — each round
+    * reads its predecessor twice; see q143 on DuckDB's exponential CTE
+    * inlining). */
+  private def relaxSql(i: Int): String =
+    s"""d${i + 1} AS MATERIALIZED (
+       |  SELECT nid, CAST(min(d) AS BIGINT) AS d FROM (
+       |    SELECT nid, d FROM d$i
+       |    UNION ALL
+       |    SELECT e.dst AS nid, p.d + e.w AS d
+       |    FROM ed e JOIN d$i p ON p.nid = e.src)
+       |  GROUP BY nid)""".stripMargin
+
+  /** Minimum accumulated dissimilarity (ppm) from any `source = 'src0'`
+    * doc through the symmetrized q121 near-dup graph; −1 beyond reach.
+    * Engine loop = [[Graph.sssp]] (fixpoint-stopped, round cap
+    * [[SpRounds]] shared with the oracle unroll — TierThirtySpec proves
+    * the fixture converges inside it).
+    */
+  val q144 = Q("q144_drift_distance",
+    s"""WITH ${TierNineteen.embSql},
+       |${TierNineteen.pairSql(Thr)},
+       |ed AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst, $costSql AS w FROM hits
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, $costSql FROM hits),
+       |sd AS (SELECT doc_id, (source = 'src0') AS seed FROM documents),
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id AS nid, CAST(0 AS BIGINT) AS d FROM sd WHERE seed),
+       |${(0 until SpRounds).map(relaxSql).mkString(",\n")}
+       |SELECT sd.doc_id, CAST(coalesce(dd.d, -1) AS BIGINT) AS drift_ppm
+       |FROM sd LEFT JOIN d$SpRounds dd ON dd.nid = sd.doc_id
+       |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pins = new Pins
+    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+      .withColumn("w", expr(costSql)).select("doc_a", "doc_b", "w"))
+    val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+      .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
+    val seeds = docs.filter(col("source") === "src0").select(col("doc_id").as("nid"))
+    val sp = Graph.ssspReleasable(ed, seeds, maxRounds = SpRounds, pins = pins)
+    Release.onFirstExecution(
+      docs.select(col("doc_id"))
+        .join(sp.dist.select(col("nid").as("doc_id"), col("d")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("drift_ppm"))
+        .orderBy("doc_id"),
+      sp.release)
+  }
+
+  /** Reciprocal nearest neighbors over the hash embeds: each doc's top-1
+    * cosine neighbor (ties: smaller doc_id — the pinned `max(struct(c,
+    * −nb, nb))` arg-max, ≡ the oracle's `ORDER BY c DESC, nb ASC`), kept
+    * only when MUTUAL; `(doc_a, doc_b, cos)` with doc_a < doc_b.
+    *
+    * Scale: the all-pairs candidate stream is the documented bounded
+    * anchor ([[TierNineteen.embedPairsOf]] at thr = −1, pinned
+    * broadcast-NLJ) collapsing partial+final into one row per doc BEFORE
+    * any shuffle; the scale path feeds the same arg-max from the celled
+    * kNN join ([[TierEleven.knnJoin]]) — mutuality is then one self-join
+    * on the (doc, nn) frame, |V| rows.
+    */
+  val q145 = Q("q145_mutual_nn",
+    s"""WITH ${TierNineteen.embSql},
+       |${TierNineteen.pairSql(-1.0)},
+       |sym AS MATERIALIZED (
+       |  SELECT doc_a AS a, doc_b AS nb, c FROM hits
+       |  UNION ALL SELECT doc_b, doc_a, c FROM hits),
+       |nn AS MATERIALIZED (
+       |  SELECT a AS doc_id, nb, c FROM (
+       |    SELECT a, nb, c,
+       |           row_number() OVER (PARTITION BY a ORDER BY c DESC, nb ASC) AS rk
+       |    FROM sym) WHERE rk = 1)
+       |SELECT x.doc_id AS doc_a, x.nb AS doc_b, round(x.c, 6) AS cos
+       |FROM nn x JOIN nn y ON y.doc_id = x.nb AND y.nb = x.doc_id
+       |WHERE x.doc_id < x.nb
+       |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pins = new Pins
+    val pr = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), -1.0))
+    val sym = pr.select(col("doc_a").as("a"), col("doc_b").as("nb"), col("c"))
+      .union(pr.select(col("doc_b").as("a"), col("doc_a").as("nb"), col("c")))
+    val nn = sym
+      .groupBy(col("a").as("doc_id"))
+      .agg(max(struct(col("c"), (-col("nb")).as("neg"), col("nb"))).as("m"))
+      .select(col("doc_id"), col("m.nb").as("nb"), col("m.c").as("c"))
+    val out = nn.as("x").join(nn.as("y"),
+        col("y.doc_id") === col("x.nb") && col("y.nb") === col("x.doc_id"))
+      .filter(col("x.doc_id") < col("x.nb"))
+      .select(col("x.doc_id").as("doc_a"), col("x.nb").as("doc_b"),
+        round(col("x.c"), 6).as("cos"))
+      .orderBy("doc_a")
+    Release.onFirstExecution(out, () => pins.release())
+  }
+
+  val all: Seq[Q] = Seq(q144, q145)
+}

@@ -420,6 +420,15 @@ class ExpressionSpec extends SparkSpec {
     assert(hSql == hScala && hSql.nonEmpty)
     hits.release()
 
+    Seq(Tuple1(1L)).toDF("nid").createOrReplaceTempView("gr_spseeds")
+    val sSql = rows(spark.sql("SELECT * FROM graft_sssp('gr_wedges', 'gr_spseeds')")
+      .orderBy("nid"))
+    val sp = Graph.ssspReleasable(spark.table("gr_wedges"), spark.table("gr_spseeds"))
+    assert(sSql == rows(sp.dist.orderBy("nid")))
+    sp.release()
+    // min cost from 1: itself 0, 3 via the direct w=1 edge, 2 via w=3
+    assert(sSql == Seq((1L, 0L), (2L, 3L), (3L, 1L)), s"got $sSql")
+
     // symmetrized 3-cycle + pendant: 2-core = the cycle
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
       .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")

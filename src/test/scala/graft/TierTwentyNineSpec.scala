@@ -84,6 +84,28 @@ class TierTwentyNineSpec extends SparkSpec {
     c.release()
   }
 
+  test("q143 scale path: 2-core over celled pairs ⊆ the anchor 2-core (monotone under edge subset)") {
+    // the production pair source is TierNineteen.celledEmbedPairs (Lloyd
+    // cells on the embeds, the q128 scale-path precedent); celled edges ⊆
+    // anchor edges by the same-verifier construction, and the k-core is
+    // the unique MAXIMAL min-degree-≥k set — so subsetting edges can only
+    // shrink it. Pins the drop-in replacement law before anyone swaps the
+    // anchor out at corpus scale.
+    val anchorCore = TierTwentyNine.q143.run(spark, sf).collect().map(_.getLong(0)).toSet
+    operators.Cumulative.releaseAll()
+    val celled = TierNineteen.celledEmbedPairs(spark, sf, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    operators.Cumulative.releaseAll()
+    import spark.implicits._
+    val ed = celled.flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+    val c = Graph.kcoreReleasable(ed, k = 2, maxRounds = 10)
+    val celledCore = c.core.collect().map(_.getLong(0)).toSet
+    c.release()
+    assert(celledCore.subsetOf(anchorCore),
+      s"celled 2-core must be contained in the anchor's; extras: ${celledCore -- anchorCore}")
+    assert(celledCore.nonEmpty, "celled core must not collapse on the fixture")
+  }
+
   test("tier-29 plan gates: no CartesianProduct") {
     for (q <- TierTwentyNine.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
