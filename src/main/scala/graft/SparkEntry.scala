@@ -27,7 +27,8 @@ object SparkEntry {
       operators.TierTwentyThree.all ++ operators.TierTwentyFour.all ++
       operators.TierTwentyFive.all ++ operators.TierTwentySix.all ++
       operators.TierTwentySeven.all ++ operators.TierTwentyEight.all ++
-      operators.TierTwentyNine.all ++ operators.TierThirty.all
+      operators.TierTwentyNine.all ++ operators.TierThirty.all ++
+      operators.TierThirtyOne.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -58,17 +58,20 @@ object TierThirtyOne {
       .limit(TopK)
   }
 
-  /** Per-day peak concurrent sessions. Closed intervals: a session covers
-    * every instant in [s_us, e_us], so deltas are +1 at s_us and −1 at
-    * e_us + 1 µs; summing deltas PER INSTANT before the prefix sum kills
-    * the only ordering ambiguity (a start and an end landing on the same
-    * microsecond), and a 0-delta marker at each day's first microsecond
-    * makes the day's carry-in an explicit sweep point, so a day whose
-    * peak is the overnight carry still reports it. The prefix sum is
-    * [[Cumulative.runningSum]] — range-partitioned two-pass, ≤ #partitions
-    * longs to the driver, no SinglePartition window anywhere. The day
-    * span [d0, d1] is a 1-row driver read (documented scalar, the
-    * centroid/offset pattern).
+  /** Per event-day peak concurrent sessions. Closed intervals: a session
+    * covers every instant in [s_us, e_us], so deltas are +1 at s_us and
+    * −1 at e_us + 1 µs; summing deltas PER INSTANT before the prefix sum
+    * kills the only ordering ambiguity (a start and an end landing on
+    * the same microsecond), and a 0-delta marker at each event-day's
+    * first microsecond makes the day's carry-in an explicit sweep point,
+    * so a day whose peak is the overnight carry still reports it. Every
+    * day a session touches holds events (consecutive in-session events
+    * are < 6 h apart, and a session boundary IS an event instant), so
+    * the event-day set is exactly the active-day set — no day series to
+    * generate, no driver-side bounds read. The prefix sum is
+    * [[Cumulative.runningSum]] — range-partitioned two-pass, ≤
+    * #partitions longs to the driver, no SinglePartition window
+    * anywhere.
     */
   val q147 = Q("q147_peak_concurrency",
     """WITH o AS (
@@ -82,36 +85,33 @@ object TierThirtyOne {
       |iv AS (
       |  SELECT epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
       |  FROM s GROUP BY user_id, sess),
-      |bounds AS (
-      |  SELECT min(s_us) // 86400000000 AS d0, max(e_us) // 86400000000 AS d1
-      |  FROM iv),
+      |evd AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx FROM events),
       |del AS (
       |  SELECT s_us AS us, 1 AS d FROM iv
       |  UNION ALL SELECT e_us + 1, -1 FROM iv
-      |  UNION ALL SELECT g.g * 86400000000, 0
-      |            FROM bounds, generate_series(d0, d1) g(g)),
+      |  UNION ALL SELECT day_idx * 86400000000, 0 FROM evd),
       |gr AS (SELECT us, sum(d) AS d FROM del GROUP BY us),
       |c AS (SELECT us, sum(d) OVER (ORDER BY us) AS conc FROM gr)
-      |SELECT us // 86400000000 AS day_idx, CAST(max(conc) AS BIGINT) AS peak
-      |FROM c, bounds
-      |WHERE us // 86400000000 BETWEEN d0 AND d1
+      |SELECT v.day_idx, CAST(max(c.conc) AS BIGINT) AS peak
+      |FROM c JOIN evd v ON c.us // 86400000000 = v.day_idx
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val iv = Tables.load(s, dir, "events")
+    val ev = Tables.load(s, dir, "events")
+    val evDays = ev
+      .select(expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div $DayUs").as("day_idx"))
+      .distinct()
+    val iv = ev
       .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
       .agg(expr("unix_micros(CAST(min(ts) AS TIMESTAMP))").as("s_us"),
         expr("unix_micros(CAST(max(ts) AS TIMESTAMP))").as("e_us"))
       .select("s_us", "e_us")
-    val b = iv.agg(expr(s"min(s_us div $DayUs)").as("d0"),
-      expr(s"max(e_us div $DayUs)").as("d1")).head()
-    val (d0, d1) = (b.getLong(0), b.getLong(1))
     val deltas = iv.select(col("s_us").as("us"), lit(1L).as("d"))
       .union(iv.select((col("e_us") + 1).as("us"), lit(-1L).as("d")))
-      .union(s.range(d0, d1 + 1)
-        .select((col("id") * DayUs).as("us"), lit(0L).as("d")))
+      .union(evDays.select((col("day_idx") * DayUs).as("us"), lit(0L).as("d")))
       .groupBy("us").agg(sum("d").as("d"))
     val cum = Cumulative.runningSum(s, deltas, Seq(col("us")), col("d"), "conc")
     cum.select(expr(s"us div $DayUs").as("day_idx"), col("conc"))
-      .filter(col("day_idx").between(d0, d1))
+      .join(evDays, Seq("day_idx"), "left_semi")
       .groupBy("day_idx").agg(max("conc").as("peak"))
       .orderBy("day_idx")
     // retained range-partition cache drains via the harness/spec
