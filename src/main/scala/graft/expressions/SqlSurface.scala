@@ -404,6 +404,20 @@ object SqlSurface {
         val spark = SparkSession.active
         GraftSqlBridge.analyzed(graft.operators.Graph.sssp(
           spark.table(edges), spark.table(sources), rounds))
+      }),
+
+    ("graft_lpa",
+      "graft_lpa(edges STRING[, max_rounds INT]) - synchronous label-" +
+        "propagation communities (nid, label) over a (src, dst) edge" +
+        " table/view (Graph.lpa; mode-of-neighbors, ties to the smaller" +
+        " label; stops on a no-op round or after max_rounds, default 5)",
+      exprs => {
+        arity("graft_lpa", exprs, 1, 2)
+        val edges = strLit(exprs.head, "graft_lpa", "edges")
+        val rounds =
+          if (exprs.length >= 2) intLit(exprs(1), "graft_lpa", "max_rounds") else 5
+        GraftSqlBridge.analyzed(
+          graft.operators.Graph.lpa(SparkSession.active.table(edges), rounds))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

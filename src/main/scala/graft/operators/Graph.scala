@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** THE iterative graph engine — one iterate-shuffle-checkpoint discipline
   * behind every fixed-point query in the family (q125 PageRank, q128
   * TrustRank, q136 multi-source BFS, q137 weighted PageRank, q142 HITS,
-  * q143 k-core), extracted in round 9 from the four hand-rolled copies the
-  * round-8 verdict flagged (the [[Components]] precedent: one engine, many
-  * callers) and extended in round 10 with the alternating ([[hits]]) and
-  * shrinking ([[kcore]]) shapes.
+  * q143 k-core, q144 shortest path, q148 LPA communities), extracted in
+  * round 9 from the four hand-rolled copies the round-8 verdict flagged
+  * (the [[Components]] precedent: one engine, many callers) and extended
+  * in round 10 with the alternating ([[hits]]), shrinking ([[kcore]]),
+  * value-relaxing ([[sssp]]) and mode-adopting ([[lpa]]) shapes.
   *
   * Four skeletons, all all-integer (the q57 determinism rule — float ranks
   * would hash-diverge across engines' partial-agg summation orders):
@@ -470,6 +471,65 @@ object Graph {
     if (!(frontier eq reached)) GraftSqlBridge.releaseLeaf(frontier)
     val last = reached
     Reached(last, rounds,
+      () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
+  }
+
+  /** A label-propagation result: `(nid, label)` community labels, rounds
+    * executed, and the release handle. */
+  final case class Labeled(labels: DataFrame, rounds: Int, release: () => Unit)
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007)
+    * over directed `(src, dst)` edges — pass a symmetrized frame for the
+    * undirected semantics. Labels start as the node id; per round every
+    * node adopts the MOST FREQUENT label among its in-neighbors (ties to
+    * the smallest label — the pinned `max(struct(c, −label))` arg-max,
+    * partial+final, never a window), nodes with no in-neighbor keep
+    * theirs. Stops when a round relabels nothing (an exact changed-count
+    * driver long per round — a no-op round fixes every later round, so
+    * early stop stays bit-identical to a fixed `maxRounds` SQL unroll)
+    * or at the cap, which also bounds the 2-cycle oscillation
+    * synchronous LPA admits on bipartite-ish regions.
+    *
+    * Scale posture: per round one src-keyed shuffle (edge × label join),
+    * one (dst, label) partial+final count, one nid-keyed mode join; the
+    * changed count rides the already-checkpointed frame. Per-round
+    * checkpoint truncation + block release, [[Pins]]-threaded handle.
+    */
+  def lpa(edges: DataFrame, maxRounds: Int = 5): DataFrame = {
+    val l = lpaReleasable(edges, maxRounds)
+    Release.onFirstExecution(l.labels, l.release)
+  }
+
+  def lpaReleasable(edgesIn: DataFrame, maxRounds: Int = 5,
+      pins: Pins = new Pins): Labeled = {
+    require(maxRounds >= 1, "Graph.lpa: maxRounds must be >= 1")
+    val ed = pins(edgesIn.select(col("src"), col("dst")))
+    def ckpt(df: DataFrame): DataFrame =
+      GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
+    // (nid, label, old) — `old` rides the checkpoint so the changed
+    // count is a cheap scan of the materialized frame, not a re-join
+    var cur = ckpt(ed.select(col("src").as("nid"))
+      .union(ed.select(col("dst").as("nid"))).distinct()
+      .select(col("nid"), col("nid").as("label"), col("nid").as("old")))
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val prev = cur
+      val mode = ed.join(prev.select(col("nid"), col("label")),
+          ed("src") === col("nid"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("mn"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"), col("label"))).as("m"))
+        .select(col("mn"), col("m.label").as("ml"))
+      cur = ckpt(prev.select(col("nid"), col("label").as("old"))
+        .join(mode, col("nid") === col("mn"), "left")
+        .select(col("nid"), coalesce(col("ml"), col("old")).as("label"), col("old")))
+      changed = cur.filter(col("label") =!= col("old")).count() > 0
+      GraftSqlBridge.releaseLeaf(prev)
+      rounds += 1
+    }
+    val last = cur
+    Labeled(last.select(col("nid"), col("label")), rounds,
       () => { pins.release(); GraftSqlBridge.releaseLeaf(last) })
   }
 }

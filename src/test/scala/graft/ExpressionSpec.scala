@@ -429,6 +429,17 @@ class ExpressionSpec extends SparkSpec {
     // min cost from 1: itself 0, 3 via the direct w=1 edge, 2 via w=3
     assert(sSql == Seq((1L, 0L), (2L, 3L), (3L, 1L)), s"got $sSql")
 
+    // bridged triangles (gr_sym2): LPA from SQL ≡ the Scala engine
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+      .createOrReplaceTempView("gr_sym2")
+    val lSql = rows(spark.sql("SELECT * FROM graft_lpa('gr_sym2', 10)").orderBy("nid"))
+    val lp = Graph.lpaReleasable(spark.table("gr_sym2"), maxRounds = 10)
+    assert(lSql == rows(lp.labels.orderBy("nid")))
+    lp.release()
+    assert(lSql.groupBy(_._2).values.map(_.map(_._1).toSet).toSet ==
+      Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)), s"got $lSql")
+
     // symmetrized 3-cycle + pendant: 2-core = the cycle
     Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
       .flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")

@@ -175,6 +175,26 @@ class GraphSpec extends SparkSpec {
     assert(left.isEmpty, s"kcore release must drop caches and checkpoint blocks; still pinned: $left")
   }
 
+  test("lpa splits bridged triangles where min-label flooding cannot; converges; release gate") {
+    def sym(es: Seq[(Long, Long)]) =
+      es.flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
+    // two triangles joined by one bridge edge 3—4: ONE connected
+    // component, but local agreement keeps the triangles apart
+    val before = pinnedIds
+    val l = Graph.lpaReleasable(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))),
+      maxRounds = 10)
+    val labels = l.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val communities = labels.groupBy(_._2).values.map(_.keySet).toSet
+    assert(communities == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)),
+      s"bridged triangles must split into the two triangles, got $communities")
+    assert(labels.values.toSet.subsetOf(labels.keySet), "labels are node ids")
+    assert(l.rounds < 10, s"must stop on the no-op round, ran ${l.rounds}")
+    l.release()
+    val left = awaitReleased(pinnedIds -- before)
+    assert(left.isEmpty, s"lpa release must drop caches and checkpoint blocks; still pinned: $left")
+  }
+
   test("release handles drop every pinned cache AND checkpoint block; released frames are final") {
     val before = pinnedIds
     val rk = Graph.pageRankReleasable(chain, iters = 2)
