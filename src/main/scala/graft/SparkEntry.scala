@@ -28,7 +28,8 @@ object SparkEntry {
       operators.TierTwentyFive.all ++ operators.TierTwentySix.all ++
       operators.TierTwentySeven.all ++ operators.TierTwentyEight.all ++
       operators.TierTwentyNine.all ++ operators.TierThirty.all ++
-      operators.TierThirtyOne.all ++ operators.TierThirtyTwo.all
+      operators.TierThirtyOne.all ++ operators.TierThirtyTwo.all ++
+      operators.TierThirtyThree.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
