@@ -88,19 +88,34 @@ object TierThirtyTwo {
        |FROM dc JOIN st ON st.event_type = dc.event_type
        |WHERE (n * cnt - s) * (n * cnt - s) > $K * $K * (n * ss - s * s)
        |ORDER BY dc.event_type, dc.day_idx""".stripMargin) { (s, dir) =>
-    val dc = Tables.load(s, dir, "events")
-      .groupBy(col("event_type"),
+    val dc = dailyCounts(Tables.load(s, dir, "events"))
+    flagged(dc, statsOf(dc)).orderBy("event_type", "day_idx")
+  }
+
+  /** `(event_type, day_idx, cnt)` — the per-type-day volume grid. The
+    * same groupBy maintains the grid FROM A STREAM in complete mode
+    * (s37: streamed grid + frozen stats through [[flagged]] ≡ this
+    * batch query). */
+  private[graft] def dailyCounts(events: org.apache.spark.sql.DataFrame) =
+    events.groupBy(col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day_idx"))
       .agg(count(lit(1)).as("cnt"))
-    val st = dc.groupBy(col("event_type").as("et"))
+
+  /** Per-type `(n, S, SS)` scalars — the FROZEN reference statistics a
+    * live tripwire screens against. */
+  private[graft] def statsOf(dc: org.apache.spark.sql.DataFrame) =
+    dc.groupBy(col("event_type").as("et"))
       .agg(count(lit(1)).as("n"), sum("cnt").as("s"),
         sum(col("cnt") * col("cnt")).as("ss"))
+
+  /** THE anomaly predicate — one definition for batch q149 and the s37
+    * stream (they must never drift). */
+  private[graft] def flagged(dc: org.apache.spark.sql.DataFrame,
+      st: org.apache.spark.sql.DataFrame) =
     dc.join(st, col("event_type") === col("et"))
       .filter((col("n") * col("cnt") - col("s")) * (col("n") * col("cnt") - col("s"))
         > lit(K.toLong * K) * (col("n") * col("ss") - col("s") * col("s")))
       .select(col("event_type"), col("day_idx"), col("cnt"))
-      .orderBy("event_type", "day_idx")
-  }
 
   val all: Seq[Q] = Seq(q148, q149)
 }

@@ -494,6 +494,38 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s37: volume tripwire — stream-maintained (type, day) grid + frozen stats ≡ batch q149") {
+    import graft.operators.TierThirtyTwo
+    // the grid is ONE streaming groupBy in complete mode (the s17/s19/s20
+    // stream-maintained-sketch shape); the frozen per-type (n, S, SS)
+    // reference and the shared anomaly predicate then flag exactly what
+    // the oracle-checked batch q149 flags
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val frozen = TierThirtyTwo.statsOf(TierThirtyTwo.dailyCounts(ev))
+    val rows = ev.collect().map(r => (r.getString(0), r.getTimestamp(1))).toSeq
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = TierThirtyTwo.dailyCounts(
+        in.toDF().select(col("_1").as("event_type"), col("_2").as("ts")))
+      .writeStream.format("memory").queryName("s37_grid").outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      val grid = spark.table("s37_grid")
+      // the stream-maintained grid IS the batch grid...
+      assert(canon(grid) == canon(TierThirtyTwo.dailyCounts(ev)))
+      // ...and through the shared predicate, the flags are q149's exactly
+      val streamed = TierThirtyTwo.flagged(grid, frozen)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(x => (x._1, x._2))
+      val batch = TierThirtyTwo.q149.run(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      operators.Cumulative.releaseAll()
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("s24: stateless classifier gate on a stream ≡ batch (string-hash scoreCol)") {
     // the quality-classifier admission as pure flow: scoreCol is one column
     // expression (literal weight array, xxhash64 bucketing, higher-order
