@@ -29,7 +29,8 @@ object SparkEntry {
       operators.TierTwentySeven.all ++ operators.TierTwentyEight.all ++
       operators.TierTwentyNine.all ++ operators.TierThirty.all ++
       operators.TierThirtyOne.all ++ operators.TierThirtyTwo.all ++
-      operators.TierThirtyThree.all ++ operators.TierThirtyFour.all
+      operators.TierThirtyThree.all ++ operators.TierThirtyFour.all ++
+      operators.TierThirtyFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
