@@ -285,7 +285,7 @@ object TierNine {
         dotc(col("e"), col("e")) - lit(2) * dotc(col("e"), col("c"))
           + dotc(col("c"), col("c")))
 
-  private[operators] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     candidates(emb, cents)
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("cid"))).as("best"))

@@ -44,8 +44,10 @@ object TierThirtyThree {
 
   /** Oracle CTEs for one subspace's Lloyd step + final assignment —
     * TierNine.lloydSql's shape over the m-th 16-dim slice (DuckDB list
-    * slicing is 1-based inclusive), suffix-disambiguated. */
-  private def pqSql(m: Int): String = {
+    * slicing is 1-based inclusive), suffix-disambiguated (no clash with
+    * lloydSql's unsuffixed v/seeds/d0/a0/cent/d1/a1, so the two compose
+    * in one WITH — the q156 IVF-PQ oracle). */
+  private[operators] def pqSql(m: Int): String = {
     val lo = m * SubDim + 1
     val hi = (m + 1) * SubDim
     s"""s$m AS (SELECT vec_id, e[$lo:$hi] AS se FROM v),
@@ -78,7 +80,7 @@ object TierThirtyThree {
        |    FROM d1$m) WHERE rk = 1)""".stripMargin
   }
 
-  private def subEmb(s: SparkSession, dir: String, m: Int): DataFrame =
+  private[operators] def subEmb(s: SparkSession, dir: String, m: Int): DataFrame =
     TierNine.embOf(s, dir)
       .select(col("vec_id"), slice(col("e"), m * SubDim + 1, SubDim).as("e"))
 
@@ -111,6 +113,40 @@ object TierThirtyThree {
     * expression tree, bit-identical on both engines), then exact
     * re-rank of the [[Short]] survivors against their raw vectors. The
     * only wide operations are the two TakeOrdereds. */
+  /** `(vec_id, adc)` for every database vector vs `probe` — the four
+    * per-subspace lookup terms joined as columns and summed in one fixed
+    * expression tree (see [[q151]]); shared with the q156 IVF-PQ
+    * composition. */
+  private[operators] def adcAll(s: SparkSession, dir: String,
+      probe: Seq[Double]): DataFrame = {
+    def qm(m: Int): Column =
+      array(probe.slice(m * SubDim, (m + 1) * SubDim).map(lit): _*)
+    val terms = (0 until M).map { m =>
+      val cb = codebook(s, dir, m)
+      TierNine.assignTo(subEmb(s, dir, m), cb)
+        .join(broadcast(cb), "cid")
+        .select(col("vec_id"),
+          (TierNine.dotc(qm(m), qm(m)) - lit(2) * TierNine.dotc(qm(m), col("c"))
+            + TierNine.dotc(col("c"), col("c"))).as(s"t$m"))
+    }
+    terms.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"),
+        round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adc"))
+  }
+
+  /** Exact re-rank of a `(vec_id, …)` shortlist against `probe`, top-k
+    * in the pinned (dist, vec_id) order. */
+  private[operators] def rerank(short: DataFrame, emb: DataFrame,
+      probe: Seq[Double], k: Int): DataFrame = {
+    val qFull: Column = array(probe.map(lit): _*)
+    short.select("vec_id").join(emb, "vec_id")
+      .select(col("vec_id"),
+        round(TierNine.dotc(col("e"), col("e")) - lit(2) * TierNine.dotc(col("e"), qFull)
+          + TierNine.dotc(qFull, qFull), 6).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   val q151 = Q("q151_pq_search",
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |${(0 until M).map(pqSql).mkString(",\n")},
@@ -140,29 +176,11 @@ object TierThirtyThree {
        |ORDER BY dist, s.vec_id LIMIT $TopK""".stripMargin) { (s, dir) =>
     val emb = TierNine.embOf(s, dir)
     val probe = emb.filter(col("vec_id") === 0).head().getSeq[Double](1)
-    def qm(m: Int): Column =
-      array(probe.slice(m * SubDim, (m + 1) * SubDim).map(lit): _*)
-    val qFull: Column = array(probe.map(lit): _*)
-    val terms = (0 until M).map { m =>
-      val cb = codebook(s, dir, m)
-      TierNine.assignTo(subEmb(s, dir, m), cb)
-        .join(broadcast(cb), "cid")
-        .select(col("vec_id"),
-          (TierNine.dotc(qm(m), qm(m)) - lit(2) * TierNine.dotc(qm(m), col("c"))
-            + TierNine.dotc(col("c"), col("c"))).as(s"t$m"))
-    }
-    val short = terms.reduce(_.join(_, "vec_id"))
+    val short = adcAll(s, dir, probe)
       .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adc"))
       .orderBy(col("adc"), col("vec_id"))
       .limit(Short)
-    short.join(emb, "vec_id")
-      .select(col("vec_id"),
-        round(TierNine.dotc(col("e"), col("e")) - lit(2) * TierNine.dotc(col("e"), qFull)
-          + TierNine.dotc(qFull, qFull), 6).as("dist"))
-      .orderBy(col("dist"), col("vec_id"))
-      .limit(TopK)
+    rerank(short, emb, probe, TopK)
   }
 
   val all: Seq[Q] = Seq(q150, q151)
