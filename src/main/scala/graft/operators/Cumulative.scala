@@ -102,6 +102,52 @@ object Cumulative {
     }
   }
 
+  /** Append `outName` = INCLUSIVE BIGINT running MAX of `value` over the
+    * given TOTAL order — `max(value) OVER (ORDER BY …)` without the
+    * single-partition window: the [[runningSum]] two-pass shape with
+    * per-partition MAXES as the offset array (prefix max instead of
+    * prefix sum — max is just as associative). `value` must be integral
+    * and non-null. `exclusive = true` reports the max over STRICTLY
+    * EARLIER rows instead (`… ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING`) — Long.MinValue on the global first row, the form a
+    * record-breaking test (`value > excl_hwm`) wants.
+    */
+  def runningMax(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      value: Column, outName: String, partitions: Int = 0,
+      exclusive: Boolean = false): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val resolved = df.select(value.as("__rm_probe")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(resolved),
+      s"runningMax value must be integral, got ${resolved.catalogString}")
+    val in = df.withColumn("__rm_v", value.cast(LongType)).persist()
+    val parted = in
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist()
+    retained.synchronized { retained += parted }
+    val perPartition = parted
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(max(col("__rm_v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    in.unpersist()
+    // exclusive prefix max: offsets(pid) = max over all earlier partitions
+    val offsets = (0 until p).scanLeft(Long.MinValue) {
+      case (acc, pid) => math.max(acc, perPartition.getOrElse(pid, Long.MinValue))
+    }.toArray
+    val outSchema = StructType(in.schema.fields :+ StructField(outName, LongType))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    parted.mapPartitions { it =>
+      var acc = offsets(TaskContext.getPartitionId())
+      val vIdx = outSchema.fieldIndex("__rm_v")
+      it.map { r =>
+        val before = acc
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ (if (exclusive) before else acc))
+      }
+    }.drop("__rm_v")
+  }
+
   /** Cumulative count over the total order (ts, event_id); returns
     * (event_id, ts, running_cnt). */
   def runningCount(spark: SparkSession, events: DataFrame, partitions: Int = 0): DataFrame =

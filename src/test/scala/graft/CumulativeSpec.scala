@@ -34,6 +34,22 @@ class CumulativeSpec extends SparkSpec {
     Cumulative.releaseAll()
   }
 
+  test("two-pass runningMax ≡ window-function running max (q164's high-water mark)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.load(spark, sf, "events")
+      .select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val windowed = df
+      .withColumn("m", max("us").over(
+        Window.orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twoPass = Cumulative.runningMax(spark, df,
+        Seq(col("event_id")), col("us"), "m", partitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(twoPass == windowed && twoPass.nonEmpty)
+    Cumulative.releaseAll()
+  }
+
   test("runningSum rejects fractional value columns loudly (no silent truncation)") {
     val df = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("ts"), col("value").cast("double").as("v"))
