@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Tier 41 (round 10, thirteenth wave): the experimentation closers —
+  * deterministic assignment, EXACT significance, and cohort value.
+  *
+  *  - q166: A/B TEST READOUT — users deterministically split into two
+  *    arms by the PORTABLE affine hash the q56/q83 family uses (both
+  *    engines compute it bit-identically), per-arm HIGH-VALUE
+  *    conversion ([[HiCents]]), and an ALL-INTEGER chi-square
+  *    significance flag: for the 2×2 table
+  *    [a=conv_A, b=nonconv_A, c=conv_B, d=nonconv_B],
+  *    χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) > 3.84 (α=0.05, 1 df)
+  *    ⟺ 100·n·(ad−bc)² > 384·(a+b)(c+d)(a+c)(b+d) — cross-multiplied
+  *    into exact Int64 arithmetic, zero float anywhere (the q57 rule
+  *    applied to hypothesis testing). Envelope: n·(ad−bc)² ≤ n⁵/16 —
+  *    safe to ~10⁶ users/readout; DECIMAL dispatch past that.
+  *  - q167: COHORT VALUE (LTV) MATRIX — signup-week cohort × week
+  *    offset → revenue cents: q88's retention grid with MONEY in the
+  *    cells (integer cents, the q138 Determinism rule) — the
+  *    lifetime-value table growth teams actually read.
+  *
+  * Reference mapping: none (SURVEY.md §2.1) — north-star product ops.
+  */
+object TierFortyOne {
+
+  import TierFour.{A0, B0, P}
+
+  private val WeekMs = 7L * 86400000
+
+  /** Conversion = a HIGH-VALUE purchase (≥ $200 in integer cents) — every
+    * fixture user purchases SOMETHING, so plain has-a-purchase saturates
+    * at 100 % in both arms; the high-value cut leaves a discriminating
+    * rate (≈14 % vs ≈29 % at sf0.01 — significant; 1/6 vs 3/9 at
+    * sf0.001 — not), exercising both sides of the flag across SFs. */
+  private val HiCents = 20000L
+
+  val q166 = Q("q166_ab_readout",
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id,
+       |         ((user_id % $P) * $A0 + $B0) % $P % 2 AS arm
+       |  FROM events),
+       |cv AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE event_type = 'purchase' AND floor(value * 100) >= $HiCents),
+       |t AS (
+       |  SELECT u.arm,
+       |         CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_conv
+       |  FROM u LEFT JOIN cv ON cv.user_id = u.user_id
+       |  GROUP BY 1),
+       |w AS (
+       |  SELECT max(CASE WHEN arm = 0 THEN n_conv END) AS a,
+       |         max(CASE WHEN arm = 0 THEN n_users - n_conv END) AS b,
+       |         max(CASE WHEN arm = 1 THEN n_conv END) AS c,
+       |         max(CASE WHEN arm = 1 THEN n_users - n_conv END) AS d
+       |  FROM t)
+       |SELECT t.arm, t.n_users, t.n_conv,
+       |       (t.n_conv * 1000000) // t.n_users AS conv_ppm,
+       |       CAST(CASE WHEN 100 * (w.a+w.b+w.c+w.d) * (w.a*w.d - w.b*w.c) * (w.a*w.d - w.b*w.c)
+       |                      > 384 * (w.a+w.b) * (w.c+w.d) * (w.a+w.c) * (w.b+w.d)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+       |FROM t, w ORDER BY t.arm""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val u = ev.select(col("user_id")).distinct()
+      .withColumn("arm", expr(s"((user_id % $P) * $A0 + $B0) % $P % 2"))
+    val cv = ev.filter(col("event_type") === "purchase"
+        && floor(col("value") * 100) >= HiCents)
+      .select(col("user_id").as("cu")).distinct()
+    val t = u.join(cv, col("cu") === col("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cu").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+    val w = t.agg(
+      max(when(col("arm") === 0, col("n_conv"))).as("a"),
+      max(when(col("arm") === 0, col("n_users") - col("n_conv"))).as("b"),
+      max(when(col("arm") === 1, col("n_conv"))).as("c"),
+      max(when(col("arm") === 1, col("n_users") - col("n_conv"))).as("d"))
+    t.crossJoin(broadcast(w))
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        expr("(n_conv * 1000000) div n_users").as("conv_ppm"),
+        when(lit(100) * (col("a") + col("b") + col("c") + col("d"))
+            * (col("a") * col("d") - col("b") * col("c"))
+            * (col("a") * col("d") - col("b") * col("c"))
+            > lit(384) * (col("a") + col("b")) * (col("c") + col("d"))
+              * (col("a") + col("c")) * (col("b") + col("d")), 1L)
+          .otherwise(0L).as("significant"))
+      .orderBy("arm")
+  }
+
+  val q167 = Q("q167_cohort_value",
+    s"""WITH f AS (
+       |  SELECT user_id, min(epoch_ms(ts) // $WeekMs) AS cohort
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT e.user_id, f.cohort,
+       |         epoch_ms(e.ts) // $WeekMs - f.cohort AS wk,
+       |         CAST(floor(e.value * 100) AS BIGINT) AS cents
+       |  FROM events e JOIN f ON f.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase')
+       |SELECT CAST(cohort AS BIGINT) AS cohort_week,
+       |       CAST(wk AS BIGINT) AS week_offset,
+       |       CAST(count(*) AS BIGINT) AS n_purchases,
+       |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_millis(cast(ts as timestamp)) div $WeekMs").as("wk"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .persist() // feeds both the cohort min and the purchase join
+    val f = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+    ev.filter(col("event_type") === "purchase")
+      .join(f, "user_id")
+      .groupBy(col("cohort").as("cohort_week"),
+        (col("wk") - col("cohort")).as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val all: Seq[Q] = Seq(q166, q167)
+}

@@ -175,6 +175,27 @@ class GraphSpec extends SparkSpec {
     assert(left.isEmpty, s"kcore release must drop caches and checkpoint blocks; still pinned: $left")
   }
 
+  test("sssp prefers the longer-but-cheaper path BFS cannot express; fixpoint-stops; release gate") {
+    // 1→2 costs 10; 1→3→4→2 costs 3 — the VALUE-improving case: node 2
+    // is reached in one hop but its cost keeps improving afterwards
+    val before = pinnedIds
+    val ed = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val sp = Graph.ssspReleasable(ed, Seq(1L).toDF("nid"), maxRounds = 10)
+    val dist = sp.dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L),
+      s"three cheap hops must beat one expensive one, got $dist")
+    assert(sp.rounds < 10, s"must stop at the fixpoint, ran ${sp.rounds}")
+    // hop-distance BFS on the same graph reports 2 at distance 1 — the
+    // semantics split that justifies the separate skeleton
+    val bf = Graph.bfsReleasable(ed.select("src", "dst"), Seq(1L).toDF("nid"))
+    assert(bf.dist.collect().map(r => (r.getLong(0), r.getLong(1))).toMap.apply(2L) == 1L)
+    bf.release()
+    sp.release()
+    val left = awaitReleased(pinnedIds -- before)
+    assert(left.isEmpty, s"sssp release must drop caches and checkpoint blocks; still pinned: $left")
+  }
+
   test("lpa splits bridged triangles where min-label flooding cannot; converges; release gate") {
     def sym(es: Seq[(Long, Long)]) =
       es.flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
