@@ -430,6 +430,37 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s38: LIVE record alerts (transformWithState, one global key) ≡ batch q164") {
+    import graft.streaming.RecordMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.load(spark, sf, "events")
+        .select(col("event_id"), col("event_type"), col("value").cast("double"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+        .sortBy(_._1) // arrival order — the processor's delivery contract
+      val in = MemoryStream[(Long, String, Double)]
+      val q = RecordMonitor.records(
+          in.toDF().select(col("_1").as("event_id"), col("_2").as("event_type"),
+            col("_3").as("value")))
+        .toDF()
+        .writeStream.format("memory").queryName("s38_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val streamed = spark.table("s38_out").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+        val batch = graft.operators.TierForty.q164.run(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        operators.Cumulative.releaseAll()
+        assert(streamed == batch && streamed.nonEmpty,
+          s"live alerts must equal the batch records: ${streamed.size} vs ${batch.size}")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s36: LIVE SCD-2 history (transformWithState) ≡ batch q138 (closed stream + open state)") {
     // the q138 event-to-state fold on a stream: each event closes the
     // user's open version (emitted once, append mode) and opens its own.
