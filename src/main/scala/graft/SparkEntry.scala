@@ -35,7 +35,8 @@ object SparkEntry {
       operators.TierThirtyNine.all ++ operators.TierForty.all ++
       operators.TierFortyOne.all ++ operators.TierFortyTwo.all ++
       operators.TierFortyThree.all ++ operators.TierFortyFour.all ++
-      operators.TierFortyFive.all ++ operators.TierFortySix.all
+      operators.TierFortyFive.all ++ operators.TierFortySix.all ++
+      operators.TierFortySeven.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
