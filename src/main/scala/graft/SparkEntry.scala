@@ -37,7 +37,7 @@ object SparkEntry {
       operators.TierFortyThree.all ++ operators.TierFortyFour.all ++
       operators.TierFortyFive.all ++ operators.TierFortySix.all ++
       operators.TierFortySeven.all ++ operators.TierFortyEight.all ++
-      operators.TierFortyNine.all
+      operators.TierFortyNine.all ++ operators.TierFifty.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
