@@ -67,13 +67,13 @@ object TierFortyThree {
 
   val q171 = Q("q171_sim_histogram",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(HistThr)}
+       |${TierNineteen.celledPairSql(HistThr)}
        |SELECT CAST(floor(c * 20) AS BIGINT) AS bucket,
        |       CAST(floor(c * 20) * 50000 AS BIGINT) AS lo_ppm,
        |       CAST(count(*) AS BIGINT) AS n_pairs
        |FROM hits GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    TierNineteen.embedPairsOf(docs.select("doc_id", "text"), HistThr)
+    TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), HistThr)
       .select(floor(col("c") * 20).cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"))

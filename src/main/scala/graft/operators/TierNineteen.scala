@@ -122,29 +122,22 @@ object TierNineteen {
     * AFTER the threshold filter (the distinct runs on hits, not
     * candidates). Pair recall vs the q121 anchor is measured and floored
     * in TierNineteenSpec — the cellVote/cellHardNegatives convention.
+    *
+    * Since round 11 this IS the pair source the near-dup graph family
+    * declares (q143/q144/q148/q155/q171 run + [[celledPairSql]] oracle —
+    * the VERDICT r10 re-sourcing); q121/q122 keep the exact all-pairs
+    * anchor as the recall reference. Output `(doc_a, doc_b, c)` with the
+    * exact (unrounded) cosine, doc_a < doc_b.
     */
-  private[graft] def celledEmbedPairs(s: SparkSession, dir: String, thr: Double,
-      probe2: Boolean = true, k: Int = 8): DataFrame = {
+  private[graft] def celledEmbedPairsOf(docs: DataFrame, thr: Double,
+      probe2: Boolean = true, k: Int = 8, pins: Option[Pins] = None): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     graft.expressions.GraftFunctions.register(s)
     def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       call_function("graft_dot", x, y)
-    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
-    val vocab = Cumulative.rowNumber(s,
-      docs.select(explode(split(col("text"), " ")).as("token"))
-        .filter(col("token") =!= "").select("token").distinct(),
-      Seq(col("token")), "tid")
-    val emb = TierSixteen.hashEmbed(docs, vocab)
-      .select(col("doc_id").as("vec_id"),
-        array((0 until 8).map(c => col(s"e$c").cast("double")): _*).as("e"))
-      .filter(dotc(col("e"), col("e")) > 0)
-      .persist() // trainer (2 passes) + assignment + both pair sides
-    val seeds = emb.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("e").as("c"))
-    val r1 = IvfStore.step(emb, seeds).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
-    val cents = IvfStore.step(emb, r1).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
+    val emb = celledEmb(docs, pins)
+    val cents = celledCents(emb, k)
     val own = TierNine.assignTo(emb, cents)
     val xs = TierEleven.probeAssign(emb, cents, own, probe2)
       .join(emb, "vec_id")
@@ -157,8 +150,174 @@ object TierNineteen {
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("c", dotc(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("c") >= thr)
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b", "c").distinct()
   }
+
+  private[graft] def celledEmbedPairs(s: SparkSession, dir: String, thr: Double,
+      probe2: Boolean = true, k: Int = 8): DataFrame =
+    celledEmbedPairsOf(Tables.load(s, dir, "documents").select("doc_id", "text"),
+      thr, probe2, k)
+
+  /** The celled family's shared embed frame: `(vec_id, e[8])` hash embeds
+    * as a DOUBLE array, zero vectors excluded — persisted (trainer takes
+    * 2 passes, assignment + both pair sides re-read it), into the
+    * caller's [[Pins]] when provided, else swept by Verify/Bench. */
+  private def celledEmb(docs: DataFrame, pins: Option[Pins]): DataFrame = {
+    val s = docs.sparkSession
+    graft.expressions.GraftFunctions.register(s)
+    val vocab = Cumulative.rowNumber(s,
+      docs.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "").select("token").distinct(),
+      Seq(col("token")), "tid", pins = pins)
+    val emb0 = TierSixteen.hashEmbed(docs.select("doc_id", "text"), vocab)
+      .select(col("doc_id").as("vec_id"),
+        array((0 until 8).map(c => col(s"e$c").cast("double")): _*).as("e"))
+      .filter(call_function("graft_dot", col("e"), col("e")) > 0)
+    pins.map(_(emb0)).getOrElse(emb0.persist())
+  }
+
+  /** Two [[IvfStore.step]] rounds from the deterministic k-lowest-doc_id
+    * seeds, centroids rebuilt as driver literals between rounds (the q109
+    * convention — k×8 scalars, bounded at any corpus size). */
+  private def celledCents(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val seeds = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("c"))
+    val r1 = IvfStore.step(emb, seeds).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
+    IvfStore.step(emb, r1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.toDF("cid", "c")
+  }
+
+  /** Per-doc top-1 neighbor WITHIN the probed Lloyd cells — the celled
+    * kNN join over the hash embeds ([[TierEleven.knnJoin]]'s shape on the
+    * [[celledCents]] quantizer): candidates are the own-cell members of
+    * each doc's own + runner-up cell, ranked by 6-dp-ROUNDED cosine with
+    * nn_id ASC tie-break (`min(struct(−cos, nn_id))` ≡ the oracle's
+    * row_number — a partial+final agg, pair rows born cell-local, so
+    * map-side partials collapse each doc's candidates BEFORE any
+    * shuffle). Docs alone in their probed cells emit no row. Output
+    * `(vec_id, nn_id, cos)`. */
+  private[graft] def celledNnOf(docs: DataFrame, probe2: Boolean = true,
+      k: Int = 8, pins: Option[Pins] = None): DataFrame = {
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    val emb = celledEmb(docs, pins)
+    val cents = celledCents(emb, k)
+    val own = TierNine.assignTo(emb, cents)
+    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+      .join(emb, "vec_id")
+      .select(col("cid"), col("vec_id"), col("e").as("xe"),
+        sqrt(dotc(col("e"), col("e"))).as("nx"))
+    val ys = own.join(emb, "vec_id")
+      .select(col("cid"), col("vec_id").as("nn_id"), col("e").as("ye"),
+        sqrt(dotc(col("e"), col("e"))).as("ny"))
+    xs.join(ys, Seq("cid"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos",
+        round(dotc(col("xe"), col("ye")) / (col("nx") * col("ny")), 6))
+      .groupBy("vec_id")
+      .agg(min(struct(negate(col("cos")).as("nc"), col("nn_id"), col("cos"))).as("b"))
+      .select(col("vec_id"), col("b.nn_id").as("nn_id"), col("b.cos").as("cos"))
+  }
+
+  /** Oracle-SQL mirror of the celled quantizer on top of [[embSql]]:
+    * seeds = the [[CellK]] lowest doc_ids (`csd`), two Lloyd rounds
+    * (assign `ca0`/`ca1` by squared L2 via the dot identity, ties on
+    * lower cid; 6-dp-rounded dimension means `cc1`/`cc2` — the
+    * [[IvfStore.step]] convention), then the probe set `cpa` = own
+    * (rk 1) + runner-up (rk 2) cell per doc against the final centroids.
+    * `cv` holds the embeds as DuckDB lists; MATERIALIZED where a CTE is
+    * read more than once (the q143 inlining rule). */
+  private val CellK = 8
+  private[operators] val cellSql: String =
+    s"""cv AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, [${(0 until 8).map(k => s"e$k").mkString(", ")}] AS e
+       |  FROM e
+       |  WHERE ${(0 until 8).map(k => s"e$k * e$k").mkString(" + ")} > 0),
+       |csd AS (SELECT vec_id AS cid, e AS c FROM cv ORDER BY vec_id LIMIT $CellK),
+       |cd0 AS (
+       |  SELECT vec_id, cid,
+       |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d
+       |  FROM cv CROSS JOIN csd),
+       |ca0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+       |    FROM cd0) WHERE rk = 1),
+       |cc1 AS MATERIALIZED (
+       |  SELECT cid, list(round(av, 6) ORDER BY j) AS c FROM (
+       |    SELECT ca0.cid, j.j, avg(cv.e[j.j]) AS av
+       |    FROM ca0 JOIN cv USING (vec_id)
+       |    CROSS JOIN (SELECT unnest(range(1, 9)) AS j) AS j
+       |    GROUP BY 1, 2) GROUP BY cid),
+       |cd1 AS (
+       |  SELECT vec_id, cid,
+       |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d
+       |  FROM cv CROSS JOIN cc1),
+       |ca1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+       |    FROM cd1) WHERE rk = 1),
+       |cc2 AS MATERIALIZED (
+       |  SELECT cid, list(round(av, 6) ORDER BY j) AS c FROM (
+       |    SELECT ca1.cid, j.j, avg(cv.e[j.j]) AS av
+       |    FROM ca1 JOIN cv USING (vec_id)
+       |    CROSS JOIN (SELECT unnest(range(1, 9)) AS j) AS j
+       |    GROUP BY 1, 2) GROUP BY cid),
+       |cd2 AS (
+       |  SELECT vec_id, cid,
+       |         list_dot_product(e, e) - 2 * list_dot_product(e, c)
+       |           + list_dot_product(c, c) AS d
+       |  FROM cv CROSS JOIN cc2),
+       |cpa AS MATERIALIZED (
+       |  SELECT vec_id, cid, rk FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rk
+       |    FROM cd2) WHERE rk <= 2)""".stripMargin
+
+  /** Celled pair CTE chain ≡ [[celledEmbedPairsOf]] (probe2 = true,
+    * k = [[CellK]]): each doc's probe set joined against own-cell
+    * members, doc_a < doc_b, exact cosine ≥ `thr` — ends in
+    * `hits(doc_a, doc_b, c)`, drop-in for [[pairSql]] in a consumer's
+    * oracle. */
+  private[operators] def celledPairSql(thr: Double): String =
+    s"""$cellSql,
+       |cpr AS (
+       |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+       |         list_dot_product(xe.e, ye.e) /
+       |           (sqrt(list_dot_product(xe.e, xe.e)) *
+       |            sqrt(list_dot_product(ye.e, ye.e))) AS c
+       |  FROM cpa x JOIN cpa y ON y.cid = x.cid AND y.rk = 1
+       |                       AND x.vec_id < y.vec_id
+       |  JOIN cv xe ON xe.vec_id = x.vec_id
+       |  JOIN cv ye ON ye.vec_id = y.vec_id),
+       |hits AS (SELECT DISTINCT doc_a, doc_b, c FROM cpr WHERE c >= $thr)""".stripMargin
+
+  /** Celled top-1-NN CTE chain ≡ [[celledNnOf]] (probe2 = true): ends in
+    * `nn(doc_id, nb, c)` — per-doc best probed-cell neighbor by
+    * 6-dp-rounded cosine, nb ASC ties. */
+  private[operators] val celledNnSql: String =
+    s"""$cellSql,
+       |cnd AS (
+       |  SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
+       |         round(list_dot_product(xe.e, ye.e) /
+       |           (sqrt(list_dot_product(xe.e, xe.e)) *
+       |            sqrt(list_dot_product(ye.e, ye.e))), 6) AS cos
+       |  FROM cpa x JOIN cpa y ON y.cid = x.cid AND y.rk = 1
+       |                       AND y.vec_id <> x.vec_id
+       |  JOIN cv xe ON xe.vec_id = x.vec_id
+       |  JOIN cv ye ON ye.vec_id = y.vec_id),
+       |nn AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id, nn_id AS nb, cos AS c FROM (
+       |    SELECT vec_id, nn_id, cos,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY cos DESC, nn_id ASC) AS rk
+       |    FROM cnd) WHERE rk = 1)""".stripMargin
 
   /** Hash-embed near-duplicate candidate pairs, cosine ≥ 0.95 over the
     * q112 vectors — text-only semantic dedup: the SemDeDup detector

@@ -52,7 +52,7 @@ object TierThirty {
     */
   val q144 = Q("q144_drift_distance",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |ed AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst, $costSql AS w FROM hits
        |  UNION ALL
@@ -66,7 +66,8 @@ object TierThirty {
        |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
+        Thr, pins = Some(pins))
       .withColumn("w", expr(costSql)).select("doc_a", "doc_b", "w"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
@@ -81,46 +82,31 @@ object TierThirty {
   }
 
   /** Reciprocal nearest neighbors over the hash embeds: each doc's top-1
-    * cosine neighbor (ties: smaller doc_id — the pinned `max(struct(c,
-    * −nb, nb))` arg-max, ≡ the oracle's `ORDER BY c DESC, nb ASC`), kept
-    * only when MUTUAL; `(doc_a, doc_b, cos)` with doc_a < doc_b.
-    *
-    * Scale: the all-pairs candidate stream is the documented bounded
-    * anchor ([[TierNineteen.embedPairsOf]] at thr = −1, pinned
-    * broadcast-NLJ) collapsing partial+final into one row per doc BEFORE
-    * any shuffle; the scale path feeds the same arg-max from the celled
-    * kNN join ([[TierEleven.knnJoin]]) — mutuality is then one self-join
-    * on the (doc, nn) frame, |V| rows.
+    * cosine neighbor WITHIN its probed Lloyd cells
+    * ([[TierNineteen.celledNnOf]] — the celled kNN join its round-10
+    * docstring named as the scale path, now the declared plan per the r10
+    * VERDICT re-sourcing), ranked by 6-dp-rounded cosine with nb ASC
+    * tie-break, kept only when MUTUAL; `(doc_a, doc_b, cos)` with
+    * doc_a < doc_b. Mutuality is one self-join on the |V|-row (doc, nn)
+    * frame. Recall vs the all-pairs brute-force mutual set is measured
+    * and floored in TierThirtySpec (the celledEmbedPairs convention).
     */
   val q145 = Q("q145_mutual_nn",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(-1.0)},
-       |sym AS MATERIALIZED (
-       |  SELECT doc_a AS a, doc_b AS nb, c FROM hits
-       |  UNION ALL SELECT doc_b, doc_a, c FROM hits),
-       |nn AS MATERIALIZED (
-       |  SELECT a AS doc_id, nb, c FROM (
-       |    SELECT a, nb, c,
-       |           row_number() OVER (PARTITION BY a ORDER BY c DESC, nb ASC) AS rk
-       |    FROM sym) WHERE rk = 1)
-       |SELECT x.doc_id AS doc_a, x.nb AS doc_b, round(x.c, 6) AS cos
+       |${TierNineteen.celledNnSql}
+       |SELECT x.doc_id AS doc_a, x.nb AS doc_b, x.c AS cos
        |FROM nn x JOIN nn y ON y.doc_id = x.nb AND y.nb = x.doc_id
        |WHERE x.doc_id < x.nb
        |ORDER BY doc_a""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val pr = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), -1.0))
-    val sym = pr.select(col("doc_a").as("a"), col("doc_b").as("nb"), col("c"))
-      .union(pr.select(col("doc_b").as("a"), col("doc_a").as("nb"), col("c")))
-    val nn = sym
-      .groupBy(col("a").as("doc_id"))
-      .agg(max(struct(col("c"), (-col("nb")).as("neg"), col("nb"))).as("m"))
-      .select(col("doc_id"), col("m.nb").as("nb"), col("m.c").as("c"))
+    val nn = pins(TierNineteen.celledNnOf(docs.select("doc_id", "text"),
+      pins = Some(pins)))
     val out = nn.as("x").join(nn.as("y"),
-        col("y.doc_id") === col("x.nb") && col("y.nb") === col("x.doc_id"))
-      .filter(col("x.doc_id") < col("x.nb"))
-      .select(col("x.doc_id").as("doc_a"), col("x.nb").as("doc_b"),
-        round(col("x.c"), 6).as("cos"))
+        col("y.vec_id") === col("x.nn_id") && col("y.nn_id") === col("x.vec_id"))
+      .filter(col("x.vec_id") < col("x.nn_id"))
+      .select(col("x.vec_id").as("doc_a"), col("x.nn_id").as("doc_b"),
+        col("x.cos").as("cos"))
       .orderBy("doc_a")
     Release.onFirstExecution(out, () => pins.release())
   }

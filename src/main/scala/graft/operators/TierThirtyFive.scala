@@ -99,7 +99,7 @@ object TierThirtyFive {
     * neighbors; (doc_a < doc_b, cn) in the pinned order. */
   val q155 = Q("q155_link_prediction",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(0.9)},
+       |${TierNineteen.celledPairSql(0.9)},
        |ed AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM hits
        |  UNION ALL SELECT doc_b, doc_a FROM hits),
@@ -112,7 +112,8 @@ object TierThirtyFive {
        |ORDER BY cn DESC, doc_a, doc_b LIMIT $TopLinks""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), 0.9)
+    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
+        0.9, pins = Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))

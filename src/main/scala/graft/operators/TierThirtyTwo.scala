@@ -46,7 +46,7 @@ object TierThirtyTwo {
     * the oracle's fixed unroll). */
   val q148 = Q("q148_lpa_communities",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |ed AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM hits
        |  UNION ALL SELECT doc_b, doc_a FROM hits),
@@ -57,7 +57,8 @@ object TierThirtyTwo {
        |FROM l$LpaRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
+        Thr, pins = Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -101,7 +101,7 @@ object TierTwentyNine {
     */
   val q143 = Q("q143_dup_core",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |ed AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM hits
        |       UNION ALL SELECT doc_b, doc_a FROM hits),
        |a0 AS MATERIALIZED (SELECT src AS nid FROM ed UNION SELECT dst FROM ed),
@@ -109,7 +109,8 @@ object TierTwentyNine {
        |SELECT nid AS doc_id FROM a$PeelRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
+        Thr, pins = Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))

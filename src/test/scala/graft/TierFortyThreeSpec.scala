@@ -38,10 +38,25 @@ class TierFortyThreeSpec extends SparkSpec {
   }
 
   test("q171 histogram ≡ direct bucket fold; pairs conserved; the 0.9 threshold mass is visible") {
-    val pairs = TierNineteen.embedPairsOf(
+    val cp = TierNineteen.celledEmbedPairsOf(
         Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.8)
-      .collect().map(_.getDouble(2)).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     operators.Cumulative.releaseAll()
+    val pairs = cp.map(_._3)
+    // q171 declares the celled pair source (r10 VERDICT re-sourcing):
+    // containment + recall vs the anchor stay floored
+    val anchor = TierNineteen.embedPairsOf(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    operators.Cumulative.releaseAll()
+    assert(cp.map(p => (p._1, p._2)).toSet.subsetOf(anchor),
+      "celled pairs are cosine-verified: ⊆ anchor")
+    val recall = cp.size.toDouble / anchor.size
+    info(s"celled pair recall at thr 0.8: $recall")
+    // measured 0.49 at sf0.001: the 0.80–0.90 band pairs are farther
+    // apart than the near-dup regime, so they straddle cells more often —
+    // the histogram reports the celled detector's own view by design
+    assert(recall >= 0.40, s"celled pair recall $recall below measured floor")
     val expected = pairs.groupBy(c => math.floor(c * 20).toLong).toSeq.sortBy(_._1)
       .map { case (b, xs) => (b, b * 50000, xs.size.toLong) }
     val got = TierFortyThree.q171.run(spark, sf).collect()

@@ -41,10 +41,20 @@ class TierThirtyFiveSpec extends SparkSpec {
   }
 
   test("q155 link prediction ≡ brute-force common neighbors; predictions are non-edges") {
-    val pairs = TierNineteen.embedPairsOf(
+    val pairs = TierNineteen.celledEmbedPairsOf(
         Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     operators.Cumulative.releaseAll()
+    // q155 declares the celled pair source (r10 VERDICT re-sourcing):
+    // containment + recall vs the anchor stay floored
+    val anchor = TierNineteen.embedPairsOf(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    operators.Cumulative.releaseAll()
+    assert(pairs.toSet.subsetOf(anchor), "celled pairs are cosine-verified: ⊆ anchor")
+    val recall = pairs.size.toDouble / anchor.size
+    info(s"celled pair recall at thr 0.9: $recall")
+    assert(recall >= 0.50, s"celled pair recall $recall below measured floor")
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
     val nbr = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
     val nodes = nbr.keySet.toSeq

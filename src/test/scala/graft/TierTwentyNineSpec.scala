@@ -48,7 +48,7 @@ class TierTwentyNineSpec extends SparkSpec {
 
   test("q143 2-core ≡ in-memory degree peel; core-degree law; fixpoint well inside the cap") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
-    val pairs = TierNineteen.embedPairsOf(docs, 0.9)
+    val pairs = TierNineteen.celledEmbedPairsOf(docs, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     operators.Cumulative.releaseAll()
     val adj = pairs.flatMap { case (x, y) => Seq(x -> y, y -> x) }
@@ -84,25 +84,37 @@ class TierTwentyNineSpec extends SparkSpec {
     c.release()
   }
 
-  test("q143 scale path: 2-core over celled pairs ⊆ the anchor 2-core (monotone under edge subset)") {
-    // the production pair source is TierNineteen.celledEmbedPairs (Lloyd
-    // cells on the embeds, the q128 scale-path precedent); celled edges ⊆
-    // anchor edges by the same-verifier construction, and the k-core is
-    // the unique MAXIMAL min-degree-≥k set — so subsetting edges can only
-    // shrink it. Pins the drop-in replacement law before anyone swaps the
-    // anchor out at corpus scale.
-    val anchorCore = TierTwentyNine.q143.run(spark, sf).collect().map(_.getLong(0)).toSet
+  test("q143 pair source: celled ⊆ anchor with floored recall; celled core ⊆ anchor core") {
+    // q143 now DECLARES the celled pair source (r10 VERDICT re-sourcing);
+    // celled edges ⊆ anchor edges by the same-verifier construction, and
+    // the k-core is the unique MAXIMAL min-degree-≥k set — so the celled
+    // core can only shrink vs the anchor's. Recall is measured and
+    // floored the TierNineteenSpec way.
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val anchor = TierNineteen.embedPairsOf(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     operators.Cumulative.releaseAll()
-    val celled = TierNineteen.celledEmbedPairs(spark, sf, 0.9)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val celled = TierNineteen.celledEmbedPairsOf(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     operators.Cumulative.releaseAll()
-    import spark.implicits._
-    val ed = celled.flatMap { case (x, y) => Seq((x, y), (y, x)) }.toDF("src", "dst")
-    val c = Graph.kcoreReleasable(ed, k = 2, maxRounds = 10)
-    val celledCore = c.core.collect().map(_.getLong(0)).toSet
-    c.release()
-    assert(celledCore.subsetOf(anchorCore),
-      s"celled 2-core must be contained in the anchor's; extras: ${celledCore -- anchorCore}")
+    assert(celled.subsetOf(anchor), "celled pairs are cosine-verified: ⊆ anchor")
+    val recall = (celled & anchor).size.toDouble / anchor.size
+    info(s"celled pair recall at thr 0.9: $recall")
+    assert(recall >= 0.50, s"celled pair recall $recall below measured floor")
+    // anchor 2-core (in-memory peel) must contain the declared celled core
+    val adj = anchor.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    var alive = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = alive.filter(nd => (adj(nd) & alive).size >= 2)
+      changed = next != alive
+      alive = next
+    }
+    val celledCore = TierTwentyNine.q143.run(spark, sf).collect().map(_.getLong(0)).toSet
+    operators.Cumulative.releaseAll()
+    assert(celledCore.subsetOf(alive),
+      s"celled 2-core must be contained in the anchor's; extras: ${celledCore -- alive}")
     assert(celledCore.nonEmpty, "celled core must not collapse on the fixture")
   }
 
