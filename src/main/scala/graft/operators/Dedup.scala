@@ -105,4 +105,70 @@ object Dedup {
     val (out, release) = deduplicateReleasable(docs)
     Release.onFirstExecution(out, release)
   }
+
+  /** The dedup-composition working set, built ONCE and shared across
+    * every report that consumes it — `pairs` (q26's MinHash+LSH near-dup
+    * pairs), `labels` (q55's connected-component cluster labels,
+    * `(doc_id, cluster)`), `scores` (q83's classifier scores,
+    * `(doc_id, score_c)`), all pinned, plus the release handle that
+    * drops them AND the detector's internal intermediates AND the
+    * components label leaf.
+    *
+    * Economics (the SigIndex/LexIndex precedent): each declared
+    * reporting query (q158/q159/q165/q176/q177 …) re-runs the detector +
+    * `Components` cold so its oracle stays self-contained — honest but
+    * ~6-10 s of repeated work apiece at sf0.1. A production pipeline
+    * builds THIS handle once and feeds every report from it;
+    * DedupArtifactsSpec proves each face ≡ its declared query bit for
+    * bit, and the id-diff release gate proves the handle drops
+    * everything it pinned.
+    *
+    * FINALITY: `labels` is a lineage-truncated localCheckpoint leaf —
+    * after [[Artifacts.release]] none of the three frames (nor plans
+    * derived from them) can be re-executed.
+    */
+  final case class Artifacts(pairs: DataFrame, labels: DataFrame,
+      scores: DataFrame, release: () => Unit)
+
+  /** Build the shared [[Artifacts]] over any `(doc_id, text, source …)`
+    * frame. All three members are persisted through one internal [[Pins]]
+    * (threaded into the detector and the vocab-rank caches too — the
+    * round-7 leak class stays closed structurally). */
+  def artifacts(docs: DataFrame): Artifacts = {
+    val pins = new Pins
+    val pairs = pins(TierFour.minhashPairs(
+      TextOps.tokOf(docs.select("doc_id", "text")), pins))
+    val labels = pins(Components.connected(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster")))
+    val scores = pins(TierEleven.classifierScoresOf(docs, Some(pins)))
+    Artifacts(pairs, labels, scores, () => {
+      pins.release()
+      org.apache.spark.sql.GraftSqlBridge.releaseLeaves(labels)
+    })
+  }
+
+  private def labOf(a: Artifacts): DataFrame =
+    a.labels.select(col("doc_id").as("id"), col("cluster").as("lbl"))
+
+  /** q158's leakage matrix from a shared [[Artifacts]] build. */
+  def leakageMatrix(docs: DataFrame, a: Artifacts): DataFrame =
+    TierThirtySeven.leakageOver(docs, a.pairs)
+
+  /** q159's dedup savings report from a shared [[Artifacts]] build. */
+  def savings(docs: DataFrame, a: Artifacts): DataFrame =
+    TierThirtySeven.savingsOver(docs, labOf(a))
+
+  /** q165's best-of-cluster representatives from a shared build. */
+  def bestOfCluster(a: Artifacts): DataFrame =
+    TierForty.bestOfClusterOver(labOf(a), a.scores)
+
+  /** q176's budget-constrained selection from a shared build. */
+  def budgetSelection(docs: DataFrame, a: Artifacts, budget: Long): DataFrame =
+    TierFortySix.selectionOver(docs, labOf(a), a.scores, budget)
+
+  /** q177's keep-rule policy diff from a shared build. */
+  def policyDiff(docs: DataFrame, a: Artifacts): DataFrame =
+    TierFortySix.policyDiffOver(docs, labOf(a), a.scores)
 }

@@ -166,13 +166,20 @@ object TierEleven {
     * q105's percentile gate consumes it twice (rank pass + admission
     * agg). */
   private[graft] def classifierScores(
-      s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+      s: SparkSession, dir: String): DataFrame =
+    classifierScoresOf(Tables.load(s, dir, "documents"))
+
+  /** [[classifierScores]] over an arbitrary `(doc_id, text, …)` frame —
+    * the [[Dedup.artifacts]] build path; vocab-rank caches go into the
+    * caller's [[Pins]] when provided. */
+  private[graft] def classifierScoresOf(
+      docs: DataFrame, pins: Option[Pins] = None): DataFrame = {
+    val s = docs.sparkSession
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
     val vocab = Cumulative.rowNumber(s,
-        toks.select("token").distinct(), Seq(col("token")), "tid")
+        toks.select("token").distinct(), Seq(col("token")), "tid", pins = pins)
     // one Scala source of truth for the stand-in weights (pseudoWeights —
     // scoreCol's array and this model table must never drift); the oracle
     // SQL restates the formula as the intentional second engine

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 40 (round 10, twelfth wave): arrival-order analytics and
@@ -106,7 +107,17 @@ object TierForty {
     val lab = Components.connected(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val sc = TierEleven.classifierScores(s, dir)
+    bestOfClusterOver(lab, TierEleven.classifierScores(s, dir))
+  }
+
+  /** q165's report body over prebuilt artifacts — `lab(id, lbl)` cluster
+    * labels and `sc(doc_id, score_c)` classifier scores: real clusters
+    * (size ≥ 2) with their pinned `max(struct(score, −id))`
+    * representative and the min-id doc the q58 rule would keep. The
+    * declared query builds its inputs cold; [[Dedup.bestOfCluster]]
+    * feeds it from the build-once [[Dedup.artifacts]] handle
+    * (bit-for-bit equal — DedupArtifactsSpec). */
+  private[graft] def bestOfClusterOver(lab: DataFrame, sc: DataFrame): DataFrame = {
     val cl = lab.join(sc.select(col("doc_id").as("id"), col("score_c")), "id")
     val ag = cl.groupBy(col("lbl").as("cluster"))
       .agg(count(lit(1)).as("csize"), min("id").as("min_doc"))

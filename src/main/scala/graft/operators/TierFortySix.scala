@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 46 (round 10, eighteenth wave): the SELECTION CAPSTONE — three
@@ -30,7 +31,7 @@ object TierFortySix {
     * graph is dense on this fixture — ~45 clusters over 500 docs, so
     * the ~45 reps hold only ≈800 ws-tokens), so the quality cut always excludes a
     * real tail — the non-degeneracy the spec pins. */
-  private val Budget = 500L
+  private[graft] val Budget = 500L
 
   private val ccSql =
     s"""pairs AS (${TierFour.minhashSql("documents")}),
@@ -95,7 +96,18 @@ object TierFortySix {
     val lab = Components.connected(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val sc = TierEleven.classifierScores(s, dir)
+    selectionOver(docs, lab, TierEleven.classifierScores(s, dir), Budget)
+  }
+
+  /** q176's selection body over prebuilt artifacts — `lab(id, lbl)` and
+    * `sc(doc_id, score_c)`: quality-first cluster representatives kept
+    * until `budget` tokens. The declared query builds its inputs cold;
+    * [[Dedup.budgetSelection]] feeds it from the build-once
+    * [[Dedup.artifacts]] handle (bit-for-bit equal —
+    * DedupArtifactsSpec). */
+  private[graft] def selectionOver(docs: DataFrame, lab: DataFrame,
+      sc: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
     val rep = lab.join(sc.select(col("doc_id").as("id"), col("score_c")), "id")
       .groupBy(col("lbl"))
       .agg(max(struct(col("score_c"), (-col("id")).as("neg"), col("id"))).as("m"))
@@ -107,7 +119,7 @@ object TierFortySix {
         "doc_id")
     Cumulative.runningSum(s, cand,
         Seq((-col("score_c")).as("ns"), col("doc_id")), col("n_tok"), "cum_tok")
-      .filter(col("cum_tok") <= Budget)
+      .filter(col("cum_tok") <= budget)
       .select(col("doc_id"), col("score_c"), col("n_tok"), col("cum_tok"))
       .orderBy("cum_tok", "doc_id")
   }
@@ -128,12 +140,22 @@ object TierFortySix {
        |         AS n_differ
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    val pins = new Pins
     val pairs = TierFour.minhashPairs(TextOps.tok(s, dir))
-    val lab = Components.connected(
+    val lab = pins(Components.connected(
       docs.select(col("doc_id").as("id")),
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .persist() // feeds the representative argmax AND the min-id rule
-    val sc = TierEleven.classifierScores(s, dir)
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+      // pinned: feeds the representative argmax AND the min-id rule
+    val out = policyDiffOver(docs, lab, TierEleven.classifierScores(s, dir))
+    Release.onFirstExecution(out, () => pins.release())
+  }
+
+  /** q177's policy-diff body over prebuilt artifacts — `lab(id, lbl)`
+    * and `sc(doc_id, score_c)`. `lab` feeds two consumers (argmax + min
+    * rule): the caller pins it ([[Dedup.artifacts]] does; the declared
+    * query threads its own [[Pins]]). */
+  private[graft] def policyDiffOver(docs: DataFrame, lab: DataFrame,
+      sc: DataFrame): DataFrame = {
     val rep = lab.join(sc.select(col("doc_id").as("id"), col("score_c")), "id")
       .groupBy(col("lbl").as("cluster"))
       .agg(max(struct(col("score_c"), (-col("id")).as("neg"), col("id"))).as("m"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 37 (round 10, ninth wave): the dedup REPORTING layer — the two
@@ -37,7 +38,13 @@ object TierThirtySeven {
        |       CAST(count(*) AS BIGINT) AS n_pairs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    val pairs = TierFour.minhashPairs(TextOps.tok(s, dir))
+    leakageOver(docs, TierFour.minhashPairs(TextOps.tok(s, dir)))
+  }
+
+  /** q158's report body over prebuilt near-dup `pairs(doc_a, doc_b, …)` —
+    * the [[Dedup.leakageMatrix]] face (bit-for-bit equal to the declared
+    * query — DedupArtifactsSpec). */
+  private[graft] def leakageOver(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -80,6 +87,13 @@ object TierThirtySeven {
     val lab = Components.connected(
       docs.select(col("doc_id").as("id")),
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    savingsOver(docs, lab)
+  }
+
+  /** q159's savings body over prebuilt `lab(id, lbl)` cluster labels —
+    * the [[Dedup.savings]] face (bit-for-bit equal to the declared
+    * query — DedupArtifactsSpec). */
+  private[graft] def savingsOver(docs: DataFrame, lab: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), col("source"),
       size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("nt"))
     tok.join(lab.select(col("id").as("doc_id"), col("lbl")), "doc_id")
