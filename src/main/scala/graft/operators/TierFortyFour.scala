@@ -47,16 +47,17 @@ object TierFortyFour {
        |LEFT JOIN uw cur ON cur.user_id = f.user_id AND cur.wk = w.wk
        |LEFT JOIN uw prev ON prev.user_id = f.user_id AND prev.wk = w.wk - 1
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val uw = Tables.load(s, dir, "events")
+    val pins = new Pins
+    val uw = pins(Tables.load(s, dir, "events")
       .select(col("user_id"),
         expr(s"unix_millis(cast(ts as timestamp)) div $WeekMs").as("wk"))
-      .distinct()
-      .persist() // feeds cur, prev (shifted) and the first-week min
+      .distinct())
+      // pinned: feeds cur, prev (shifted) and the first-week min
     val fw = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
     val wks = uw.select("wk").distinct()
     val cur = uw.select(col("user_id").as("cu"), col("wk").as("cwk"))
     val prev = uw.select(col("user_id").as("pu"), (col("wk") + 1).as("pwk"))
-    fw.crossJoin(broadcast(wks)) // |weeks| rows — the ×W expansion, pinned broadcast
+    val out = fw.crossJoin(broadcast(wks)) // |weeks| rows — the ×W expansion, pinned broadcast
       .join(cur, col("cu") === col("user_id") && col("cwk") === col("wk"), "left")
       .join(prev, col("pu") === col("user_id") && col("pwk") === col("wk"), "left")
       .groupBy(col("wk").as("week"))
@@ -70,6 +71,7 @@ object TierFortyFour {
         sum(when(col("cu").isNull && col("pu").isNotNull, 1L).otherwise(0L))
           .as("n_churned"))
       .orderBy("week")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val q173 = Q("q173_stickiness",
@@ -87,21 +89,23 @@ object TierFortyFour {
        |       (d.dau * 1000000) // m.mau AS stickiness_ppm
        |FROM dau d JOIN mau m ON m.day_idx = d.day_idx
        |ORDER BY d.day_idx""".stripMargin) { (s, dir) =>
-    val du = Tables.load(s, dir, "events")
+    val pins = new Pins
+    val du = pins(Tables.load(s, dir, "events")
       .select(col("user_id"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"))
-      .distinct()
-      .persist() // feeds the DAU count, the window expansion, and evd
+      .distinct())
+      // pinned: feeds the DAU count, the window expansion, and evd
     val evd = du.select(col("d").as("day_idx")).distinct()
     val dau = du.groupBy(col("d").as("day_idx")).agg(count(lit(1)).as("dau"))
     val mau = du.select(col("user_id"),
         explode(sequence(col("d"), col("d") + (MauDays - 1))).as("day_idx"))
       .join(evd, Seq("day_idx"), "left_semi")
       .groupBy("day_idx").agg(countDistinct("user_id").as("mau"))
-    dau.join(mau, "day_idx")
+    val out = dau.join(mau, "day_idx")
       .select(col("day_idx"), col("dau"), col("mau"),
         expr("(dau * 1000000) div mau").as("stickiness_ppm"))
       .orderBy("day_idx")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val all: Seq[Q] = Seq(q172, q173)

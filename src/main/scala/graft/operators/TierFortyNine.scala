@@ -39,12 +39,13 @@ object TierFortyNine {
        |FROM pair p JOIN deg d ON d.s = p.sa
        |WHERE p.both >= $MinSupport
        |ORDER BY conf_ppm DESC, support DESC, ante, cons LIMIT $TopK""".stripMargin) { (s, dir) =>
-    val cs = Tables.load(s, dir, "orders")
+    val pins = new Pins
+    val cs = pins(Tables.load(s, dir, "orders")
       .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
-      .persist() // feeds the degree count and both pair sides
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct())
+      // pinned: feeds the degree count and both pair sides
     val deg = cs.groupBy(col("su").as("ds")).agg(count(lit(1)).as("n"))
-    cs.as("a").join(cs.as("b"),
+    val out = cs.as("a").join(cs.as("b"),
         col("b.c") === col("a.c") && col("a.su") =!= col("b.su"))
       .groupBy(col("a.su").as("ante"), col("b.su").as("cons"))
       .agg(count(lit(1)).as("support"))
@@ -54,6 +55,7 @@ object TierFortyNine {
         expr("(support * 1000000) div n").as("conf_ppm"))
       .orderBy(col("conf_ppm").desc, col("support").desc, col("ante"), col("cons"))
       .limit(TopK)
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val q183 = Q("q183_forecastability",
@@ -70,19 +72,21 @@ object TierFortyNine {
       |       CAST((sum(abs(actual - forecast)) * 1000000) // sum(actual) AS BIGINT)
       |         AS mae_ppm_of_mean
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val dc = Tables.load(s, dir, "events")
+    val pins = new Pins
+    val dc = pins(Tables.load(s, dir, "events")
       .groupBy(col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("d"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist() // both join sides
+      .agg(count(lit(1)).as("cnt")))
+      // pinned: both join sides
     val f = dc.select(col("event_type").as("fe"), (col("d") + 7).as("fd"),
       col("cnt").as("forecast"))
-    dc.join(f, col("fe") === col("event_type") && col("fd") === col("d"))
+    val out = dc.join(f, col("fe") === col("event_type") && col("fd") === col("d"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sum(abs(col("cnt") - col("forecast"))).as("abs_err_sum"),
         expr("(sum(abs(cnt - forecast)) * 1000000) div sum(cnt)").as("mae_ppm_of_mean"))
       .orderBy("event_type")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val all: Seq[Q] = Seq(q182, q183)

@@ -106,18 +106,20 @@ object TierFortyOne {
        |       CAST(count(*) AS BIGINT) AS n_purchases,
        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    val ev = Tables.load(s, dir, "events")
+    val pins = new Pins
+    val ev = pins(Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"),
         expr(s"unix_millis(cast(ts as timestamp)) div $WeekMs").as("wk"),
-        floor(col("value") * 100).cast("long").as("cents"))
-      .persist() // feeds both the cohort min and the purchase join
+        floor(col("value") * 100).cast("long").as("cents")))
+      // pinned: feeds both the cohort min and the purchase join
     val f = ev.groupBy("user_id").agg(min("wk").as("cohort"))
-    ev.filter(col("event_type") === "purchase")
+    val out = ev.filter(col("event_type") === "purchase")
       .join(f, "user_id")
       .groupBy(col("cohort").as("cohort_week"),
         (col("wk") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
       .orderBy("cohort_week", "week_offset")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val all: Seq[Q] = Seq(q166, q167)

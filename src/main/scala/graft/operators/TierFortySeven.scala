@@ -42,20 +42,22 @@ object TierFortySeven {
        |SELECT s.d AS day_offset, s.n_alive,
        |       (s.n_alive * 1000000) // n.cohort AS survival_ppm
        |FROM s, n ORDER BY s.d""".stripMargin) { (s, dir) =>
-    val ue = Tables.load(s, dir, "events")
+    val pins = new Pins
+    val ue = pins(Tables.load(s, dir, "events")
       .groupBy("user_id")
       .agg(expr(s"(unix_micros(CAST(max(ts) AS TIMESTAMP))"
-        + s" - unix_micros(CAST(min(ts) AS TIMESTAMP))) div $DayUs").as("life_d"))
-      .persist() // feeds the offset set, the cohort count, and the fold
+        + s" - unix_micros(CAST(min(ts) AS TIMESTAMP))) div $DayUs").as("life_d")))
+      // pinned: feeds the offset set, the cohort count, and the fold
     val cohort = ue.count() // documented 1-long driver read
     val offs = ue.select(col("life_d").as("d")).union(s.range(1).select(lit(0L).as("d")))
       .distinct()
-    ue.crossJoin(broadcast(offs)) // |distinct lifetimes| ≤ |days| — bounded expansion
+    val out = ue.crossJoin(broadcast(offs)) // |distinct lifetimes| ≤ |days| — bounded expansion
       .groupBy("d")
       .agg(sum(when(col("life_d") >= col("d"), 1L).otherwise(0L)).as("n_alive"))
       .select(col("d").as("day_offset"), col("n_alive"),
         expr(s"(n_alive * 1000000) div $cohort").as("survival_ppm"))
       .orderBy("day_offset")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val q179 = Q("q179_repeat_cadence",

@@ -46,23 +46,25 @@ object TierFortyThree {
        |         // count(*) AS BIGINT) AS novel_ppm
        |FROM g JOIN fo ON fo.key = g.key
        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val g = Tables.load(s, dir, "documents")
+    val pins = new Pins
+    val g = pins(Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), x => x =!= "").as("l"))
       .filter(size(col("l")) >= W)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("l")) - (W - 1)),
           i => concat_ws(" ", slice(col("l"), i, lit(W))))).as("key"))
-      .distinct()
-      .persist() // feeds the first-occurrence min AND the per-doc fold
+      .distinct())
+      // pinned: feeds the first-occurrence min AND the per-doc fold
     val fo = g.groupBy("key").agg(min("doc_id").as("owner"))
-    g.join(fo, "key")
+    val out = g.join(fo, "key")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 1000000) div n_shingles").as("novel_ppm"))
       .orderBy("doc_id")
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   val q171 = Q("q171_sim_histogram",

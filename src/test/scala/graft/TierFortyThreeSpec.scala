@@ -24,9 +24,16 @@ class TierFortyThreeSpec extends SparkSpec {
       seen ++= ks
       (id, ks.size.toLong, novel.toLong, novel.toLong * 1000000 / ks.size)
     }
+    // id-diff release gate (DedupSpec convention): q170 now threads its
+    // shingle cache through Pins + single-shot auto-release — the first
+    // materialization must drop everything the query pinned
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val got = TierFortyThree.q170.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     operators.Cumulative.releaseAll()
+    val left = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(left.isEmpty,
+      s"q170 must auto-release its pinned shingle cache after first execution: $left")
     assert(got == expected)
     assert(got.head._4 == 1000000L, "the first document is novel by definition")
     // the decay law: the second half of the corpus is on average less
