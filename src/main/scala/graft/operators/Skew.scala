@@ -29,4 +29,32 @@ object Skew {
       .agg(sum(valueCol).as("partial"))
     salted.groupBy(col("k")).agg(sum(col("partial")).as("total"))
   }
+
+  /** Salted within-key co-occurrence SELF-JOIN: every ordered pair of
+    * distinct `item`s sharing a `key` — `(k, ia, ib)` with ia ≠ ib — the
+    * co-purchase / co-click / co-citation expansion (q154/q182's shape).
+    *
+    * The naive `df ⋈ df ON key` puts a whale key's d² pair rows in ONE
+    * join task; AQE's skew split only helps sort-merge INPUT sizes, not
+    * a single key's quadratic OUTPUT. Standard salt rewrite: the left
+    * leg gets one deterministic salt per row (`hash(item) mod salts` —
+    * retry-stable, and spreads a whale key's items regardless of input
+    * layout), the right leg replicates each row to ALL salts, the join
+    * key becomes `(key, salt)` — each (a, b) pair meets exactly once
+    * (at a's salt), so the result is identical by construction while the
+    * whale's d² rows spread `salts`-way. Cost: the replicated leg
+    * shuffles `salts`× rows — cheap for the distinct (key, item) frames
+    * this serves; pick `salts` ≈ the skew factor to flatten, not the
+    * cluster width.
+    */
+  def saltedCoPairs(df: DataFrame, key: Column, item: Column,
+      salts: Int = 8): DataFrame = {
+    val a = df.select(key.as("k"), item.as("ia"),
+      pmod(xxhash64(item), lit(salts.toLong)).as("salt"))
+    val b = df.select(key.as("k"), item.as("ib"))
+      .withColumn("salt", explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    a.join(b, Seq("k", "salt"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("k"), col("ia"), col("ib"))
+  }
 }

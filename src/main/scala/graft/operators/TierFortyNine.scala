@@ -45,9 +45,10 @@ object TierFortyNine {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct())
       // pinned: feeds the degree count and both pair sides
     val deg = cs.groupBy(col("su").as("ds")).agg(count(lit(1)).as("n"))
-    val out = cs.as("a").join(cs.as("b"),
-        col("b.c") === col("a.c") && col("a.su") =!= col("b.su"))
-      .groupBy(col("a.su").as("ante"), col("b.su").as("cons"))
+    // whale-customer guard: salt the c-keyed self-join (q154's guard;
+    // pair set identical by construction)
+    val out = Skew.saltedCoPairs(cs, col("c"), col("su"))
+      .groupBy(col("ia").as("ante"), col("ib").as("cons"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= MinSupport)
       .join(broadcast(deg), col("ds") === col("ante"))

@@ -76,9 +76,11 @@ object TierThirtyFive {
        |  FROM sc) WHERE rk <= $TopRecs
        |ORDER BY cust, score DESC, supp""".stripMargin) { (s, dir) =>
     val cs = csOf(s, dir)
-    val w = cs.as("a").join(cs.as("b"),
-        col("b.c") === col("a.c") && col("a.su") =!= col("b.su"))
-      .groupBy(col("a.su").as("s_a"), col("b.su").as("s_b"))
+    // whale-customer guard: the c-keyed self-join's d² pair rows would
+    // land in one task — salt it (pair set identical by construction;
+    // TierThirtyFiveSpec pins both the plan and the equality)
+    val w = Skew.saltedCoPairs(cs, col("c"), col("su"))
+      .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("nrk", row_number().over(
         Window.partitionBy("s_a").orderBy(col("shared").desc, col("s_b"))))

@@ -50,9 +50,11 @@ object TierThirtyOne {
     val lineitem = Tables.load(s, dir, "lineitem")
     val cs = orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
-    cs.as("a").join(cs.as("b"),
-        col("b.c") === col("a.c") && col("a.su") < col("b.su"))
-      .groupBy(col("a.su").as("s_a"), col("b.su").as("s_b"))
+    // whale-customer guard: salt the c-keyed self-join (q154's guard);
+    // the < filter keeps each unordered pair once
+    Skew.saltedCoPairs(cs, col("c"), col("su"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(desc("shared"), col("s_a"), col("s_b"))
       .limit(TopK)

@@ -90,6 +90,26 @@ class ScaleTechniqueSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("salted co-pair self-join ≡ the naive join; the whale key spreads across salts") {
+    import spark.implicits._
+    // one whale key with 40 items (1560 ordered pairs) + small keys
+    val df = ((1 to 40).map(i => (0L, i.toLong)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 9L))).toDF("c", "su")
+    val naive = df.as("a").join(df.as("b"),
+        col("b.c") === col("a.c") && col("a.su") =!= col("b.su"))
+      .select(col("a.c").as("k"), col("a.su").as("ia"), col("b.su").as("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedCoPairs(df, col("c"), col("su")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == naive, "salting must not change the pair set")
+    assert(salted.count(_._1 == 0L) == 40 * 39, "whale pair count intact")
+    // the guard's point: the whale's left leg lands on > 1 salt, so its
+    // quadratic pair output spreads over > 1 join task
+    val whaleSalts = df.filter(col("c") === 0L)
+      .select(pmod(xxhash64(col("su")), lit(8L))).distinct().count()
+    assert(whaleSalts > 1, "whale items must spread across salts")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
     // partition-id salting needs the input spread over partitions — the

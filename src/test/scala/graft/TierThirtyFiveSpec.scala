@@ -71,11 +71,16 @@ class TierThirtyFiveSpec extends SparkSpec {
       a < b && cn >= 1 && !edges((a, b)) }, "every prediction is a scored non-edge")
   }
 
-  test("tier-35 plan gates: no CartesianProduct") {
+  test("tier-35 plan gates: no CartesianProduct; q154's co-purchase join is salted") {
     for (q <- TierThirtyFive.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       operators.Cumulative.releaseAll()
       assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
+      if (q.name.contains("copurchase"))
+        // the whale-customer guard (r10 VERDICT #6): the c-keyed self-join
+        // must run on the (c, salt) composite key — Skew.saltedCoPairs
+        assert(plan.contains("salt"),
+          s"${q.name} must salt the co-purchase self-join: ${plan.take(800)}")
     }
     operators.Release.sweep(spark)
   }
