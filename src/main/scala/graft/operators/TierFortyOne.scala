@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    [a=conv_A, b=nonconv_A, c=conv_B, d=nonconv_B],
   *    χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) > 3.84 (α=0.05, 1 df)
   *    ⟺ 100·n·(ad−bc)² > 384·(a+b)(c+d)(a+c)(b+d) — cross-multiplied
-  *    into exact Int64 arithmetic, zero float anywhere (the q57 rule
-  *    applied to hypothesis testing). Envelope: n·(ad−bc)² ≤ n⁵/16 —
-  *    safe to ~10⁶ users/readout; DECIMAL dispatch past that.
+  *    into exact integer arithmetic, zero float anywhere (the q57 rule
+  *    applied to hypothesis testing). The 2×2 table is four scalars, so
+  *    the test runs driver-side in BigInt — NO Int64 envelope at any n
+  *    (r10 VERDICT #7; the old ~10⁶-user in-plan form wrapped at
+  *    n·(ad−bc)² ≈ n⁵/16).
   *  - q167: COHORT VALUE (LTV) MATRIX — signup-week cohort × week
   *    offset → revenue cents: q88's retention grid with MONEY in the
   *    cells (integer cents, the q138 Determinism rule) — the
@@ -74,21 +76,33 @@ object TierFortyOne {
       .groupBy("arm")
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("cu").isNotNull, 1L).otherwise(0L)).as("n_conv"))
-    val w = t.agg(
-      max(when(col("arm") === 0, col("n_conv"))).as("a"),
-      max(when(col("arm") === 0, col("n_users") - col("n_conv"))).as("b"),
-      max(when(col("arm") === 1, col("n_conv"))).as("c"),
-      max(when(col("arm") === 1, col("n_users") - col("n_conv"))).as("d"))
-    t.crossJoin(broadcast(w))
+      .persist() // feeds the 2×2 collect and the per-arm report
+    // the 2×2 table is FOUR scalars — collect it (the q109/q184 bounded
+    // driver-read convention) and run the cross-multiplied test in exact
+    // BigInt: no Int64 envelope at any n (the r10 VERDICT #7 guard; the
+    // oracle's DuckDB side is HUGEINT, 128-bit, so the two engines agree
+    // wherever either is exact — and BigInt is exact everywhere)
+    val rowsT = t.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (ua, uc) = (rowsT.getOrElse(0L, (0L, 0L)), rowsT.getOrElse(1L, (0L, 0L)))
+    val flag = chi2Significant(ua._2, ua._1 - ua._2, uc._2, uc._1 - uc._2)
+    val out = t
       .select(col("arm"), col("n_users"), col("n_conv"),
         expr("(n_conv * 1000000) div n_users").as("conv_ppm"),
-        when(lit(100) * (col("a") + col("b") + col("c") + col("d"))
-            * (col("a") * col("d") - col("b") * col("c"))
-            * (col("a") * col("d") - col("b") * col("c"))
-            > lit(384) * (col("a") + col("b")) * (col("c") + col("d"))
-              * (col("a") + col("c")) * (col("b") + col("d")), 1L)
-          .otherwise(0L).as("significant"))
+        lit(flag).as("significant"))
       .orderBy("arm")
+    Release.onFirstExecution(out, () => t.unpersist(blocking = false))
+  }
+
+  /** The all-integer 2×2 chi-square flag, exact at ANY scale: BigInt
+    * cross-multiplication of χ² > 3.84 (α = 0.05, 1 df) —
+    * `100·n·(ad−bc)² > 384·(a+b)(c+d)(a+c)(b+d)`. Four scalars in, one
+    * bit out; TierFortyOneSpec drives it past the old Int64 envelope
+    * and differentials it against a float χ². */
+  private[graft] def chi2Significant(a: Long, b: Long, c: Long, d: Long): Long = {
+    val (ba, bb, bc, bd) = (BigInt(a), BigInt(b), BigInt(c), BigInt(d))
+    val det = ba * bd - bb * bc
+    if (BigInt(100) * (ba + bb + bc + bd) * det * det >
+        BigInt(384) * (ba + bb) * (bc + bd) * (ba + bc) * (bb + bd)) 1L else 0L
   }
 
   val q167 = Q("q167_cohort_value",

@@ -80,15 +80,43 @@ object TierFortyTwo {
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+    giniOver(rev)
+  }
+
+  /** q169's concentration report over any `(user_id, x ≥ 0 cents)`
+    * frame. Int64 envelope: the Lorenz fold's terms reach ~n²·x̄ — safe
+    * to ~10⁷ users; session conf `spark.graft.giniDecimal=true` (the
+    * bm25Decimal promise pattern — r10 VERDICT #7) routes the fold and
+    * the ppm division through DECIMAL(38,0), exact to ~10³⁸ (any
+    * realistic corpus), same BIGINT output schema. TierFortyTwoSpec
+    * drives a boundary fixture where the Int64 fold WRAPS and pins the
+    * decimal path against BigInt. */
+  private[graft] def giniOver(rev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = rev.sparkSession
+    val decimal =
+      s.conf.getOption("spark.graft.giniDecimal").exists(_.equalsIgnoreCase("true"))
     val rk = Cumulative.rowNumber(s, rev.select("x", "user_id"),
       Seq(col("x"), col("user_id")), "i")
     val nRow = rk.agg(count(lit(1))).head().getLong(0) // documented 1-long driver read
+    val weight = lit(2) * col("i") - nRow - 1
+    val gTerm =
+      if (decimal) sum(weight.cast("decimal(38,0)") * col("x").cast("decimal(38,0)"))
+      else sum(weight * col("x"))
+    val giniPpm =
+      if (decimal)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * g) div"
+          + " (CAST(n_customers AS DECIMAL(38,0)) * total_cents) AS BIGINT)")
+      else expr("(1000000 * g) div (n_customers * total_cents)")
+    val topPpm =
+      if (decimal)
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * topd) div total_cents AS BIGINT)")
+      else expr("(1000000 * topd) div total_cents")
     rk.agg(count(lit(1)).as("n_customers"), sum("x").as("total_cents"),
-        sum((lit(2) * col("i") - nRow - 1) * col("x")).as("g"),
+        gTerm.as("g"),
         sum(when(col("i") > nRow - nRow / 10, col("x")).otherwise(0L)).as("topd"))
       .select(col("n_customers"), col("total_cents"),
-        expr("(1000000 * g) div (n_customers * total_cents)").as("gini_ppm"),
-        expr("(1000000 * topd) div total_cents").as("top_decile_ppm"))
+        giniPpm.as("gini_ppm"),
+        topPpm.as("top_decile_ppm"))
   }
 
   val all: Seq[Q] = Seq(q168, q169)

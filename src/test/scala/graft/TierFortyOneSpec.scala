@@ -64,6 +64,31 @@ class TierFortyOneSpec extends SparkSpec {
     assert(got.map(_._3).sum == purchases.size)
   }
 
+  test("chi2Significant is exact past the old Int64 envelope (r10 VERDICT #7)") {
+    // boundary tables (n ≈ 4·10⁹) where the old in-plan Int64 form was
+    // unrepresentable: 100·n·(ad−bc)² far exceeds Long.MaxValue
+    val cases = Seq(
+      // χ² ≈ 1.6 — not significant
+      (1000000000L, 1000000000L, 1000040000L, 999960000L),
+      // χ² ≈ 40 — significant
+      (1000000000L, 1000000000L, 1000200000L, 999800000L))
+    for ((a, b, c, d) <- cases) {
+      val det = BigInt(a) * BigInt(d) - BigInt(b) * BigInt(c)
+      val lhs = BigInt(100) * BigInt(a + b + c + d) * det * det
+      assert(lhs > BigInt(Long.MaxValue),
+        "the fixture must genuinely exceed the Int64 envelope")
+      // float χ² is unambiguous at these magnitudes (1.6 vs 40 — far
+      // from the 3.84 cut), so it adjudicates the exact integer flag
+      val (fa, fb, fc, fd) = (a.toDouble, b.toDouble, c.toDouble, d.toDouble)
+      val n = fa + fb + fc + fd
+      val chi2 = n * math.pow(fa * fd - fb * fc, 2) /
+        ((fa + fb) * (fc + fd) * (fa + fc) * (fb + fd))
+      val want = if (chi2 > 3.84) 1L else 0L
+      assert(TierFortyOne.chi2Significant(a, b, c, d) == want,
+        s"BigInt flag must match the float verdict at chi2=$chi2")
+    }
+  }
+
   test("tier-41 plan gates: no CartesianProduct beyond the pinned 1-row broadcast") {
     for (q <- TierFortyOne.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString

@@ -56,6 +56,37 @@ class TierFortyTwoSpec extends SparkSpec {
       "the top decile holds at least its uniform share by construction")
   }
 
+  test("q169 DECIMAL dispatch: the Int64 Lorenz fold wraps at the boundary; decimal stays exact (r10 VERDICT #7)") {
+    import spark.implicits._
+    // 100 whales at i·10¹⁴ cents: Σx ≈ 5·10¹⁷ (inside Int64) but the
+    // Lorenz fold Σ(2i−n−1)·x ≈ 1.7·10¹⁹ EXCEEDS Long.MaxValue — the
+    // documented ~10⁷-user envelope, reproduced at n=100 by raising x̄
+    val xs = (1 to 100).map(i => (i.toLong, i.toLong * 100000000000000L))
+    val rev = xs.toDF("user_id", "x")
+    val n = BigInt(100)
+    val s = xs.map(x => BigInt(x._2)).sum
+    val g = xs.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((_, x), i0) => (BigInt(2) * (i0 + 1) - n - 1) * BigInt(x) }.sum
+    assert(g > BigInt(Long.MaxValue), "the fixture must genuinely wrap the Int64 fold")
+    val expectedPpm = (BigInt(1000000) * g / (n * s)).toLong
+    spark.conf.set("spark.graft.giniDecimal", "true")
+    try {
+      val got = TierFortyTwo.giniOver(rev).collect()(0)
+      operators.Cumulative.releaseAll()
+      assert(got.getLong(0) == 100L && got.getLong(1) == s.toLong)
+      assert(got.getLong(2) == expectedPpm,
+        s"decimal path must be exact: got ${got.getLong(2)}, want $expectedPpm")
+    } finally spark.conf.unset("spark.graft.giniDecimal")
+    // the default Int64 path fails LOUDLY here (ANSI long-overflow — no
+    // silent wrap): the dispatch is load-bearing, not decorative
+    val ex = intercept[Exception] {
+      TierFortyTwo.giniOver(rev).collect()
+    }
+    operators.Cumulative.releaseAll()
+    assert(ex.getMessage.toLowerCase.contains("overflow"),
+      s"the Int64 fold must overflow loudly on this fixture: ${ex.getMessage.take(200)}")
+  }
+
   test("tier-42 plan gates: no CartesianProduct; q169's rank is two-pass") {
     for (q <- TierFortyTwo.all) {
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
