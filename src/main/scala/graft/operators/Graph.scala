@@ -271,6 +271,12 @@ object Graph {
       .union(e.select(col("dst").as("nid"))).distinct())
     val n = nodes.count()
     require(n > 0, "Graph.hits: edge frame is empty — no nodes to score")
+    // SH/n floors to 0 past 10⁹ nodes and every later normalization keeps
+    // all scores 0 — fail loudly instead of silently zeroing (r10 ADVICE;
+    // the DECIMAL-dispatch family's envelope convention)
+    require(n <= SH,
+      s"Graph.hits: $n nodes exceed the SH=$SH fixed-point scale — the " +
+        "uniform init SH/n floors to 0; raise the scale before scoring")
     def ckpt(df: DataFrame): DataFrame =
       GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
     // (nid, v) summed along edges from side `from` onto side `to`
@@ -339,7 +345,10 @@ object Graph {
   def kcoreReleasable(edgesIn: DataFrame, k: Int, maxRounds: Int = 10,
       pins: Pins = new Pins): Core = {
     require(k >= 1 && maxRounds >= 1, "Graph.kcore: k and maxRounds must be >= 1")
-    val ed = pins(edgesIn.select(col("src"), col("dst")))
+    // distinct on entry (the hits convention — r10 ADVICE): parallel
+    // edges would inflate degree counts into a silent multigraph k-core;
+    // a no-op shuffle-dedup on already-distinct callers
+    val ed = pins(edgesIn.select(col("src"), col("dst")).distinct())
     def ckpt(df: DataFrame): DataFrame =
       GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
     var alive = ckpt(ed.select(col("src").as("nid"))
@@ -396,6 +405,9 @@ object Graph {
   def ssspReleasable(edgesIn: DataFrame, sources: DataFrame,
       maxRounds: Int = 10, pins: Pins = new Pins): Costed = {
     require(maxRounds >= 1, "Graph.sssp: maxRounds must be >= 1")
+    // no dedupe needed: min-relaxation is idempotent — parallel edges
+    // (same or different w) cannot change the fixpoint, only the cheapest
+    // relaxes through (contrast kcore/lpa, whose counts dedupe on entry)
     val ed = pins(edgesIn.select(col("src"), col("dst"), col("w")))
     def ckpt(df: DataFrame): DataFrame =
       GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
@@ -503,7 +515,9 @@ object Graph {
   def lpaReleasable(edgesIn: DataFrame, maxRounds: Int = 5,
       pins: Pins = new Pins): Labeled = {
     require(maxRounds >= 1, "Graph.lpa: maxRounds must be >= 1")
-    val ed = pins(edgesIn.select(col("src"), col("dst")))
+    // distinct on entry (the hits convention — r10 ADVICE): parallel
+    // edges would double-count label votes; no-op on distinct callers
+    val ed = pins(edgesIn.select(col("src"), col("dst")).distinct())
     def ckpt(df: DataFrame): DataFrame =
       GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
     // (nid, label, old) — `old` rides the checkpoint so the changed

@@ -103,13 +103,15 @@ object Release {
     * session lifetime (round-9 ADVICE). */
   def sweep(spark: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
-    outstandingReleases.asScala.keys.toSeq.foreach { l =>
-      outstandingReleases.remove(l) match {
-        case null => () // the fire path won the race — it ran the release
-        case (s, rel) if s eq spark =>
-          s.listenerManager.unregister(l)
-          rel()
-        case entry => outstandingReleases.put(l, entry) // other session's — keep
+    // read-then-conditional-remove: another session's entry is NEVER
+    // touched (the old remove/re-put window let that session's fire path
+    // see a null remove mid-sweep and skip its release — r10 ADVICE); the
+    // two-arg remove keeps the fire-path race exact — whoever removes the
+    // entry runs the release, exactly once
+    outstandingReleases.asScala.toSeq.foreach { case (l, entry @ (s, rel)) =>
+      if ((s eq spark) && outstandingReleases.remove(l, entry)) {
+        s.listenerManager.unregister(l)
+        rel()
       }
     }
   }

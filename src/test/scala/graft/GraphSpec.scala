@@ -267,4 +267,46 @@ class GraphSpec extends SparkSpec {
     val left = awaitReleased(mine)
     assert(left.isEmpty, s"sweep must drop the abandoned build's pins; still pinned: $left")
   }
+
+  test("Release.sweep never touches another session's registrations (r10 ADVICE)") {
+    Release.sweep(spark)
+    val other = spark.newSession()
+    var fired = false
+    // a registration owned by the OTHER session, never executed
+    Release.onFirstExecution(
+      other.range(3).toDF("nid"), () => { fired = true })
+    assert(Release.outstanding(other) == 1)
+    // sweeping THIS session must leave the other session's entry in
+    // place and unfired (the old remove/re-put window could swallow it)
+    Release.sweep(spark)
+    assert(Release.outstanding(other) == 1 && !fired,
+      "sweep(spark) must not drain or fire another session's release")
+    Release.sweep(other)
+    assert(Release.outstanding(other) == 0 && fired,
+      "the owning session's sweep drains it")
+  }
+
+  test("kcore and lpa dedupe parallel edges on entry — multigraph input ≡ simple graph (r10 ADVICE)") {
+    import spark.implicits._
+    // triangle + pendant, every edge duplicated 3× (symmetrized)
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val multi = Seq.fill(3)(base).flatten.toDF("src", "dst")
+    val simple = base.toDF("src", "dst")
+    val cm = Graph.kcoreReleasable(multi, k = 2)
+    val csim = Graph.kcoreReleasable(simple, k = 2)
+    val gotM = cm.core.collect().map(_.getLong(0)).toSet
+    val gotS = csim.core.collect().map(_.getLong(0)).toSet
+    cm.release(); csim.release()
+    // with duplicate counting the pendant 3—4 edge would fake degree 3 ≥ 2
+    // and node 4 would survive the peel
+    assert(gotM == Set(1L, 2L, 3L) && gotM == gotS,
+      s"multigraph input must peel like the simple graph: $gotM vs $gotS")
+    val lm = Graph.lpaReleasable(multi, maxRounds = 5)
+    val ls = Graph.lpaReleasable(simple, maxRounds = 5)
+    val labM = lm.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labS = ls.labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lm.release(); ls.release()
+    assert(labM == labS, "duplicate edges must not change label votes")
+  }
 }
