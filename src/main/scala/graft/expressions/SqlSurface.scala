@@ -377,8 +377,8 @@ object SqlSurface {
     ("graft_kcore",
       "graft_kcore(edges STRING, k INT[, max_rounds INT]) - k-core" +
         " membership (nid) of a (src, dst) edge table/view by iterative" +
-        " degree peel (Graph.kcore; pass symmetrized edges for undirected" +
-        " semantics; stops at the fixpoint or after max_rounds, default 10)",
+        " degree peel (Graph.kcore; duplicates deduped on entry; pass symmetrized edges" +
+        " for undirected semantics; stops at the fixpoint or after max_rounds, default 10)",
       exprs => {
         arity("graft_kcore", exprs, 2, 3)
         val view = strLit(exprs.head, "graft_kcore", "edges")
@@ -409,7 +409,7 @@ object SqlSurface {
     ("graft_lpa",
       "graft_lpa(edges STRING[, max_rounds INT]) - synchronous label-" +
         "propagation communities (nid, label) over a (src, dst) edge" +
-        " table/view (Graph.lpa; mode-of-neighbors, ties to the smaller" +
+        " table/view (Graph.lpa; duplicates deduped on entry; mode-of-neighbors, ties to the smaller" +
         " label; stops on a no-op round or after max_rounds, default 5)",
       exprs => {
         arity("graft_lpa", exprs, 1, 2)
@@ -418,6 +418,59 @@ object SqlSurface {
           if (exprs.length >= 2) intLit(exprs(1), "graft_lpa", "max_rounds") else 5
         GraftSqlBridge.analyzed(
           graft.operators.Graph.lpa(SparkSession.active.table(edges), rounds))
+      }),
+
+    // round-11 analytics twins (r10 VERDICT #8)
+    ("graft_running_max",
+      "graft_running_max(table STRING, sort_cols STRING, value STRING" +
+        "[, out STRING[, exclusive INT]]) - scale-safe running maximum of" +
+        " `value` over the total order given by the comma-separated" +
+        " `sort_cols` (Cumulative.runningMax: two-pass distributed prefix" +
+        " max — range partition, per-partition fold, broadcast carry-ins;" +
+        " no SinglePartition window). exclusive=1 reports the PRE-row" +
+        " high-water mark (Long.MinValue identity on the first row, so" +
+        " `value > out` is the q164 record test)",
+      exprs => {
+        arity("graft_running_max", exprs, 3, 4, 5)
+        val view = strLit(exprs.head, "graft_running_max", "table")
+        val sorts = strLit(exprs(1), "graft_running_max", "sort_cols")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(sorts.nonEmpty, "graft_running_max: sort_cols must name >= 1 column")
+        val value = strLit(exprs(2), "graft_running_max", "value")
+        val out =
+          if (exprs.length >= 4) strLit(exprs(3), "graft_running_max", "out")
+          else "running_max"
+        val exclusive =
+          if (exprs.length >= 5) intLit(exprs(4), "graft_running_max", "exclusive") != 0
+          else false
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.Cumulative.runningMax(
+          spark, spark.table(view), sorts.map(org.apache.spark.sql.functions.col),
+          org.apache.spark.sql.functions.col(value), out, exclusive = exclusive))
+      }),
+
+    ("graft_pq_search",
+      "graft_pq_search(embeddings STRING, query ARRAY<DOUBLE>[, k INT" +
+        "[, shortlist INT]]) - product-quantization search over a" +
+        " (vec_id, embedding DOUBLE[64]) table/view: per-subspace" +
+        " codebooks trained in place (the q150 trainer), ADC shortlist" +
+        " (default 100), exact re-rank to (vec_id, dist) top-k (default" +
+        " 10) — TierThirtyThree.pqSearch, the q151 two-stage shape; a" +
+        " query drawn from the table ranks itself first at dist 0",
+      exprs => {
+        arity("graft_pq_search", exprs, 2, 3, 4)
+        val view = strLit(exprs.head, "graft_pq_search", "embeddings")
+        val query = doubleArrayLit(exprs(1), "graft_pq_search", "query")
+        val k = if (exprs.length >= 3) intLit(exprs(2), "graft_pq_search", "k") else 10
+        val short =
+          if (exprs.length >= 4) intLit(exprs(3), "graft_pq_search", "shortlist") else 100
+        val spark = SparkSession.active
+        val emb = spark.table(view)
+          .select(org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding")
+              .cast("array<double>").as("e"))
+        GraftSqlBridge.analyzed(
+          graft.operators.TierThirtyThree.pqSearch(emb, query, k, short))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

@@ -80,15 +80,20 @@ object TierThirtyThree {
        |    FROM d1$m) WHERE rk = 1)""".stripMargin
   }
 
+  private[operators] def subEmbOf(emb: DataFrame, m: Int): DataFrame =
+    emb.select(col("vec_id"), slice(col("e"), m * SubDim + 1, SubDim).as("e"))
+
   private[operators] def subEmb(s: SparkSession, dir: String, m: Int): DataFrame =
-    TierNine.embOf(s, dir)
-      .select(col("vec_id"), slice(col("e"), m * SubDim + 1, SubDim).as("e"))
+    subEmbOf(TierNine.embOf(s, dir), m)
 
   /** The per-subspace codebook — one [[IvfStore.train]] Lloyd step over
     * the slice (the single trainer definition; PQ and IVF must never
     * drift). */
+  private[graft] def codebookOf(emb: DataFrame, m: Int): DataFrame =
+    IvfStore.train(subEmbOf(emb, m), K)
+
   private[graft] def codebook(s: SparkSession, dir: String, m: Int): DataFrame =
-    IvfStore.train(subEmb(s, dir, m), K)
+    codebookOf(TierNine.embOf(s, dir), m)
 
   /** `(vec_id, code0..code3)` — the encoded table. */
   private[operators] def encoded(s: SparkSession, dir: String): DataFrame =
@@ -117,13 +122,12 @@ object TierThirtyThree {
     * per-subspace lookup terms joined as columns and summed in one fixed
     * expression tree (see [[q151]]); shared with the q156 IVF-PQ
     * composition. */
-  private[operators] def adcAll(s: SparkSession, dir: String,
-      probe: Seq[Double]): DataFrame = {
+  private[operators] def adcAllOf(emb: DataFrame, probe: Seq[Double]): DataFrame = {
     def qm(m: Int): Column =
       array(probe.slice(m * SubDim, (m + 1) * SubDim).map(lit): _*)
     val terms = (0 until M).map { m =>
-      val cb = codebook(s, dir, m)
-      TierNine.assignTo(subEmb(s, dir, m), cb)
+      val cb = codebookOf(emb, m)
+      TierNine.assignTo(subEmbOf(emb, m), cb)
         .join(broadcast(cb), "cid")
         .select(col("vec_id"),
           (TierNine.dotc(qm(m), qm(m)) - lit(2) * TierNine.dotc(qm(m), col("c"))
@@ -132,6 +136,25 @@ object TierThirtyThree {
     terms.reduce(_.join(_, "vec_id"))
       .select(col("vec_id"),
         round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adc"))
+  }
+
+  private[operators] def adcAll(s: SparkSession, dir: String,
+      probe: Seq[Double]): DataFrame = adcAllOf(TierNine.embOf(s, dir), probe)
+
+  /** The whole q151 two-stage search as one library/SQL face over any
+    * `(vec_id, e ARRAY<DOUBLE>[64])` frame: per-subspace codebooks
+    * trained in place (the q150 trainer), ADC shortlist of `short`, exact
+    * re-rank to `(vec_id, dist)` top-`k`. Registered as the
+    * `graft_pq_search` table function (r10 VERDICT #8); ExpressionSpec
+    * pins SQL ≡ Scala ≡ q151. A probe drawn from the table ranks itself
+    * first at dist 0 — filter the id out downstream if unwanted (q151
+    * does). */
+  private[graft] def pqSearch(emb: DataFrame, probe: Seq[Double],
+      k: Int = TopK, short: Int = Short): DataFrame = {
+    require(probe.length == M * SubDim,
+      s"pqSearch: probe must have ${M * SubDim} dims, got ${probe.length}")
+    val sl = adcAllOf(emb, probe).orderBy(col("adc"), col("vec_id")).limit(short)
+    rerank(sl, emb, probe, k)
   }
 
   /** Exact re-rank of a `(vec_id, …)` shortlist against `probe`, top-k

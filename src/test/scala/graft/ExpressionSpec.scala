@@ -460,4 +460,52 @@ class ExpressionSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT * FROM graft_bfs('gr_edges')"))
     assert(err.getMessage.contains("2 or 3"), err.getMessage)
   }
+
+  test("graft_running_max table function from SQL ≡ Cumulative.runningMax (r10 VERDICT #8)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 9L), (5L, 2L))
+      .toDF("k", "v").createOrReplaceTempView("rm_in")
+    val sql = spark.sql(
+        "SELECT * FROM graft_running_max('rm_in', 'k', 'v', 'hwm')")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scala = operators.Cumulative.runningMax(spark, spark.table("rm_in"),
+        Seq(org.apache.spark.sql.functions.col("k")),
+        org.apache.spark.sql.functions.col("v"), "hwm")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    operators.Cumulative.releaseAll()
+    assert(sql == scala)
+    assert(sql.map(_._3) == Seq(5L, 5L, 9L, 9L, 9L), s"inclusive prefix max: $sql")
+    // exclusive form: the PRE-row HWM — Long.MinValue identity on the
+    // first row (so q164's `v > hwm` record test is one comparison)
+    val excl = spark.sql(
+        "SELECT * FROM graft_running_max('rm_in', 'k', 'v', 'hwm', 1)")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    operators.Cumulative.releaseAll()
+    assert(excl.map(_._2) == Seq(Long.MinValue, 5L, 5L, 9L, 9L),
+      s"exclusive pre-row HWM: $excl")
+  }
+
+  test("graft_pq_search table function from SQL ≡ TierThirtyThree.pqSearch ≡ q151 (r10 VERDICT #8)") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("pq_emb")
+    val emb = operators.TierNine.embOf(spark, sf)
+    val probe = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .head().getSeq[Double](1)
+    val vecSql = s"array(${probe.map(d => s"CAST($d AS DOUBLE)").mkString(", ")})"
+    val sql = spark.sql(s"SELECT * FROM graft_pq_search('pq_emb', $vecSql, 10, 100)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scala = operators.TierThirtyThree.pqSearch(emb, probe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    operators.Cumulative.releaseAll()
+    assert(sql == scala && sql.nonEmpty)
+    // the probe came from the table: it ranks itself first at dist 0,
+    // and the rest is exactly q151's declared answer
+    assert(sql.head == (0L, 0.0), s"self-match first: ${sql.head}")
+    val q151 = operators.TierThirtyThree.q151.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    operators.Cumulative.releaseAll()
+    assert(sql.tail.take(q151.size - 1) == q151.take(sql.tail.size),
+      "pq_search minus the self-match must prefix-match q151's shortlist answer")
+  }
 }
