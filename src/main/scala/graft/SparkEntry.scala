@@ -38,7 +38,8 @@ object SparkEntry {
       operators.TierFortyFive.all ++ operators.TierFortySix.all ++
       operators.TierFortySeven.all ++ operators.TierFortyEight.all ++
       operators.TierFortyNine.all ++ operators.TierFifty.all ++
-      operators.TierFiftyOne.all ++ operators.TierFiftyTwo.all
+      operators.TierFiftyOne.all ++ operators.TierFiftyTwo.all ++
+      operators.TierFiftyThree.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
