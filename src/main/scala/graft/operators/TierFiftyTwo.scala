@@ -89,15 +89,24 @@ object TierFiftyTwo {
        |  FROM t WHERE w > 0)
        |SELECT doc_id, w, pr FROM p
        |ORDER BY pr DESC, doc_id LIMIT $SampleK""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
+    priorityOf(Tables.load(s, dir, "documents"))
+      .orderBy(col("pr").desc, col("doc_id"))
+      .limit(SampleK)
+  }
+
+  /** The q189 priority projection `(doc_id, w, pr)` over any
+    * `(doc_id, text, …)` frame — ONE definition for the batch top-k and
+    * the live [[graft.streaming.SampleMaintainer]] (the q164/s38
+    * cannot-drift rule). */
+  private[graft] def priorityOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("w"))
       .filter(col("w") > 0)
       .withColumn("pr",
         expr(s"(w * $P) div (1 + ((doc_id % $P) * $A0 + $B0) % $P)"))
-      .orderBy(col("pr").desc, col("doc_id"))
-      .limit(SampleK)
-  }
+
+  private[graft] val sampleK: Int = SampleK
 
   val all: Seq[Q] = Seq(q188, q189)
 }

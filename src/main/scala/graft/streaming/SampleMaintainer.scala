@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** One resident of the live priority sample (see [[SampleMaintainer]]). */
+final case class SampleEntry(doc_id: Long, w: Long, pr: Long)
+
+/** A sample-membership change: `op` = +1 admitted, −1 evicted. The final
+  * sample at any drain point is (admits − evicts) — append-mode honest,
+  * and downstream consumers that only want arrivals filter op = 1. */
+final case class SampleDelta(doc_id: Long, w: Long, pr: Long, op: Long)
+
+/** q189's priority sample (Duffield-Lund-Thorup) maintained LIVE —
+  * `transformWithState` over ONE constant key holding the current
+  * top-[[graft.operators.TierFiftyTwo.sampleK]] entries by
+  * (pr DESC, doc_id ASC): each micro-batch merges its docs' priorities
+  * (the SAME `TierFiftyTwo.priorityOf` projection as batch q189 — the
+  * two cannot drift) into the resident set and emits the membership
+  * DELTAS (admissions and evictions), so the drained stream replays to
+  * exactly the batch sample (s39 pins it).
+  *
+  * The single key is the honest shape for the same reason as
+  * [[RecordMonitor]]: a global top-k is inherently one ordered set, the
+  * state is k fixed-width rows, and the emitted delta stream is
+  * O(k·log n)-ish for random priorities. At fan-in scale the map side
+  * pre-filters: a micro-batch's rows below the current admission
+  * threshold can be cut by a per-partition top-k BEFORE the single-key
+  * shuffle (the partial+final shape), which s39 doesn't need at fixture
+  * volume.
+  */
+object SampleMaintainer {
+
+  /** Membership-delta stream over `(doc_id, text)` document rows. */
+  def deltas(docs: DataFrame, k: Int = graft.operators.TierFiftyTwo.sampleK)
+      : Dataset[SampleDelta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.TierFiftyTwo.priorityOf(docs)
+      .select(col("doc_id"), col("w"), col("pr"), lit(0L).as("k"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .mapValues(t => (t._1, t._2, t._3))
+      .transformWithState(new SampleMaintainer(k), TimeMode.None(), OutputMode.Append())
+  }
+}
+
+final class SampleMaintainer(k: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long), SampleDelta] {
+
+  @transient private var st: ListState[SampleEntry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getListState[SampleEntry]("sample",
+      Encoders.product[SampleEntry], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[SampleDelta] = {
+    val cur = if (st.exists()) st.get().toSeq else Seq.empty
+    val curSet = cur.toSet
+    val merged = cur ++ rows.map { case (id, w, pr) => SampleEntry(id, w, pr) }
+    val top = merged.sortBy(e => (-e.pr, e.doc_id)).take(k)
+    st.put(top.toArray)
+    val topSet = top.toSet
+    val admits = top.filterNot(curSet)
+      .map(e => SampleDelta(e.doc_id, e.w, e.pr, 1L))
+    val evicts = cur.filterNot(topSet)
+      .map(e => SampleDelta(e.doc_id, e.w, e.pr, -1L))
+    (admits ++ evicts).iterator
+  }
+}
