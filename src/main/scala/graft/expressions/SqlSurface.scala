@@ -449,6 +449,53 @@ object SqlSurface {
           org.apache.spark.sql.functions.col(value), out, exclusive = exclusive))
       }),
 
+    ("graft_near_dup_pairs",
+      "graft_near_dup_pairs(docs STRING, thr_ppm INT[, probe2 INT[, k INT]])" +
+        " - celled semantic near-dup pairs (doc_a, doc_b, c) over a" +
+        " (doc_id, text) table/view at cosine >= thr_ppm/1e6" +
+        " (TierNineteen.celledEmbedPairsOf: Lloyd cells trained on the" +
+        " 8-dim hash embeds, own + runner-up probe when probe2=1 [default]," +
+        " exact-cosine verify — the q121-family PRODUCTION pair source" +
+        " q143/q148/q186/q188/q190 declare)",
+      exprs => {
+        arity("graft_near_dup_pairs", exprs, 2, 3, 4)
+        val view = strLit(exprs.head, "graft_near_dup_pairs", "docs")
+        val thr = intLit(exprs(1), "graft_near_dup_pairs", "thr_ppm") / 1e6
+        val probe2 =
+          if (exprs.length >= 3) intLit(exprs(2), "graft_near_dup_pairs", "probe2") != 0
+          else true
+        val k = if (exprs.length >= 4) intLit(exprs(3), "graft_near_dup_pairs", "k") else 8
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.TierNineteen.celledEmbedPairsOf(
+          spark.table(view).select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")), thr, probe2, k))
+      }),
+
+    ("graft_mutual_nn",
+      "graft_mutual_nn(docs STRING[, probe2 INT[, k INT]]) - reciprocal" +
+        " nearest neighbors (vec_id, nn_id, cos) over a (doc_id, text)" +
+        " table/view: each doc's top-1 celled-kNN neighbor" +
+        " (TierNineteen.celledNnOf, 6-dp-rounded cosine rank), kept only" +
+        " when mutual — q145's candidate set as a table function",
+      exprs => {
+        arity("graft_mutual_nn", exprs, 1, 2, 3)
+        val view = strLit(exprs.head, "graft_mutual_nn", "docs")
+        val probe2 =
+          if (exprs.length >= 2) intLit(exprs(1), "graft_mutual_nn", "probe2") != 0
+          else true
+        val k = if (exprs.length >= 3) intLit(exprs(2), "graft_mutual_nn", "k") else 8
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.col
+        val nn = graft.operators.TierNineteen.celledNnOf(
+          spark.table(view).select(col("doc_id"), col("text")), probe2, k)
+        GraftSqlBridge.analyzed(
+          nn.as("x").join(nn.as("y"),
+              col("y.vec_id") === col("x.nn_id") && col("y.nn_id") === col("x.vec_id"))
+            .filter(col("x.vec_id") < col("x.nn_id"))
+            .select(col("x.vec_id").as("vec_id"), col("x.nn_id").as("nn_id"),
+              col("x.cos").as("cos")))
+      }),
+
     ("graft_pq_search",
       "graft_pq_search(embeddings STRING, query ARRAY<DOUBLE>[, k INT" +
         "[, shortlist INT]]) - product-quantization search over a" +

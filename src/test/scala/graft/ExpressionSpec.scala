@@ -486,6 +486,27 @@ class ExpressionSpec extends SparkSpec {
       s"exclusive pre-row HWM: $excl")
   }
 
+  test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("nd_docs")
+    val sqlPairs = spark.sql(
+        "SELECT doc_a, doc_b FROM graft_near_dup_pairs('nd_docs', 950000)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scalaPairs = operators.TierNineteen.celledEmbedPairsOf(
+        spark.table("nd_docs"), 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    operators.Cumulative.releaseAll()
+    assert(sqlPairs == scalaPairs && sqlPairs.nonEmpty)
+    val sqlNn = spark.sql("SELECT * FROM graft_mutual_nn('nd_docs')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q145 = operators.TierThirty.q145.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    operators.Cumulative.releaseAll()
+    assert(sqlNn == q145 && sqlNn.nonEmpty,
+      "mutual-NN from SQL must equal the declared q145 set")
+  }
+
   test("graft_pq_search table function from SQL ≡ TierThirtyThree.pqSearch ≡ q151 (r10 VERDICT #8)") {
     graft.expressions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "embeddings").createOrReplaceTempView("pq_emb")
