@@ -38,7 +38,7 @@ object TierFiftyFive {
 
   import TierFour.{A0, B0, P}
 
-  private def armSql: String =
+  private[operators] def armSql: String =
     s"""u AS (
        |  SELECT DISTINCT user_id,
        |         ((user_id % $P) * $A0 + $B0) % $P % 2 AS arm
@@ -47,19 +47,20 @@ object TierFiftyFive {
        |  SELECT user_id, CAST(sum(floor(value * 100)) AS BIGINT) AS cents
        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
        |um AS (
-       |  SELECT u.arm, coalesce(mrev.cents, 0) AS cents
+       |  SELECT u.user_id, u.arm, coalesce(mrev.cents, 0) AS cents
        |  FROM u LEFT JOIN mrev USING (user_id))""".stripMargin
 
-  /** The shared per-user (arm, revenue-cents) frame — q166's arm split,
-    * zero-filled for never-purchasers. */
-  private def armRevenue(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** The shared per-user (user_id, arm, revenue-cents) frame — q166's arm
+    * split, zero-filled for never-purchasers. */
+  private[operators] def armRevenue(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val ev = Tables.load(s, dir, "events")
     val u = ev.select("user_id").distinct()
       .withColumn("arm", expr(s"((user_id % $P) * $A0 + $B0) % $P % 2"))
     val m = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(sum(floor(col("value") * 100)).as("cents"))
     u.join(m, Seq("user_id"), "left")
-      .select(col("arm"), coalesce(col("cents"), lit(0L)).as("cents"))
+      .select(col("user_id"), col("arm"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
   }
 
   val q194 = Q("q194_mannwhitney",
