@@ -146,11 +146,21 @@ object TierFiftySix {
       .orderBy("event_type", "day_idx")
   }
 
+  /** THE chart step — one definition for batch q197 and the s40 live
+    * monitor (they must never drift). `(first, prevEwma, cnt)` →
+    * `(newEwma, flag)`: first observation initializes (no flag); after
+    * that `e = (7·e + x) div 8` (both terms non-negative — truncation ≡
+    * floor) and the relative tripwire compares against the PRE-update
+    * EWMA. */
+  private[graft] def ewmaStep(first: Boolean, prev: Long, c: Long): (Long, Long) = {
+    val e = if (first) c else (7 * prev + c) / 8
+    val flag =
+      if (!first && 100L * math.abs(c - prev) > EwmaK * prev) 1L else 0L
+    (e, flag)
+  }
+
   /** The sequential EWMA fold over a (event_type, day_idx, cnt) grid:
-    * one partition per type, sorted days, O(1) carried state. First day
-    * initializes (no flag); after that `e = (7·e + x) div 8` (both terms
-    * non-negative — truncation ≡ floor) and the relative tripwire
-    * compares against the PRE-update EWMA. */
+    * one partition per type, sorted days, O(1) carried state. */
   private[graft] def ewmaChart(dc: DataFrame): DataFrame = {
     val s = dc.sparkSession
     import s.implicits._
@@ -163,11 +173,7 @@ object TierFiftySix {
         var curType: String = null
         var prev = 0L
         it.map { case (t, d, c) =>
-          val first = t != curType
-          val e = if (first) c else (7 * prev + c) / 8
-          val flag =
-            if (first) 0L
-            else if (100L * math.abs(c - prev) > EwmaK * prev) 1L else 0L
+          val (e, flag) = ewmaStep(t != curType, prev, c)
           curType = t
           prev = e
           (t, d, c, e, flag)

@@ -461,6 +461,39 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s40: LIVE EWMA control chart (transformWithState per type) ≡ batch q197") {
+    import graft.streaming.EwmaMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the day-close grid, delivered per-type in day order (chunked so
+      // types interleave across micro-batches and state carries over)
+      val rows = graft.operators.TierThirtyTwo.dailyCounts(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(x => (x._2, x._1)) // by day, types interleaved
+      val in = MemoryStream[(String, Long, Long)]
+      val q = EwmaMonitor.chart(
+          in.toDF().select(col("_1").as("event_type"), col("_2").as("day_idx"),
+            col("_3").as("cnt")))
+        .toDF()
+        .writeStream.format("memory").queryName("s40_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val streamed = spark.table("s40_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq.sortBy(x => (x._1, x._2))
+        val batch = graft.operators.TierFiftySix.q197.run(spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toSeq
+        assert(streamed == batch && streamed.exists(_._5 == 1L),
+          s"live chart must equal batch q197: ${streamed.size} vs ${batch.size}")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s39: LIVE priority sample (transformWithState top-k deltas) ≡ batch q189") {
     import graft.streaming.SampleMaintainer
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
