@@ -41,7 +41,7 @@ object TierFiftySeven {
   import TierFour.{A0, B0, P}
 
   /** Pre-period length in days (from the first observed day). */
-  private val SplitDays = 15
+  private[operators] val SplitDays = 15
 
   val q198 = Q("q198_cuped_readout",
     s"""WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS m FROM events),
@@ -88,7 +88,17 @@ object TierFiftySeven {
        |       CAST(1000000 * covn * covn // (varn * vyn) AS BIGINT) AS rho2_ppm
        |FROM am, cv""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
+    val (na, nb, diff, adj, theta, rho2) = cupedFromEvents(Tables.load(s, dir, "events"))
+    Seq((na, nb, diff, adj, theta, rho2))
+      .toDF("n_a", "n_b", "diff_c2", "adj_diff_c2", "theta_ppm", "rho2_ppm")
+  }
+
+  /** The full CUPED pipeline over the raw events frame: pre/post split
+    * at min-day + [[SplitDays]], one partial+final six-scalar agg per
+    * arm (bounded collects), then [[cupedReport]]. The q200 capstone
+    * shares this exact path with q198. */
+  private[graft] def cupedFromEvents(ev: org.apache.spark.sql.DataFrame)
+      : (Long, Long, Long, Long, Long, Long) = {
     val dayIdx = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
     val m = ev.agg(min(dayIdx).as("m")).collect().head.getLong(0) // bounded 1-row scalar
     val split = m + SplitDays
@@ -107,9 +117,7 @@ object TierFiftySeven {
         sum(col("y") * col("y")).as("syy"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
-    val (na, nb, diff, adj, theta, rho2) = cupedReport(sc.toSeq)
-    Seq((na, nb, diff, adj, theta, rho2))
-      .toDF("n_a", "n_b", "diff_c2", "adj_diff_c2", "theta_ppm", "rho2_ppm")
+    cupedReport(sc.toSeq)
   }
 
   /** Driver-side BigInt closure of the CUPED report over the two

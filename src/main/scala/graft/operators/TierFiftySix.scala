@@ -52,7 +52,7 @@ object TierFiftySix {
   /** q197 flag: relative deviation vs previous EWMA, percent. */
   private[graft] val EwmaK = 20L
 
-  private def selSql =
+  private[operators] def selSql =
     s"((((user_id % $P) * $A0 + $B0) % $P + r * $RepC) % $P * $A0 + $B0) % $P % 2"
 
   val q196 = Q("q196_ab_bootstrap",
@@ -88,7 +88,18 @@ object TierFiftySix {
        |            THEN 1 ELSE 0 END AS BIGINT) AS significant
        |FROM t0, v""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val um = TierFiftyFive.armRevenue(s, dir)
+    val (na, nb, theta, varC2, sig) = brrFromUm(TierFiftyFive.armRevenue(s, dir))
+    Seq((na, nb, theta, varC2, sig))
+      .toDF("n_a", "n_b", "theta_c2", "var_c2", "significant")
+  }
+
+  /** The full BRR pipeline over a per-user (user_id, arm, cents) frame:
+    * ×R selector expansion → 64-row grid + 2-row full-sample agg
+    * (bounded collects) → [[brrReport]]. The q200 capstone shares this
+    * exact path with q196. */
+  private[graft] def brrFromUm(um: DataFrame): (Long, Long, Long, Long, Long) = {
+    val s = um.sparkSession
+    import s.implicits._
     val reps = s.range(0, Reps).toDF("r")
     val hs = um.crossJoin(broadcast(reps))
       .where(expr(s"$selSql = 1"))
@@ -97,9 +108,7 @@ object TierFiftySix {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val fl = um.groupBy("arm").agg(count(lit(1)).as("n"), sum("cents").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val (na, nb, theta, varC2, sig) = brrReport(fl.toSeq, hs.toSeq)
-    Seq((na, nb, theta, varC2, sig))
-      .toDF("n_a", "n_b", "theta_c2", "var_c2", "significant")
+    brrReport(fl.toSeq, hs.toSeq)
   }
 
   /** Driver-side BigInt closure of the BRR report over the bounded grids:

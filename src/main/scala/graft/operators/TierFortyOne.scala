@@ -37,7 +37,7 @@ object TierFortyOne {
     * at 100 % in both arms; the high-value cut leaves a discriminating
     * rate (≈14 % vs ≈29 % at sf0.01 — significant; 1/6 vs 3/9 at
     * sf0.001 — not), exercising both sides of the flag across SFs. */
-  private val HiCents = 20000L
+  private[operators] val HiCents = 20000L
 
   val q166 = Q("q166_ab_readout",
     s"""WITH u AS (
@@ -66,16 +66,7 @@ object TierFortyOne {
        |                      > 384 * (w.a+w.b) * (w.c+w.d) * (w.a+w.c) * (w.b+w.d)
        |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
        |FROM t, w ORDER BY t.arm""".stripMargin) { (s, dir) =>
-    val ev = Tables.load(s, dir, "events")
-    val u = ev.select(col("user_id")).distinct()
-      .withColumn("arm", expr(s"((user_id % $P) * $A0 + $B0) % $P % 2"))
-    val cv = ev.filter(col("event_type") === "purchase"
-        && floor(col("value") * 100) >= HiCents)
-      .select(col("user_id").as("cu")).distinct()
-    val t = u.join(cv, col("cu") === col("user_id"), "left")
-      .groupBy("arm")
-      .agg(count(lit(1)).as("n_users"),
-        sum(when(col("cu").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+    val t = armConversions(Tables.load(s, dir, "events"))
       .persist() // feeds the 2×2 collect and the per-arm report
     // the 2×2 table is FOUR scalars — collect it (the q109/q184 bounded
     // driver-read convention) and run the cross-multiplied test in exact
@@ -91,6 +82,22 @@ object TierFortyOne {
         lit(flag).as("significant"))
       .orderBy("arm")
     Release.onFirstExecution(out, () => t.unpersist(blocking = false))
+  }
+
+  /** Per-arm `(arm, n_users, n_conv)` — q166's hi-value-conversion
+    * frame, extracted so the q200 experiment capstone shares the exact
+    * declared-query body (the `Dedup.artifacts` convention). */
+  private[graft] def armConversions(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = ev.select(col("user_id")).distinct()
+      .withColumn("arm", expr(s"((user_id % $P) * $A0 + $B0) % $P % 2"))
+    val cv = ev.filter(col("event_type") === "purchase"
+        && floor(col("value") * 100) >= HiCents)
+      .select(col("user_id").as("cu")).distinct()
+    u.join(cv, col("cu") === col("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("cu").isNotNull, 1L).otherwise(0L)).as("n_conv"))
   }
 
   /** The all-integer 2×2 chi-square flag, exact at ANY scale: BigInt
