@@ -41,7 +41,8 @@ object SparkEntry {
       operators.TierFiftyOne.all ++ operators.TierFiftyTwo.all ++
       operators.TierFiftyThree.all ++ operators.TierFiftyFour.all ++
       operators.TierFiftyFive.all ++ operators.TierFiftySix.all ++
-      operators.TierFiftySeven.all ++ operators.TierFiftyEight.all
+      operators.TierFiftySeven.all ++ operators.TierFiftyEight.all ++
+      operators.TierFiftyNine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -57,4 +57,36 @@ object Skew {
       .filter(col("ia") =!= col("ib"))
       .select(col("k"), col("ia"), col("ib"))
   }
+
+  /** The skew DIAGNOSTIC behind the salting decisions (q202's library
+    * face): one row of shuffle-planning facts for `df` keyed by `key` —
+    * `(n_keys, total_rows, max_cnt, mean_cnt, max_mean_ppm, top1_ppm,
+    * top10_ppm, p99_cnt)`, all exact integers. Every stage is
+    * partial+final: per-key counts, one 3-scalar agg, the top-10 via
+    * `limit` (TakeOrderedAndProject — never a global sort), the exact
+    * p99 per-key count via count-of-counts + [[Cumulative.runningSum]]
+    * (never a per-key window). Collapses to eight scalars driver-side
+    * (bounded reads), so the per-key frame is read three times — cheap
+    * lineage (scan + one partial agg); persist it upstream if the
+    * source scan is the cost. */
+  def report(df: DataFrame, key: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val k = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val st = k.agg(count(lit(1)).as("nk"), sum("cnt").as("tot"),
+      max("cnt").as("mx")).collect().head
+    val (nk, tot, mx) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val s10 = k.orderBy(col("cnt").desc, col("key")).limit(10)
+      .agg(sum("cnt")).collect().head.getLong(0)
+    val cc = k.groupBy("cnt").agg(count(lit(1)).as("freq"))
+    val p99 = Cumulative.runningSum(s, cc, Seq(col("cnt")), col("freq"), "cum")
+      .filter(col("cum") >= (99L * nk + 99L) / 100L)
+      .agg(min("cnt")).collect().head.getLong(0)
+    // ppm products in BigInt (oracle side HUGEINT): no Int64 envelope
+    def ppm(num: BigInt): Long = (num * 1000000 / tot).toLong
+    Seq((nk, tot, mx, tot / nk, ppm(BigInt(mx) * nk), ppm(BigInt(mx)),
+      ppm(BigInt(s10)), p99))
+      .toDF("n_keys", "total_rows", "max_cnt", "mean_cnt", "max_mean_ppm",
+        "top1_ppm", "top10_ppm", "p99_cnt")
+  }
 }
