@@ -449,6 +449,32 @@ object SqlSurface {
           org.apache.spark.sql.functions.col(value), out, exclusive = exclusive))
       }),
 
+    ("graft_ewma",
+      "graft_ewma(grid STRING) - exact-integer EWMA control chart" +
+        " (event_type, day_idx, cnt, ewma, flag) over a (event_type," +
+        " day_idx, cnt) table/view (TierFiftySix.ewmaChart: e <- (7e+x)" +
+        " div 8, 20% relative tripwire vs the PRE-update EWMA; per-type" +
+        " sequential fold — the q197/s40 shared-step engine)",
+      exprs => {
+        arity("graft_ewma", exprs, 1)
+        val grid = strLit(exprs.head, "graft_ewma", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierFiftySix.ewmaChart(
+          SparkSession.active.table(grid)))
+      }),
+
+    ("graft_cusum",
+      "graft_cusum(grid STRING) - exact-integer CUSUM control chart" +
+        " (event_type, day_idx, cnt, sp, sn, alarm) over a (event_type," +
+        " day_idx, cnt) table/view (TierFiftyNine.cusumChart: one-sided" +
+        " sums vs the frozen per-type floor-mean, slack mu/20, alarm" +
+        " mu/3 — the q201 persistent-shift detector)",
+      exprs => {
+        arity("graft_cusum", exprs, 1)
+        val grid = strLit(exprs.head, "graft_cusum", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierFiftyNine.cusumChart(
+          SparkSession.active.table(grid)))
+      }),
+
     ("graft_near_dup_pairs",
       "graft_near_dup_pairs(docs STRING, thr_ppm INT[, probe2 INT[, k INT]])" +
         " - celled semantic near-dup pairs (doc_a, doc_b, c) over a" +

@@ -486,6 +486,30 @@ class ExpressionSpec extends SparkSpec {
       s"exclusive pre-row HWM: $excl")
   }
 
+  test("graft_ewma / graft_cusum table functions from SQL ≡ the shared-step Scala charts") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    // a grid with a level shift so both charts have live flags
+    val grid = (0L until 30L).map(d => ("a", d, if (d < 25) 100L else 140L)) ++
+      (0L until 30L).map(d => ("b", d, 50L))
+    grid.toDF("event_type", "day_idx", "cnt").createOrReplaceTempView("chart_in")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "day_idx").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val eSql = rows(spark.sql("SELECT * FROM graft_ewma('chart_in')"))
+    val eScala = rows(operators.TierFiftySix.ewmaChart(spark.table("chart_in")))
+    assert(eSql == eScala && eSql.exists(_._5 == 1L), "graft_ewma must match + flag")
+    def rows6(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "day_idx").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val cSql = rows6(spark.sql("SELECT * FROM graft_cusum('chart_in')"))
+    val cScala = rows6(operators.TierFiftyNine.cusumChart(spark.table("chart_in")))
+    assert(cSql == cScala && cSql.exists(_._6 == 1L), "graft_cusum must match + alarm")
+    assert(cSql.filter(_._1 == "b").forall(_._6 == 0L), "the flat type stays quiet")
+  }
+
   test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
     graft.expressions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "documents").select("doc_id", "text")
