@@ -42,7 +42,8 @@ object SparkEntry {
       operators.TierFiftyThree.all ++ operators.TierFiftyFour.all ++
       operators.TierFiftyFive.all ++ operators.TierFiftySix.all ++
       operators.TierFiftySeven.all ++ operators.TierFiftyEight.all ++
-      operators.TierFiftyNine.all ++ operators.TierSixty.all
+      operators.TierFiftyNine.all ++ operators.TierSixty.all ++
+      operators.TierSixtyOne.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
