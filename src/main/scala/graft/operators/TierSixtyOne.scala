@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   *    else 'U', payload = (`event_type`, cents of `value`). Both
   *    branches are live on the fixture: 16 of 150 keys end on a
   *    tombstone and vanish from the snapshot.
-  *  - q206: RETENTION MATRIX — the cohort triangle: customers bucketed
+  *  - q206: RETENTION MATRIX WITH RATES — q88's day-grain events matrix
+  *    completed as the product-analytics triangle: customers bucketed
   *    by first-order month, distinct-active counts per (cohort,
-  *    month-offset), retention as exact ppm of cohort size. Orders
-  *    (1500 customers over ~80 months) give real decay; `events` was
-  *    probed degenerate (every user active every week).
+  *    month-offset), plus the cohort-size column and the exact-ppm
+  *    retention RATE q88's raw counts lack. Orders (1500 customers over
+  *    ~80 months) give real decay; `events` was probed degenerate
+  *    (every user active every week — a rate column there would be a
+  *    constant 10⁶).
   *
   * Scale: q205 is ONE partial+final struct-argmax aggregation keyed by
   * the CDC key — max(struct(seq, …)) combines map-side, no window, no
