@@ -775,4 +775,69 @@ class StreamBatchParitySpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("s42: LIVE additive IVM changelog (transformWithState) ≡ batch q209") {
+    // q209's commutative fold maintained live: chunked replay of the
+    // delta stream; the max-ver row per key is the maintained view and
+    // must equal the batch fold exactly (no delivery-order assumption —
+    // the group commutes)
+    import graft.streaming.IvmMaintainer
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = graft.operators.TierSixtyThree
+        .ivmDeltaOf(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._2) // replay in seq order (any order folds identically)
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = IvmMaintainer.changes(
+          in.toDF().select(col("_1").as("user_id"), col("_2").as("m"),
+            col("_3").as("cents")))
+        .toDF()
+        .writeStream.format("memory").queryName("s42_out").outputMode("update").start()
+      try {
+        rows.map(r => (r._1, r._3, r._4)).grouped(math.max(1, rows.length / 6))
+          .foreach { c => in.addData(c); q.processAllAvailable() }
+        val emitted = spark.table("s42_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val live = emitted.groupBy(_._1).toSeq
+          .map { case (u, rs) => val last = rs.maxBy(_._4); (u, last._2, last._3) }
+          .filter(r => r._2 != 0 || r._3 != 0) // tombstoned keys left the view
+          .sortBy(_._1)
+        val batch = graft.operators.TierSixtyThree.q209.run(spark, sf).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(live == batch,
+          s"live IVM view must equal batch q209 (${live.size} vs ${batch.size})")
+        // state genuinely carried across micro-batches: some key updated twice
+        assert(emitted.exists(_._4 >= 2L), "a key must span micro-batches")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
+  test("s42: the IVM tombstone fires at identity and a reborn key restarts its changelog") {
+    import graft.streaming.IvmMaintainer
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = IvmMaintainer.changes(
+          in.toDF().select(col("_1").as("user_id"), col("_2").as("m"),
+            col("_3").as("cents")))
+        .toDF()
+        .writeStream.format("memory").queryName("s42_tomb").outputMode("update").start()
+      try {
+        in.addData(Seq((7L, 1L, 500L))); q.processAllAvailable()  // insert
+        in.addData(Seq((7L, -1L, 500L))); q.processAllAvailable() // exact retract
+        in.addData(Seq((7L, 1L, 100L))); q.processAllAvailable()  // rebirth
+        val got = spark.table("s42_tomb").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        assert(got.contains((7L, 1L, 500L, 1L)), s"insert row missing: $got")
+        assert(got.contains((7L, 0L, 0L, 2L)), s"identity tombstone missing: $got")
+        assert(got.contains((7L, 1L, 100L, 1L)),
+          s"reborn key must restart its changelog from ver 1 (state cleared): $got")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
 }
