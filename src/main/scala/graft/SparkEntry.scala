@@ -43,7 +43,8 @@ object SparkEntry {
       operators.TierFiftyFive.all ++ operators.TierFiftySix.all ++
       operators.TierFiftySeven.all ++ operators.TierFiftyEight.all ++
       operators.TierFiftyNine.all ++ operators.TierSixty.all ++
-      operators.TierSixtyOne.all ++ operators.TierSixtyTwo.all
+      operators.TierSixtyOne.all ++ operators.TierSixtyTwo.all ++
+      operators.TierSixtyThree.all ++ operators.TierSixtyFour.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
