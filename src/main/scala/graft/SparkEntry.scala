@@ -44,7 +44,8 @@ object SparkEntry {
       operators.TierFiftySeven.all ++ operators.TierFiftyEight.all ++
       operators.TierFiftyNine.all ++ operators.TierSixty.all ++
       operators.TierSixtyOne.all ++ operators.TierSixtyTwo.all ++
-      operators.TierSixtyThree.all ++ operators.TierSixtyFour.all
+      operators.TierSixtyThree.all ++ operators.TierSixtyFour.all ++
+      operators.TierSixtyFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
