@@ -544,6 +544,65 @@ object SqlSurface {
               .cast("array<double>").as("e"))
         GraftSqlBridge.analyzed(
           graft.operators.TierThirtyThree.pqSearch(emb, query, k, short))
+      }),
+
+    ("graft_srm",
+      "graft_srm(events STRING) - sample-ratio-mismatch gate (n_users," +
+        " n_a, n_b, chi2_ppm, srm_flag) over any table/view with a" +
+        " user_id column: per-arm distinct-user chi-square vs the 50/50" +
+        " assignment-hash expectation, alarm bit cross-multiplied in" +
+        " integers (TierSixtySix.srmReport — the q215 pre-readout" +
+        " integrity gate; a fire voids every downstream readout)",
+      exprs => {
+        arity("graft_srm", exprs, 1)
+        val view = strLit(exprs.head, "graft_srm", "events")
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(
+          graft.operators.TierSixtySix.srmReport(spark, spark.table(view)))
+      }),
+
+    ("graft_join_size",
+      "graft_join_size(table STRING, key STRING) - exact self-join size" +
+        " prediction (n_keys, n_rows, predicted_rows, max_key_rows," +
+        " top1_share_ppm) for `table` joined to itself on `key`, WITHOUT" +
+        " running the join: sum over keys of cnt^2 from one keyed count" +
+        " (TierSixtyFive.joinSizeReport — the q213 run-it-first gate" +
+        " before any candidate self-join; DECIMAL(38,0) envelopes)",
+      exprs => {
+        arity("graft_join_size", exprs, 2)
+        val view = strLit(exprs.head, "graft_join_size", "table")
+        val key = strLit(exprs(1), "graft_join_size", "key")
+        val spark = SparkSession.active
+        GraftSqlBridge.analyzed(graft.operators.TierSixtyFive.joinSizeReport(
+          spark, spark.table(view), key))
+      }),
+
+    ("graft_trend_fit",
+      "graft_trend_fit(grid STRING) - exact-integer OLS per group" +
+        " (event_type, n_days, slope_ppm, icept_ppm, r2_ppm) over a" +
+        " (event_type, x, y) table/view: six Int64 scalars per group" +
+        " partial+final, BigInt driver closure, truncating division" +
+        " (TierSixtyThree.trendFitDf — the q210 engine; constant series" +
+        " reports r2 = 10^6)",
+      exprs => {
+        arity("graft_trend_fit", exprs, 1)
+        val grid = strLit(exprs.head, "graft_trend_fit", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierSixtyThree.trendFitDf(
+          SparkSession.active.table(grid)))
+      }),
+
+    ("graft_ivm_fold",
+      "graft_ivm_fold(deltas STRING) - additive IVM fold (user_id," +
+        " n_net, revenue_net_c) over a (user_id, m, cents) change" +
+        " table/view: per-key net multiplicity and net cents, keys at" +
+        " the GROUP IDENTITY (both nets zero) deleted" +
+        " (TierSixtyThree.ivmFold — the q209 maintained view; compose" +
+        " with yesterday's snapshot via TierSixtyThree.maintain)",
+      exprs => {
+        arity("graft_ivm_fold", exprs, 1)
+        val view = strLit(exprs.head, "graft_ivm_fold", "deltas")
+        GraftSqlBridge.analyzed(graft.operators.TierSixtyThree.ivmFold(
+          SparkSession.active.table(view)))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.plans.Asof
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tier 65 (round 11, fourteenth wave): the join-size predictor and the
@@ -60,9 +61,16 @@ object TierSixtyFive {
       |       CAST(maxk AS BIGINT) AS max_key_rows,
       |       CAST(1000000 * maxk // predicted AS BIGINT) AS top1_share_ppm
       |FROM pr""".stripMargin) { (s, dir) =>
+    joinSizeReport(s, Tables.load(s, dir, "lineitem"), "l_partkey")
+  }
+
+  /** The q213 body over ANY frame and key — the library/SQL-twin face
+    * (`graft_join_size`): size the self-join on `key` without running
+    * it. */
+  private[graft] def joinSizeReport(s: SparkSession, df: DataFrame,
+      key: String): DataFrame = {
     import s.implicits._
-    val ck = Tables.load(s, dir, "lineitem")
-      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val ck = df.groupBy(key).agg(count(lit(1)).as("c"))
     val r = ck.agg(
         count(lit(1)).as("n_keys"),
         sum("c").cast("long").as("n_rows"),

@@ -129,6 +129,14 @@ object TierSixtyThree {
       }.toSeq.sortBy(_._1)
   }
 
+  /** [[trendFit]] as a DataFrame — the library/SQL-twin face
+    * (`graft_trend_fit`) over any (event_type, x, y) grid view. */
+  private[graft] def trendFitDf(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    import s.implicits._
+    trendFit(grid).toDF("event_type", "n_days", "slope_ppm", "icept_ppm", "r2_ppm")
+  }
+
   val q210 = Q("q210_trend_fit",
     """WITH g AS (
       |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
@@ -152,9 +160,7 @@ object TierSixtyThree {
       |                 ELSE 1000000 * num * num // (den * vyn) END AS BIGINT)
       |         AS r2_ppm
       |FROM sl ORDER BY event_type""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    trendFit(trendGrid(Tables.load(s, dir, "events")))
-      .toDF("event_type", "n_days", "slope_ppm", "icept_ppm", "r2_ppm")
+    trendFitDf(trendGrid(Tables.load(s, dir, "events")))
   }
 
   val all: Seq[Q] = Seq(q209, q210)

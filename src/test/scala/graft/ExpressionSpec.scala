@@ -553,4 +553,39 @@ class ExpressionSpec extends SparkSpec {
     assert(sql.tail.take(q151.size - 1) == q151.take(sql.tail.size),
       "pq_search minus the self-match must prefix-match q151's shortlist answer")
   }
+
+  test("graft_srm / graft_join_size / graft_trend_fit / graft_ivm_fold SQL ≡ Scala (r11 twins)") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "events").createOrReplaceTempView("tw_events")
+
+    val srmSql = spark.sql("SELECT * FROM graft_srm('tw_events')")
+      .collect().map(_.toSeq).toSeq
+    val srmScala = operators.TierSixtySix.q215.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(srmSql == srmScala && srmSql.nonEmpty, "graft_srm must equal q215")
+
+    Tables.load(spark, sf, "lineitem").createOrReplaceTempView("tw_lineitem")
+    val jsSql = spark.sql("SELECT * FROM graft_join_size('tw_lineitem', 'l_partkey')")
+      .collect().map(_.toSeq).toSeq
+    val jsScala = operators.TierSixtyFive.q213.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(jsSql == jsScala, "graft_join_size must equal q213")
+
+    operators.TierSixtyThree.trendGrid(Tables.load(spark, sf, "events"))
+      .createOrReplaceTempView("tw_grid")
+    val tfSql = spark.sql("SELECT * FROM graft_trend_fit('tw_grid')")
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val tfScala = operators.TierSixtyThree.q210.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(tfSql == tfScala && tfSql.nonEmpty, "graft_trend_fit must equal q210")
+
+    operators.TierSixtyThree.ivmDeltaOf(Tables.load(spark, sf, "events"))
+      .createOrReplaceTempView("tw_deltas")
+    val ivmSql = spark.sql(
+        "SELECT * FROM graft_ivm_fold('tw_deltas') ORDER BY user_id")
+      .collect().map(_.toSeq).toSeq
+    val ivmScala = operators.TierSixtyThree.q209.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ivmSql == ivmScala && ivmSql.nonEmpty, "graft_ivm_fold must equal q209")
+  }
 }
