@@ -127,6 +127,26 @@ object TierNine {
     * VERIFICATION side only (it IS the exact-distinct shuffle) — a
     * production run outputs the registers/estimate alone.
     */
+  /** Append q65's HLL hash column `h` (affine mix + ONE squaring round —
+    * the linearity-breaking step the scaladoc above measures) to any
+    * frame. Single definition shared by q65 and the Tier-68 register
+    * rollups so the sketches cannot drift. */
+  private[graft] def hllWithH(df: org.apache.spark.sql.DataFrame,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("graft_h0", ((id % P) * A0 + B0) % P)
+      .withColumn("h", (col("graft_h0") * col("graft_h0")) % P)
+      .drop("graft_h0")
+
+  /** The register value ρ for a hashed row: 26 − bitlen(h/64) — the
+    * leading-zero count of the 25-bit window (q65's formulation, both
+    * engines print minimal binary strings). */
+  private[graft] def hllRho: org.apache.spark.sql.Column =
+    lit(26) - when((col("h") / lit(64L)).cast("long") === 0, 0)
+      .otherwise(length(bin((col("h") / lit(64L)).cast("long"))))
+
+  /** The HLL bucket for a hashed row. */
+  private[graft] def hllBucket: org.apache.spark.sql.Column = col("h") % 64
+
   val q65 = Q("q65_hll_sketch",
     s"""WITH h0 AS (
        |  SELECT ((user_id % $P) * $A0 + $B0) % $P AS h0 FROM events),
@@ -148,12 +168,9 @@ object TierNine {
        |             / s_scaled, 6) AS est
        |FROM s CROSS JOIN t""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
-    val h = ev.select((((col("user_id") % P) * A0 + B0) % P).as("h0"))
-      .select(((col("h0") * col("h0")) % P).as("h"))
-    val regs = h
-      .groupBy((col("h") % 64).as("bucket"))
-      .agg(max(lit(26) - when(col("h") / lit(64L) cast "long" equalTo 0, 0)
-        .otherwise(length(bin((col("h") / lit(64L)).cast("long"))))).as("reg"))
+    val regs = hllWithH(ev.select("user_id"), col("user_id"))
+      .groupBy(hllBucket.as("bucket"))
+      .agg(max(hllRho).as("reg"))
     val mx = regs.agg(max("reg").as("r_max"), count(lit(1)).as("nb"))
     val summ = regs.crossJoin(broadcast(mx))
       .agg(
