@@ -840,4 +840,47 @@ class StreamBatchParitySpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
+
+  test("s43: event-time TIMER silence alerts — fires on proven absence, supersede works") {
+    // the one detection no input-driven operator can do: the alert is
+    // triggered by the ABSENCE of the key's own data, so a registered
+    // event-time timer (woken by the watermark other keys advance) must
+    // fire it. Scenario: user 1 goes dark after day 0 (alert, last_seen
+    // day 0); user 3 re-appears on day 1 — the day-0 timer is superseded,
+    // then the day-1 silence alerts (ONE alert, the LATER last_seen);
+    // user 2 stays active through the end (never ≥ 2 event-time days
+    // silent before the final watermark — no alert)
+    import graft.streaming.SilenceMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(day: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 5, 1, 12, 0).plusDays(day))
+      val silenceMs = 2L * 86400000L
+      val chunks: Seq[Seq[(Long, java.sql.Timestamp)]] = Seq(
+        Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0))),
+        Seq((2L, ts(1)), (3L, ts(1))),
+        Seq((2L, ts(2))), Seq((2L, ts(3))), Seq((2L, ts(4))), Seq((2L, ts(5))),
+        Seq((99L, ts(8)))) // watermark flusher: drives the tail timers
+      val in = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = SilenceMonitor.alerts(
+          in.toDF().select(col("_1").as("user_id"), col("_2").as("ts")), silenceMs)
+        .toDF()
+        .writeStream.format("memory").queryName("s43_out").outputMode("append").start()
+      try {
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        val alerts = spark.table("s43_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        val expected = Seq((1L, ts(0).getTime), (2L, ts(5).getTime),
+          (3L, ts(1).getTime)).sorted
+        // user 2's last event (day 5) is ≥ 2 days before the day-8
+        // flusher watermark, so its tail alert legitimately fires too
+        assert(alerts == expected,
+          s"timer alerts must be exactly the proven silences: $alerts")
+        assert(alerts.count(_._1 == 3L) == 1,
+          "the superseded day-0 timer must NOT double-fire user 3")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
 }
