@@ -48,7 +48,8 @@ object SparkEntry {
       operators.TierSixtyFive.all ++ operators.TierSixtySix.all ++
       operators.TierSixtySeven.all ++ operators.TierSixtyEight.all ++
       operators.TierSixtyNine.all ++ operators.TierSeventy.all ++
-      operators.TierSeventyOne.all ++ operators.TierSeventyTwo.all
+      operators.TierSeventyOne.all ++ operators.TierSeventyTwo.all ++
+      operators.TierSeventyThree.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
