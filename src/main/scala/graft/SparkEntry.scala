@@ -50,7 +50,8 @@ object SparkEntry {
       operators.TierSixtyNine.all ++ operators.TierSeventy.all ++
       operators.TierSeventyOne.all ++ operators.TierSeventyTwo.all ++
       operators.TierSeventyThree.all ++ operators.TierSeventyFour.all ++
-      operators.TierSeventyFive.all
+      operators.TierSeventyFive.all ++ operators.TierSeventySix.all ++
+      operators.TierSeventySeven.all ++ operators.TierSeventyEight.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

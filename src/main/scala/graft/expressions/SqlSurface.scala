@@ -603,6 +603,28 @@ object SqlSurface {
         val view = strLit(exprs.head, "graft_ivm_fold", "deltas")
         GraftSqlBridge.analyzed(graft.operators.TierSixtyThree.ivmFold(
           SparkSession.active.table(view)))
+      }),
+
+    ("graft_co_pairs",
+      "graft_co_pairs(table STRING, key STRING, item STRING[, salts" +
+        " INT]) - salted within-key co-occurrence self-join (k, ia, ib)" +
+        " over any table/view: every ordered pair of distinct `item`s" +
+        " sharing a `key`, the left leg salted hash(item) mod salts" +
+        " (default 8), the right leg replicated — a whale key's d^2 pair" +
+        " rows spread salts-way instead of landing in one join task" +
+        " (Skew.saltedCoPairs — the declared production shape for" +
+        " q146/q154/q182's co-occurrence expansions)",
+      exprs => {
+        arity("graft_co_pairs", exprs, 3, 4)
+        val view = strLit(exprs.head, "graft_co_pairs", "table")
+        val key = strLit(exprs(1), "graft_co_pairs", "key")
+        val item = strLit(exprs(2), "graft_co_pairs", "item")
+        val salts =
+          if (exprs.length >= 4) intLit(exprs(3), "graft_co_pairs", "salts") else 8
+        val spark = SparkSession.active
+        import org.apache.spark.sql.functions.col
+        GraftSqlBridge.analyzed(graft.operators.Skew.saltedCoPairs(
+          spark.table(view), col(key), col(item), salts))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

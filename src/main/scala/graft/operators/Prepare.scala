@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *      MinHash/LSH near-dup clusters, one survivor per cluster.
   *   4b. optional SEMANTIC DEDUP (`semanticDedup = true`) — SemDeDup's
   *      position in the order: hash-embed near-dup pairs
-  *      ([[TierNineteen.embedPairsOf]], q121's text-only detector) over
+  *      ([[TierNineteen.celledEmbedPairsOf]] since round 12 — the celled
+  *      production detector, never all-pairs; q121 remains the recall
+  *      anchor it is measured against) over
   *      the lexical survivors → connected components → keep each
   *      cluster's min doc_id. After the lexical stage deliberately: the
   *      embed pass pays only for documents lexical dedup could not
@@ -106,7 +108,7 @@ object Prepare {
     val (mhSurvivors, releaseDedup) = Dedup.deduplicateReleasable(gated)
     // optional SEMANTIC pass (SemDeDup's position in the order: after the
     // lexical whole-doc dedup, before the substring strip) — hash-embed
-    // near-dup pairs (q121's detector, text-only) → connected components →
+    // near-dup pairs (the celled production detector, text-only) → components →
     // keep each cluster's min doc_id. The survivor rule and the
     // self-labeled-min shortcut are Dedup.deduplicateReleasable's.
     val semPins = new Pins
@@ -115,7 +117,7 @@ object Prepare {
       else {
         val base = semPins(mhSurvivors) // embeds + node set + final semi join
         val nBase = base.count()
-        val pairs = TierNineteen.embedPairsOf(base, 0.95, Some(semPins))
+        val pairs = TierNineteen.celledEmbedPairsOf(base, 0.95, pins = Some(semPins))
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val keep = Components.connected(base.select(col("doc_id").as("id")), pairs)
           .filter(col("id") === col("lbl")).select(col("id").as("doc_id"))

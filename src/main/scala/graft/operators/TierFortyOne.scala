@@ -66,8 +66,9 @@ object TierFortyOne {
        |                      > 384 * (w.a+w.b) * (w.c+w.d) * (w.a+w.c) * (w.b+w.d)
        |                 THEN 1 ELSE 0 END AS BIGINT) AS significant
        |FROM t, w ORDER BY t.arm""".stripMargin) { (s, dir) =>
-    val t = armConversions(Tables.load(s, dir, "events"))
-      .persist() // feeds the 2×2 collect and the per-arm report
+    val pins = new Pins
+    val t = pins(armConversions(Tables.load(s, dir, "events")))
+      // pinned: feeds the 2×2 collect and the per-arm report
     // the 2×2 table is FOUR scalars — collect it (the q109/q184 bounded
     // driver-read convention) and run the cross-multiplied test in exact
     // BigInt: no Int64 envelope at any n (the r10 VERDICT #7 guard; the
@@ -81,7 +82,7 @@ object TierFortyOne {
         expr("(n_conv * 1000000) div n_users").as("conv_ppm"),
         lit(flag).as("significant"))
       .orderBy("arm")
-    Release.onFirstExecution(out, () => t.unpersist(blocking = false))
+    Release.onFirstExecution(out, () => pins.release())
   }
 
   /** Per-arm `(arm, n_users, n_conv)` — q166's hi-value-conversion

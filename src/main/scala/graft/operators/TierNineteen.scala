@@ -125,21 +125,30 @@ object TierNineteen {
     *
     * Since round 11 this IS the pair source the near-dup graph family
     * declares (q143/q144/q148/q155/q171 run + [[celledPairSql]] oracle —
-    * the VERDICT r10 re-sourcing); q121/q122 keep the exact all-pairs
-    * anchor as the recall reference. Output `(doc_a, doc_b, c)` with the
+    * the VERDICT r10 re-sourcing; round 12 completed the sweep:
+    * q122/q124/q128/q130/q136 and [[Prepare.corpus]]'s semantic stage now
+    * declare it too); q121 alone keeps the exact all-pairs anchor as the
+    * recall reference. Output `(doc_a, doc_b, c)` with the
     * exact (unrounded) cosine, doc_a < doc_b.
     */
   private[graft] def celledEmbedPairsOf(docs: DataFrame, thr: Double,
       probe2: Boolean = true, k: Int = 8, pins: Option[Pins] = None): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    graft.expressions.GraftFunctions.register(s)
-    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      call_function("graft_dot", x, y)
     val emb = celledEmb(docs, pins)
     val cents = celledCents(emb, k)
     val own = TierNine.assignTo(emb, cents)
-    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+    celledPairsOver(emb, own, TierEleven.probeAssign(emb, cents, own, probe2), thr)
+  }
+
+  /** The pair join of [[celledEmbedPairsOf]] factored over PREBUILT
+    * quantizer frames — `emb(vec_id, e)`, `own(vec_id, cid)` and the
+    * probe set `probed(vec_id, cid)` — so [[celledArtifacts]] can train
+    * the cells once and serve every threshold from the shared frames. */
+  private def celledPairsOver(emb: DataFrame, own: DataFrame,
+      probed: DataFrame, thr: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    val xs = probed
       .join(emb, "vec_id")
       .select(col("cid"), col("vec_id").as("doc_a"), col("e").as("ea"))
       .withColumn("na", sqrt(dotc(col("ea"), col("ea"))))
@@ -201,12 +210,20 @@ object TierNineteen {
     * `(vec_id, nn_id, cos)`. */
   private[graft] def celledNnOf(docs: DataFrame, probe2: Boolean = true,
       k: Int = 8, pins: Option[Pins] = None): DataFrame = {
-    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      call_function("graft_dot", x, y)
     val emb = celledEmb(docs, pins)
     val cents = celledCents(emb, k)
     val own = TierNine.assignTo(emb, cents)
-    val xs = TierEleven.probeAssign(emb, cents, own, probe2)
+    celledNnOver(emb, own, TierEleven.probeAssign(emb, cents, own, probe2))
+  }
+
+  /** [[celledNnOf]]'s argmax fold over prebuilt quantizer frames (the
+    * [[celledPairsOver]] factoring). */
+  private def celledNnOver(emb: DataFrame, own: DataFrame,
+      probed: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    def dotc(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_dot", x, y)
+    val xs = probed
       .join(emb, "vec_id")
       .select(col("cid"), col("vec_id"), col("e").as("xe"),
         sqrt(dotc(col("e"), col("e"))).as("nx"))
@@ -220,6 +237,39 @@ object TierNineteen {
       .groupBy("vec_id")
       .agg(min(struct(negate(col("cos")).as("nc"), col("nn_id"), col("cos"))).as("b"))
       .select(col("vec_id"), col("b.nn_id").as("nn_id"), col("b.cos").as("cos"))
+  }
+
+  /** The celled quantizer's BUILD-ONCE handle (VERDICT r11 #2 — the
+    * [[Dedup.artifacts]] amortization convention): trains the Lloyd
+    * cells ONCE over `docs` and pins the shared working set — the embed
+    * frame, the own-cell assignment and the probe set — so every
+    * consumer (the 13+ queries of the near-dup graph family) reads the
+    * SAME quantizer instead of re-training per query. `pairs(thr)` and
+    * `nn()` are the two faces; CelledArtifactsSpec proves each ≡ its
+    * self-training twin bit for bit and that `release` drops everything
+    * the build pinned.
+    *
+    * Each DECLARED query still trains its own cells so its DuckDB
+    * oracle stays self-contained (the honest per-query cost the bench
+    * reports); a production pipeline builds THIS handle once per
+    * (corpus, k) — or persists the centroids via the [[IvfStore]]
+    * write-time convention — and amortizes the training across every
+    * downstream report. */
+  final case class CelledArtifacts private[operators] (
+      emb: DataFrame, cents: DataFrame,
+      pairs: Double => DataFrame, nn: () => DataFrame, release: () => Unit)
+
+  private[graft] def celledArtifacts(docs: DataFrame, probe2: Boolean = true,
+      k: Int = 8): CelledArtifacts = {
+    val pins = new Pins
+    val emb = celledEmb(docs, Some(pins))
+    val cents = pins(celledCents(emb, k))
+    val own = pins(TierNine.assignTo(emb, cents))
+    val probed = pins(TierEleven.probeAssign(emb, cents, own, probe2))
+    CelledArtifacts(emb, cents,
+      thr => celledPairsOver(emb, own, probed, thr),
+      () => celledNnOver(emb, own, probed),
+      () => pins.release())
   }
 
   /** Oracle-SQL mirror of the celled quantizer on top of [[embSql]]:
@@ -342,13 +392,16 @@ object TierNineteen {
     * (q78/q96) cannot see a paraphrase; the embedding pair can. Output:
     * the leaked pairs, train side first.
     *
-    * Scale: the pair source is q121's (anchor here, celled in
-    * production); the split stamp is a pure projection on doc_id —
-    * no extra shuffle beyond the pair join.
+    * Scale: since round 12 the DECLARED pair source is the celled
+    * production path ([[celledEmbedPairsOf]] — cell-keyed candidates,
+    * exact-cosine verified; the round-11 re-sourcing convention), with
+    * q121 kept as the all-pairs recall anchor the celled floor is
+    * measured against (TierNineteenSpec). The split stamp is a pure
+    * projection on doc_id — no extra shuffle beyond the pair join.
     */
   val q122 = Q("q122_split_leakage",
     s"""WITH $embSql,
-       |${pairSql(0.95)},
+       |${celledPairSql(0.95)},
        |sp AS (
        |  SELECT doc_id, ((doc_id % $P) * $A0 + $B0) % $P % 1000 AS bkt
        |  FROM documents),
@@ -369,7 +422,7 @@ object TierNineteen {
       .filter(col("bkt") < 990)
       .select(col("doc_id"),
         when(col("bkt") < 980, "train").otherwise("valid").as("split"))
-    embedPairs(s, dir, 0.95)
+    celledEmbedPairs(s, dir, 0.95)
       .join(st.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(st.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
       .filter(col("sa") =!= col("sb"))

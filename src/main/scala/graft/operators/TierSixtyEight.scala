@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    per-week registers, Spark the day→week rollup, and the hash
   *    gate demands exact register/estimate equality. The `n_true`
   *    column is the verification side (q65 convention); a production
-  *    rollup never rescans rows.
+  *    rollup never rescans rows. Since round 12 the estimate readout
+  *    applies HLL++'s small-range (linear-counting) branch — see
+  *    [[LcEst]] — so small-n grains no longer ship the raw ~3.5×
+  *    overestimate.
   *  - q220: ROLLING 7-DAY ACTIVES via HLL — q160's DOCUMENTED scale
   *    path, executed: each day's 64 registers contribute to its 7
   *    window-ends (a fixed ×7 expansion of REGISTER rows — 64·7 per
@@ -49,8 +52,31 @@ object TierSixtyEight {
       .select(col("day"), TierNine.hllBucket.as("bucket"), TierNine.hllRho.as("rho"))
       .groupBy("day", "bucket").agg(max("rho").as("reg"))
 
+  /** HLL++'s SMALL-RANGE correction table (linear counting at m = 64):
+    * `v` empty buckets → `round(64·ln(64/v), 6)` (Heule et al. 2013;
+    * Whang et al. 1990's load-factor estimator). Precomputed to 6-dp
+    * DECIMAL LITERALS shared VERBATIM by both engines — `ln` is a libm
+    * call whose last bit is NOT guaranteed identical across engines, so
+    * neither engine computes it at query time; with m = 64 the domain is
+    * the 63 values v ∈ [1, 63], a lookup, not a function. (Closes the
+    * round-11 VERDICT #6: raw registers overestimated ~3.5× at n ≈ 15.) */
+  private[graft] val LcEst: IndexedSeq[(Int, Double)] =
+    (1 to 63).map(v => v -> BigDecimal(64.0 * math.log(64.0 / v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+
+  /** The Spark-side LC lookup as a CASE over [[LcEst]]'s literals. */
+  private def lcCaseSql: String =
+    LcEst.map { case (v, e) => s"WHEN $v THEN CAST($e AS DOUBLE)" }
+      .mkString("CASE v ", " ", " END")
+
   /** q65's exact-integer estimate fold per group over a (…, bucket,
-    * reg) register frame: appends (r_max, s_scaled, est). */
+    * reg) register frame: appends (r_max, s_scaled, est). The estimate
+    * applies HLL++'s small-range branch: when the RAW estimate is
+    * ≤ 2.5·m and at least one bucket is empty, report linear counting
+    * ([[LcEst]]); otherwise the raw q65 estimate. Both branches and the
+    * branch CONDITION are bit-identical cross-engine: the raw estimate
+    * is pure IEEE mul/div on integers both engines agree on, and the LC
+    * values are shared literals. */
   private[graft] def hllFold(regs: DataFrame, key: String): DataFrame = {
     val mx = regs.groupBy(col(key).as("mx_key"))
       .agg(max("reg").as("r_max"), count(lit(1)).as("nb"))
@@ -60,15 +86,22 @@ object TierSixtyEight {
         sum(expr("shiftleft(cast(1 as bigint), r_max - reg)")).as("s_present"))
       .select(col(key), col("r_max").cast("long").as("r_max"),
         (col("s_present") + (lit(64) - col("nb")) *
-          expr("shiftleft(cast(1 as bigint), r_max)")).cast("long").as("s_scaled"))
-      .withColumn("est",
-        round(lit(0.7213) / (lit(1) + lit(1.079) / lit(64)) *
+          expr("shiftleft(cast(1 as bigint), r_max)")).cast("long").as("s_scaled"),
+        (lit(64L) - col("nb")).cast("long").as("v"))
+      .withColumn("raw_est",
+        lit(0.7213) / (lit(1) + lit(1.079) / lit(64)) *
           (lit(4096) * expr("shiftleft(cast(1 as bigint), r_max)")) /
-          col("s_scaled"), 6))
+          col("s_scaled"))
+      .withColumn("est",
+        when(col("raw_est") <= 160.0 && col("v") >= 1L, expr(lcCaseSql))
+          .otherwise(round(col("raw_est"), 6)))
+      .drop("raw_est", "v")
   }
 
   /** The HLL register-fold SQL tail shared by both oracles — expects a
-    * CTE `r(<key>, bucket, reg)` and a true-count CTE `t(<key>, n_true)`. */
+    * CTE `r(<key>, bucket, reg)` and a true-count CTE `t(<key>, n_true)`;
+    * mirrors [[hllFold]]'s small-range branch through the same [[LcEst]]
+    * literals. */
   private def foldSql(key: String): String =
     s"""mx AS (SELECT $key, max(reg) AS r_max, CAST(count(*) AS BIGINT) AS nb
        |       FROM r GROUP BY 1),
@@ -76,13 +109,24 @@ object TierSixtyEight {
        |  SELECT r.$key, mx.r_max,
        |         CAST(sum(CAST(1 AS BIGINT) << (mx.r_max - reg))
        |              + (64 - mx.nb) * (CAST(1 AS BIGINT) << mx.r_max) AS BIGINT)
-       |           AS s_scaled
-       |  FROM r JOIN mx USING ($key) GROUP BY 1, 2, mx.nb)
+       |           AS s_scaled,
+       |         CAST(64 - mx.nb AS BIGINT) AS v
+       |  FROM r JOIN mx USING ($key) GROUP BY 1, 2, mx.nb),
+       |lc AS (SELECT * FROM (VALUES
+       |  ${LcEst.map { case (v, e) => s"($v, $e)" }.grouped(6)
+             .map(_.mkString(", ")).mkString(",\n  ")})
+       |  AS lct(v, est_lc))
        |SELECT CAST(sfold.$key AS BIGINT) AS $key,
        |       CAST(r_max AS BIGINT) AS r_max, s_scaled, n_true,
-       |       round(0.7213 / (1 + 1.079/64)
-       |             * (4096 * (CAST(1 AS BIGINT) << r_max)) / s_scaled, 6) AS est
-       |FROM sfold JOIN t USING ($key) ORDER BY $key""".stripMargin
+       |       CASE WHEN 0.7213 / (1 + 1.079/64)
+       |                   * (4096 * (CAST(1 AS BIGINT) << r_max)) / s_scaled <= 160.0
+       |                 AND sfold.v >= 1
+       |            THEN CAST(lc.est_lc AS DOUBLE)
+       |            ELSE round(0.7213 / (1 + 1.079/64)
+       |                       * (4096 * (CAST(1 AS BIGINT) << r_max)) / s_scaled, 6)
+       |       END AS est
+       |FROM sfold JOIN t USING ($key)
+       |LEFT JOIN lc ON lc.v = sfold.v ORDER BY $key""".stripMargin
 
   val q219 = Q("q219_hll_rollup",
     s"""WITH h0 AS (

@@ -34,6 +34,9 @@ import org.apache.spark.sql.functions._
   *    — all truncating division, bit-identical across engines (q198
   *    verified the negative-numerator agreement). A constant series
   *    (vyn = 0) reports r2_ppm = 10⁶ (slope 0 fits it exactly).
+  *    `spark.graft.trendDecimal=true` routes the in-plan moment sums
+  *    through DECIMAL(38,0) past the Int64 envelope (wired in
+  *    [[trendFit]], the q169 dispatch).
   *
   * Scale: q209 is ONE partial+final keyed sum — map-side combine eats
   * the retractions before the shuffle; `maintain` touches only keys
@@ -109,16 +112,33 @@ object TierSixtyThree {
 
   /** Exact-integer OLS per group: collect the six scalars per type
     * (bounded by #types) and close in BigInt — (type, n, slope_ppm,
-    * icept_ppm, r2_ppm), truncating division throughout. */
+    * icept_ppm, r2_ppm), truncating division throughout.
+    *
+    * Int64 envelope: the IN-PLAN moment sums (Σxy, Σx², Σy²) overflow
+    * (loudly, ANSI) past ~9·10¹⁸ — y ≈ 3·10⁹ daily rows wraps Σy².
+    * Session conf `spark.graft.trendDecimal=true` (the q169
+    * `giniDecimal` dispatch exactly) routes the moment products and
+    * sums through DECIMAL(38,0) — exact to ~10³⁸ — with the identical
+    * BigInt closure and output schema; TierSixtyThreeSpec drives a
+    * boundary fixture where the Int64 path throws and pins the decimal
+    * path against BigInt. */
   private[graft] def trendFit(grid: DataFrame): Seq[(String, Long, Long, Long, Long)] = {
     val M = BigInt(1000000)
+    val decimal = grid.sparkSession.conf.getOption("spark.graft.trendDecimal")
+      .exists(_.equalsIgnoreCase("true"))
+    def m(c: org.apache.spark.sql.Column) =
+      if (decimal) c.cast("decimal(38,0)") else c
     grid.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("n"), sum(m(col("x"))).as("sx"), sum(m(col("y"))).as("sy"),
+        sum(m(col("x")) * m(col("y"))).as("sxy"),
+        sum(m(col("x")) * m(col("x"))).as("sxx"),
+        sum(m(col("y")) * m(col("y"))).as("syy"))
       .collect().map { r =>
-        def b(i: Int) = BigInt(r.getLong(i))
-        val (n, sx, sy, sxy, sxx, syy) = (b(1), b(2), b(3), b(4), b(5), b(6))
+        def b(i: Int) =
+          if (decimal) BigInt(r.getDecimal(i).toBigInteger)
+          else BigInt(r.getLong(i))
+        val n = BigInt(r.getLong(1))
+        val (sx, sy, sxy, sxx, syy) = (b(2), b(3), b(4), b(5), b(6))
         val num = n * sxy - sx * sy
         val den = n * sxx - sx * sx // > 0 for ≥2 distinct days
         val vyn = n * syy - sy * sy

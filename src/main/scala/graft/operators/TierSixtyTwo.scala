@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    quarter of each dimension's span) so every SF exercises it.
   *  - q208: BLOOM-REDUCED DIMENSION JOIN — the semi-join reduction /
   *    runtime-filter pattern as a first-class operator: a selective
-  *    dim (orders > 4500.00 total, ~10 % — too WIDE to broadcast at
+  *    dim (orders > 450000.00 total, ~10 % — too WIDE to broadcast at
   *    scale while its KEY bloom is KBs) builds a 16 Kib packed bloom
   *    ([[Bloom.toBits]], 3 hashes, ~1.4 % FP at 1 493 keys); the fact
   *    prefilters on the pure-codegen [[Bloom.mightContainCol]] BEFORE

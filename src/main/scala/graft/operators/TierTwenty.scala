@@ -69,13 +69,15 @@ object TierTwenty {
     *
     * Scale: the exact side joins fixed-width digests keyed on the hash,
     * never text (Dedup.exactSurvivors' key discipline); the semantic
-    * side is q121's pair source (anchor here, celled in production);
-    * valid is ~1 % of the corpus, so both probe frames are small against
-    * a broadcast or bucketed train side.
+    * side DECLARES the celled production pair source since round 12
+    * ([[TierNineteen.celledEmbedPairsOf]], matching q122's re-sourcing —
+    * the flags stay mutually consistent because both read the same
+    * detector); valid is ~1 % of the corpus, so both probe frames are
+    * small against a broadcast or bucketed train side.
     */
   val q124 = Q("q124_contamination_report",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(0.95)},
+       |${TierNineteen.celledPairSql(0.95)},
        |sp AS (
        |  SELECT doc_id, ((doc_id % $P) * $A0 + $B0) % $P % 1000 AS bkt
        |  FROM documents),
@@ -116,7 +118,7 @@ object TierTwenty {
     val ex = digests.join(vd, Seq("doc_id"), "left_semi")
       .join(trainH, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(1L).as("exact_dup"))
-    val se = TierNineteen.embedPairsOf(docs, 0.95)
+    val se = TierNineteen.celledEmbedPairsOf(docs, 0.95)
       .join(st.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(st.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
       .filter(col("sa") =!= col("sb"))

@@ -45,9 +45,13 @@ object TierTwentySix {
        |  GROUP BY nid)""".stripMargin
 
   /** Multi-source BFS: hop distance from ANY `source = 'src0'` doc
-    * through the symmetrized q121 near-dup graph, exact up to
+    * through the symmetrized near-dup graph, exact up to
     * [[MaxHops]]; unreached docs report −1 (the "nothing vetted is
-    * anywhere near this" flag a curator reviews first).
+    * anywhere near this" flag a curator reviews first). Since round 12
+    * the DECLARED edge source is the celled production pair path
+    * ([[TierNineteen.celledEmbedPairsOf]]/[[TierNineteen.celledPairSql]]);
+    * celled edges ⊆ anchor edges, so every celled hop count is ≥ the
+    * anchor's for the same doc — the monotonicity law the spec pins.
     *
     * Round 10: the loop lives in the unified [[Graph.bfsReleasable]]
     * engine (frontier-driven — per round ONE dst-keyed shuffle over the
@@ -63,7 +67,7 @@ object TierTwentySix {
     */
   val q136 = Q("q136_seed_distance",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM hits
        |       UNION ALL SELECT doc_b, doc_a FROM hits),
        |sd AS (SELECT doc_id, (source = 'src0') AS seed FROM documents),
@@ -74,7 +78,8 @@ object TierTwentySix {
        |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val pins = new Pins
-    val hits = pins(TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr)
+    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr,
+        pins = Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -28,7 +28,11 @@ object TierTwentyThree {
   private val MinPairDocs = 5
 
   /** Per-node triangle count + local clustering coefficient in ppm over
-    * the q121 near-dup graph (cos ≥ 0.9). Triangle enumeration is the
+    * the near-dup graph (cos ≥ 0.9) — since round 12 the DECLARED edge
+    * source is the celled production pair path
+    * ([[TierNineteen.celledEmbedPairsOf]], oracle mirrored CTE-by-CTE by
+    * [[TierNineteen.celledPairSql]]); both pinned frames ride one [[Pins]]
+    * released on first execution. Triangle enumeration is the
     * classic FORWARD algorithm on the ordered edge list (doc_a < doc_b —
     * free, q121 emits pairs ordered): wedges (a<b<c) from one self-join
     * on the shared middle vertex, closed by one join back to the edge
@@ -44,7 +48,7 @@ object TierTwentyThree {
     */
   val q130 = Q("q130_dup_graph_stats",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |tri AS (
        |  SELECT h1.doc_a AS a, h1.doc_b AS b, h2.doc_b AS c
        |  FROM hits h1 JOIN hits h2 ON h2.doc_a = h1.doc_b
@@ -60,16 +64,17 @@ object TierTwentyThree {
        |            THEN 2 * coalesce(trc.n_tri, 0) * 1000000 // (dgr.deg * (dgr.deg - 1))
        |            ELSE 0 END AS BIGINT) AS lcc_ppm
        |FROM dgr LEFT JOIN trc USING (nid) ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val hits = TierNineteen.embedPairsOf(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), Thr)
-      .select(col("doc_a"), col("doc_b")).persist()
-    val tri = hits.as("h1")
+    val pins = new Pins
+    val hits = pins(TierNineteen.celledEmbedPairsOf(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), Thr,
+        pins = Some(pins))
+      .select(col("doc_a"), col("doc_b")))
+    val tri = pins(hits.as("h1")
       .join(hits.as("h2"), col("h1.doc_b") === col("h2.doc_a"))
       .select(col("h1.doc_a").as("a"), col("h1.doc_b").as("b"), col("h2.doc_b").as("c"))
       .join(hits.as("h3"),
         col("a") === col("h3.doc_a") && col("c") === col("h3.doc_b"))
-      .select("a", "b", "c")
-      .persist() // three per-corner scans fold it
+      .select("a", "b", "c")) // three per-corner scans fold it
     val tc = tri.select(col("a").as("nid"))
       .union(tri.select(col("b").as("nid")))
       .union(tri.select(col("c").as("nid")))
@@ -77,12 +82,14 @@ object TierTwentyThree {
     val dg = hits.select(col("doc_a").as("nid"))
       .union(hits.select(col("doc_b").as("nid")))
       .groupBy("nid").agg(count(lit(1)).as("deg"))
-    dg.join(tc, Seq("nid"), "left")
-      .select(col("nid").as("doc_id"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-        expr("CAST(CASE WHEN deg >= 2 THEN (2 * coalesce(n_tri, CAST(0 AS BIGINT)) * 1000000)" +
-          " div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END AS BIGINT)").as("lcc_ppm"))
-      .orderBy("doc_id")
+    Release.onFirstExecution(
+      dg.join(tc, Seq("nid"), "left")
+        .select(col("nid").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("CAST(CASE WHEN deg >= 2 THEN (2 * coalesce(n_tri, CAST(0 AS BIGINT)) * 1000000)" +
+            " div (deg * (deg - 1)) ELSE CAST(0 AS BIGINT) END AS BIGINT)").as("lcc_ppm"))
+        .orderBy("doc_id"),
+      () => pins.release())
   }
 
   /** Top-20 token COLLOCATIONS by document-level co-occurrence lift —

@@ -58,8 +58,9 @@ object TierTwentyTwo {
     * signal a mix planner down-weights. Same integer fixed-point
     * discipline as q125 (floor division both engines, bit-identical).
     *
-    * Scale: the pair anchor is the documented bounded form (q121); the
-    * scale path swaps in [[TierNineteen.celledEmbedPairs]] — everything
+    * Scale: since round 12 the DECLARED edge source is the celled
+    * production path ([[TierNineteen.celledEmbedPairs]] — [[trustOver]]
+    * was parameterized for exactly this swap); everything
     * downstream is edge-keyed aggregates. Per iteration: ONE shuffle (the
     * inflow groupBy on dst) + a 1-row broadcast dangling scalar; the
     * static seed flag and node set build once; per-round lineage
@@ -67,7 +68,7 @@ object TierTwentyTwo {
     */
   val q128 = Q("q128_trust_rank",
     s"""WITH ${TierNineteen.embSql},
-       |${TierNineteen.pairSql(Thr)},
+       |${TierNineteen.celledPairSql(Thr)},
        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM hits
        |       UNION ALL SELECT doc_b, doc_a FROM hits),
        |sd AS (SELECT doc_id, (source = 'src0') AS seed FROM documents),
@@ -81,7 +82,7 @@ object TierTwentyTwo {
        |SELECT nid AS doc_id, t AS trust_fp FROM t$TrustIters ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    trustOver(docs, TierNineteen.embedPairsOf(docs.select("doc_id", "text"), Thr))
+    trustOver(docs, TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr))
   }
 
   /** q128's propagation engine over an ARBITRARY undirected pair frame

@@ -59,7 +59,15 @@ final class SampleMaintainer(k: Int)
       timerValues: TimerValues): Iterator[SampleDelta] = {
     val cur = if (st.exists()) st.get().toSeq else Seq.empty
     val curSet = cur.toSet
-    val merged = cur ++ rows.map { case (id, w, pr) => SampleEntry(id, w, pr) }
+    // dedupe by doc_id BEFORE ranking (r11 ADVICE): a doc delivered
+    // twice — duplicate source rows or an at-least-once replay — must
+    // occupy ONE slot, not two identical slots evicting a distinct
+    // resident and double-emitting its admit delta; keep the max
+    // priority per doc (idempotent under replay, and priorityOf is
+    // deterministic per doc so duplicates tie anyway)
+    val merged = (cur ++ rows.map { case (id, w, pr) => SampleEntry(id, w, pr) })
+      .groupBy(_.doc_id).valuesIterator
+      .map(_.maxBy(e => (e.pr, e.w))).toSeq
     val top = merged.sortBy(e => (-e.pr, e.doc_id)).take(k)
     st.put(top.toArray)
     val topSet = top.toSet

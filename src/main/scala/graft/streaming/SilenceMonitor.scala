@@ -24,7 +24,9 @@ final case class SilenceAlert(user_id: Long, last_seen_ms: Long)
   * the expiry is checked against the CURRENT state — a stale timer
   * (superseded by a newer event whose delete raced a concurrent
   * registration) is ignored, so correctness never depends on delete
-  * ordering. State: one long + one timer per key.
+  * ordering. The alert CLEARS the key's state (episode closed); a
+  * returning key re-seeds. State: one long + one timer per LIVE key —
+  * a dead key's state is dropped with its one alert.
   *
   * Scale: O(live keys) state and timers in the RocksDB store; alerts
   * are append-mode rows driven by watermark advance, so a silent key
@@ -57,9 +59,14 @@ final class SilenceMonitor(silenceMs: Long)
     val ls = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
     // guard: only the timer matching the CURRENT last-seen may alert —
     // a superseded timer that survived is provably stale
-    if (ls != Long.MinValue && expiredTimerInfo.getExpiryTimeInMs() == ls + silenceMs)
+    if (ls != Long.MinValue && expiredTimerInfo.getExpiryTimeInMs() == ls + silenceMs) {
+      // the alert CLOSES the episode: clear the key's state so a
+      // permanently dead key holds nothing (state really is O(live
+      // keys), r11 ADVICE) — a returning key starts a fresh episode
+      // (its next event re-seeds last_seen and a new timer)
+      lastSeen.clear()
       Iterator(SilenceAlert(key, ls))
-    else Iterator.empty
+    } else Iterator.empty
   }
 }
 

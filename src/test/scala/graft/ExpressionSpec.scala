@@ -588,4 +588,29 @@ class ExpressionSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(ivmSql == ivmScala && ivmSql.nonEmpty, "graft_ivm_fold must equal q209")
   }
+
+  test("graft_co_pairs SQL ≡ Scala ≡ naive unsalted self-join (r12 twin)") {
+    graft.expressions.GraftFunctions.register(spark)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.createOrReplaceTempView("tw_li_pairs")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    val sql = norm(spark.sql(
+      "SELECT * FROM graft_co_pairs('tw_li_pairs', 'l_orderkey', 'l_partkey')"))
+    val scala = norm(operators.Skew.saltedCoPairs(li, col("l_orderkey"), col("l_partkey")))
+    // identity-by-construction vs the naive unsalted self-join: each
+    // ordered (ia, ib) pair meets exactly once, at ia's salt
+    val naive = norm(li.as("a").join(li.as("b"), Seq("l_orderkey"))
+      .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("l_orderkey"), col("a.l_partkey"), col("b.l_partkey")))
+    assert(sql == scala, "graft_co_pairs must equal Skew.saltedCoPairs")
+    assert(scala == naive && scala.nonEmpty,
+      "salted co-pairs must equal the naive self-join by construction")
+    // non-default salts: same result (the salt count is a layout knob)
+    val s3 = norm(spark.sql(
+      "SELECT * FROM graft_co_pairs('tw_li_pairs', 'l_orderkey', 'l_partkey', 3)"))
+    assert(s3 == naive, "salts=3 must not change the pair set")
+  }
 }

@@ -50,8 +50,9 @@ class PrepareSpec extends SparkSpec {
     assert(ids1.subsetOf(ids0), "semantic pass can only drop")
     // the flag-off output IS the lexical-survivor corpus (same
     // deterministic pipeline), so recomputing the semantic pass on it
-    // must reproduce the flag-on survivor set exactly
-    val pairs = TierNineteen.embedPairsOf(out0.select("doc_id", "text"), 0.95)
+    // must reproduce the flag-on survivor set exactly — with the CELLED
+    // production detector, the declared source since round 12
+    val pairs = TierNineteen.celledEmbedPairsOf(out0.select("doc_id", "text"), 0.95)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val expected = Components.connected(
         out0.select(col("doc_id").as("id")), pairs)

@@ -543,8 +543,13 @@ class StreamBatchParitySpec extends SparkSpec {
         .toDF()
         .writeStream.format("memory").queryName("s39_out").outputMode("append").start()
       try {
+        // duplicate deliveries ride along (r11 ADVICE): some rows arrive
+        // twice in one batch AND re-arrive in the next — a doc must still
+        // occupy at most ONE slot and the drained sample must equal batch
+        var carry = Seq.empty[(Long, String)]
         rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
-          in.addData(c); q.processAllAvailable()
+          in.addData(c ++ c.take(2) ++ carry); carry = c.takeRight(2)
+          q.processAllAvailable()
         }
         val deltas = spark.table("s39_out").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
@@ -862,7 +867,11 @@ class StreamBatchParitySpec extends SparkSpec {
         Seq((1L, ts(0)), (2L, ts(0)), (3L, ts(0))),
         Seq((2L, ts(1)), (3L, ts(1))),
         Seq((2L, ts(2))), Seq((2L, ts(3))), Seq((2L, ts(4))), Seq((2L, ts(5))),
-        Seq((99L, ts(8)))) // watermark flusher: drives the tail timers
+        Seq((99L, ts(8))), // watermark flusher: drives the tail timers
+        // user 1 RETURNS after its alert closed the episode (state was
+        // cleared): a fresh episode seeds, goes silent, alerts AGAIN
+        Seq((1L, ts(9))),
+        Seq((98L, ts(12)))) // second flusher: drives the return-episode timer
       val in = MemoryStream[(Long, java.sql.Timestamp)]
       val q = SilenceMonitor.alerts(
           in.toDF().select(col("_1").as("user_id"), col("_2").as("ts")), silenceMs)
@@ -872,14 +881,70 @@ class StreamBatchParitySpec extends SparkSpec {
         chunks.foreach { c => in.addData(c); q.processAllAvailable() }
         val alerts = spark.table("s43_out").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-        val expected = Seq((1L, ts(0).getTime), (2L, ts(5).getTime),
-          (3L, ts(1).getTime)).sorted
+        val expected = Seq((1L, ts(0).getTime), (1L, ts(9).getTime),
+          (2L, ts(5).getTime), (3L, ts(1).getTime), (99L, ts(8).getTime)).sorted
         // user 2's last event (day 5) is ≥ 2 days before the day-8
-        // flusher watermark, so its tail alert legitimately fires too
+        // flusher watermark, so its tail alert legitimately fires too;
+        // the day-8 flusher key itself silences by the day-12 flusher
         assert(alerts == expected,
           s"timer alerts must be exactly the proven silences: $alerts")
         assert(alerts.count(_._1 == 3L) == 1,
           "the superseded day-0 timer must NOT double-fire user 3")
+        assert(alerts.count(_._1 == 1L) == 2,
+          "a returning key must open a FRESH episode after its alert cleared the state")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
+  test("s44: LIVE run-length monitor (O(1) state) ≡ batch q234 islands") {
+    // the scale path q234's docstring declares: the batch audit needs a
+    // per-lang window; the live fold needs THREE scalars of state. The
+    // drained closed runs + the one still-open run must reproduce the
+    // batch islands exactly.
+    import graft.streaming.RunMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the naive easy-first feed: (pos, lang) in training order
+      val feed = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("d"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._3, t._1)).zipWithIndex
+        .map { case ((_, lang, _), i) => (i + 1L, lang) }
+      // in-memory islands over the same feed
+      val islands = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      for ((pos, lang) <- feed) {
+        if (islands.nonEmpty && islands.last._1 == lang)
+          islands(islands.size - 1) = (lang, islands.last._2, islands.last._3 + 1)
+        else islands += ((lang, pos, 1L))
+      }
+      val in = MemoryStream[(Long, String)]
+      val q = RunMonitor.runs(
+          in.toDF().select(col("_1").as("pos"), col("_2").as("lang")))
+        .toDF()
+        .writeStream.format("memory").queryName("s44_out").outputMode("append").start()
+      try {
+        feed.grouped(math.max(1, feed.size / 7)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val closed = spark.table("s44_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        // every island except the final (still-open) run is closed, in order
+        assert(closed == islands.toSeq.dropRight(1),
+          s"closed runs must equal batch islands minus the open tail: ${closed.size}")
+        assert(closed.exists(_._3 >= 2L), "fixture must clump (q234's premise)")
+        // cross-engine aggregate parity: per-lang (n_docs, n_runs, max_run)
+        // from closed + open ≡ the declared q234 report
+        val all = islands.toSeq
+        val agg = all.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, rs) =>
+          (l, rs.map(_._3).sum, rs.size.toLong, rs.map(_._3).max)
+        }
+        val batch = operators.TierSeventySeven.q234.run(spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        operators.Cumulative.releaseAll()
+        assert(agg == batch, "streamed islands must aggregate to the q234 report")
       } finally q.stop()
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }

@@ -40,10 +40,9 @@ class TierSixtyEightSpec extends SparkSpec {
     // sf0.001 events fixture has every user active every day, the same
     // documented degeneracy that sent q206 to the orders table)
 
-    // the fixture's ~15-user windows sit in raw-HLL's small-range regime
-    // (q65's documented no-corrections stance ⇒ known overestimate), so
-    // the envelope gate runs on a constructed frame with n ≫ m: 3000
-    // users/day, where the squared-affine hash measured ~12% at n=1500
+    // the high-n regime (raw-HLL branch) is gated on a constructed frame
+    // with n ≫ m: 3000 users/day, where the squared-affine hash measured
+    // ~12% at n=1500; the small-range regime gets its own LC test below
     import spark.implicits._
     val big = (0 until 10).flatMap { d =>
       (1L to 3000L).map(u => (u * 7L + d, // distinct id sets per day
@@ -57,6 +56,31 @@ class TierSixtyEightSpec extends SparkSpec {
     hi.foreach { case (d, nt, est) =>
       assert(nt >= 3000 && math.abs(est - nt) <= 0.4 * nt,
         s"day $d: estimate $est outside the raw-HLL envelope of exact $nt")
+    }
+  }
+
+  test("small-range regime: LC branch fires and lands near n_true (both regimes law-pinned)") {
+    // r11 VERDICT #6: raw registers overestimated ~3.5× at n ≈ 15 — the
+    // HLL++ linear-counting branch must now (a) actually fire at small n,
+    // (b) report ≈ n_true (LC is near-exact at load n/m ≪ 1), and
+    // (c) leave the high-n branch alone (the previous test's envelope).
+    import spark.implicits._
+    val small = (0 until 3).flatMap { d =>
+      (1L to 15L).map(u => (u * 131L + d * 7L,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 5, 1, 0, 0).plusDays(d))))
+    }.toDF("user_id", "ts")
+    val got = TierSixtyEight.rollingActiveHll(small).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty)
+    val lcByV = TierSixtyEight.LcEst.toMap
+    got.foreach { case (d, nt, est) =>
+      // small-range: the estimate must BE one of the LC table's literals
+      // (the branch fired — a raw readout at n ≈ 15–45 sits far off it)
+      assert(lcByV.values.exists(v => v == est),
+        s"day $d: estimate $est is not an LC table value — branch did not fire")
+      assert(math.abs(est - nt) <= 0.25 * nt + 1.0,
+        s"day $d: LC estimate $est too far from exact $nt")
     }
   }
 }

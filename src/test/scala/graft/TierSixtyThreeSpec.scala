@@ -106,4 +106,35 @@ class TierSixtyThreeSpec extends SparkSpec {
     assert(TierSixtyThree.trendFit(fall) ==
       Seq(("fall", 5L, -2000000L, 100000000L, 1000000L)))
   }
+
+  test("trendDecimal dispatch: Int64 moment sums throw at the boundary; decimal ≡ BigInt") {
+    // y ≈ 4·10⁹ daily rows ⇒ y² ≈ 1.6·10¹⁹ > Int64 — the documented
+    // Σy² wrap (r11 ADVICE). ANSI mode makes the default path fail
+    // LOUDLY; spark.graft.trendDecimal=true must close exactly (BigInt).
+    val Y = 4000000000L
+    val big = (0L to 9L).map(x => ("big", x, Y + 1000000L * x))
+      .toDF("event_type", "x", "y")
+    val ex = intercept[Exception] { TierSixtyThree.trendFit(big) }
+    assert(ex.getMessage.toLowerCase.contains("overflow"),
+      s"the Int64 moment fold must overflow loudly: ${ex.getMessage.take(200)}")
+    spark.conf.set("spark.graft.trendDecimal", "true")
+    try {
+      val got = TierSixtyThree.trendFit(big)
+      val M = BigInt(1000000)
+      val pts = (0L to 9L).map(x => (BigInt(x), BigInt(Y) + BigInt(1000000L) * x))
+      val n = BigInt(pts.size)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val syy = pts.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+      val vyn = n * syy - sy * sy
+      val slope = M * num / den
+      val want = Seq(("big", n.toLong, slope.toLong,
+        ((M * sy - slope * sx) / n).toLong,
+        (if (vyn == 0) M else M * num * num / (den * vyn)).toLong))
+      assert(got == want, s"decimal path must be exact: $got vs $want")
+      assert(got.head._3 == 1000000000000L, "exact line: slope 10⁶ counts/day in ppm")
+    } finally spark.conf.unset("spark.graft.trendDecimal")
+  }
 }

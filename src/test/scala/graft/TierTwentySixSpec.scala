@@ -4,7 +4,8 @@ import graft.operators.{Cumulative, TierNineteen, TierTwentyOne, TierTwentySix}
 import org.apache.spark.sql.functions._
 
 /** Tier-26 differentials: q136 against in-memory multi-source BFS over
-  * the trusted q121 pair edges (plus the BFS consistency laws), q137
+  * the celled pair edges (plus the BFS consistency laws and the
+  * hop-monotonicity-vs-anchor law), q137
   * against an in-memory weighted iteration (plus divergence-from-uniform
   * and mass laws); plan gates.
   */
@@ -13,10 +14,12 @@ class TierTwentySixSpec extends SparkSpec {
   private val S = 1000000000000L
 
   test("q136 seed distance ≡ in-memory multi-source BFS; frontier laws") {
+    // q136 DECLARES the celled production edge source since round 12 —
+    // the in-memory BFS runs over the same celled pair set; a second test
+    // pins hop monotonicity vs the all-pairs anchor.
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "source")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val pairs = TierNineteen.embedPairsOf(
-        Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.9)
+    val pairs = TierNineteen.celledEmbedPairs(spark, sf, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     Cumulative.releaseAll()
     val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
@@ -42,6 +45,43 @@ class TierTwentySixSpec extends SparkSpec {
     }
     assert(got.exists(_._2 > 0), "fixture must reach beyond the seeds")
     assert(got.exists(_._2 == -1L), "fixture must leave an untouched periphery")
+  }
+
+  test("q136 (celled, declared) hop counts ≥ all-pairs anchor hops; reach floored") {
+    // celled edges ⊆ anchor edges ⇒ every celled hop count is ≥ the
+    // anchor's for the same doc (a dropped edge can only lengthen or cut
+    // a path), and the celled reached set is ⊆ the anchor's, floored.
+    val docsDf = Tables.load(spark, sf, "documents")
+    val pairs = TierNineteen.embedPairsOf(docsDf.select("doc_id", "text"), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Cumulative.releaseAll()
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val seeds = docsDf.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (h <- 1 to 4) {
+      val frontier = dist.filter(_._2 == h - 1).keys
+      val grow = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains).map(_ -> h.toLong)
+      dist = dist ++ grow
+    }
+    val got = TierTwentySix.q136.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    Cumulative.releaseAll()
+    got.foreach { case (id, d) =>
+      val anchorD = dist.getOrElse(id, -1L)
+      if (d >= 0)
+        assert(anchorD >= 0 && anchorD <= d,
+          s"doc $id: celled hops $d beat the anchor's $anchorD")
+    }
+    val reachedA = dist.keySet
+    val reachedC = got.filter(_._2 >= 0).keySet
+    assert(reachedC.subsetOf(reachedA))
+    val nsA = (reachedA -- seeds).size
+    val nsC = (reachedC -- seeds).size
+    assert(nsA == 0 || nsC * 10 >= nsA * 4,
+      s"celled non-seed reach $nsC vs anchor $nsA under the 0.4 floor")
   }
 
   test("q137 weighted pagerank ≡ in-memory weighted iteration; diverges from uniform q125 split") {

@@ -4,15 +4,18 @@ import graft.operators.{Cumulative, TierNineteen, TierTwentyThree}
 import org.apache.spark.sql.functions._
 
 /** Tier-23 differentials: q130 against brute-force triangle enumeration
-  * over the trusted q121 pair engine's edges (plus LCC bounds and the
-  * 3·|T| corner identity), q131 against an in-memory lift computation;
+  * over the celled pair engine's edges (plus LCC bounds, the 3·|T| corner
+  * identity, and the celled ⊆ anchor recall floor), q131 against an
+  * in-memory lift computation;
   * plan gates (no CartesianProduct; q131 top-k is TakeOrdered).
   */
 class TierTwentyThreeSpec extends SparkSpec {
 
-  test("q130 dup-graph stats ≡ brute-force triangles over the q121 edges; LCC laws") {
-    val pairs = TierNineteen.embedPairsOf(
-        Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.9)
+  test("q130 dup-graph stats ≡ brute-force triangles over the celled edges; LCC laws") {
+    // q130 DECLARES the celled production edge source since round 12 —
+    // the brute triangle enumeration runs over the same celled pair set;
+    // a second test pins the celled ⊆ anchor edge containment + recall.
+    val pairs = TierNineteen.celledEmbedPairs(spark, sf, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     Cumulative.releaseAll()
     val edgeSet = pairs.toSet
@@ -39,6 +42,20 @@ class TierTwentyThreeSpec extends SparkSpec {
     assert(got.forall(x => x._4 >= 0 && x._4 <= 1000000L))
     assert(got.map(_._3).sum == 3L * triangles.size)
     assert(triangles.nonEmpty, "fixture graph must close at least one triangle")
+  }
+
+  test("q130 pair source: celled ⊆ anchor edges with floored recall") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val anchor = TierNineteen.embedPairsOf(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Cumulative.releaseAll()
+    val celled = TierNineteen.celledEmbedPairsOf(docs, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Cumulative.releaseAll()
+    assert(celled.subsetOf(anchor), "celled pairs are cosine-verified: ⊆ anchor")
+    val recall = (celled & anchor).size.toDouble / anchor.size
+    info(s"celled pair recall at thr 0.9: $recall")
+    assert(recall >= 0.50, s"celled pair recall $recall below measured floor")
   }
 
   test("q131 collocations ≡ in-memory document-level lift, top-20 pinned") {

@@ -15,10 +15,11 @@ class TierTwentyTwoSpec extends SparkSpec {
     Tables.load(spark, sf, "documents").select("doc_id", "text", "source")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
-  test("q128 trust rank ≡ in-memory propagation over the q121 pair edges; seed/periphery laws") {
+  test("q128 trust rank ≡ in-memory propagation over the celled pair edges; seed/periphery laws") {
+    // q128 DECLARES the celled production edge source since round 12 —
+    // the in-memory iteration runs over the same celled pair set.
     val docs = corpus
-    val pairs = TierNineteen.embedPairsOf(
-        Tables.load(spark, sf, "documents").select("doc_id", "text"), 0.9)
+    val pairs = TierNineteen.celledEmbedPairs(spark, sf, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     Cumulative.releaseAll()
     val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
@@ -75,14 +76,16 @@ class TierTwentyTwoSpec extends SparkSpec {
     assert(got.exists(_._4 > 0) && got.exists(_._4 < 1000000L))
   }
 
-  test("q128 scale path: trust over celled pairs reaches ⊆ the anchor's reached set, floored") {
+  test("q128 (celled, declared) reaches ⊆ the all-pairs anchor's reached set, floored") {
+    // inverted since round 12: q128 IS the celled run; the anchor is the
+    // explicitly-rebuilt all-pairs trust propagation it is measured against
     val docs = Tables.load(spark, sf, "documents")
-    val anchor = TierTwentyTwo.q128.run(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Cumulative.releaseAll()
-    val celled = TierTwentyTwo.trustOver(docs,
-        graft.operators.TierNineteen.celledEmbedPairs(spark, sf, 0.9))
+    val anchor = TierTwentyTwo.trustOver(docs,
+        TierNineteen.embedPairsOf(docs.select("doc_id", "text"), 0.9))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Cumulative.releaseAll()
+    val celled = TierTwentyTwo.q128.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     Cumulative.releaseAll()
     val seeds = docs.filter(col("source") === "src0")
       .select("doc_id").collect().map(_.getLong(0)).toSet
