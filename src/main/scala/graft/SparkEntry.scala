@@ -51,7 +51,8 @@ object SparkEntry {
       operators.TierSeventyOne.all ++ operators.TierSeventyTwo.all ++
       operators.TierSeventyThree.all ++ operators.TierSeventyFour.all ++
       operators.TierSeventyFive.all ++ operators.TierSeventySix.all ++
-      operators.TierSeventySeven.all ++ operators.TierSeventyEight.all
+      operators.TierSeventySeven.all ++ operators.TierSeventyEight.all ++
+      operators.TierSeventyNine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -625,6 +625,57 @@ object SqlSurface {
         import org.apache.spark.sql.functions.col
         GraftSqlBridge.analyzed(graft.operators.Skew.saltedCoPairs(
           spark.table(view), col(key), col(item), salts))
+      }),
+
+    ("graft_k_anonymity",
+      "graft_k_anonymity(table STRING, c1 STRING, c2 STRING[, k INT]) -" +
+        " k-anonymity audit (c1, c2, n_rows, k_anonymous, suppress_ppm)" +
+        " over any table/view: group sizes of the quasi-identifier pair," +
+        " k >= 5 (default) anonymity flag, and the corpus share a" +
+        " k-anonymous release would suppress" +
+        " (TierSeventySix.kAnonymityOver — q232's metadata-privacy gate)",
+      exprs => {
+        arity("graft_k_anonymity", exprs, 3, 4)
+        val view = strLit(exprs.head, "graft_k_anonymity", "table")
+        val c1 = strLit(exprs(1), "graft_k_anonymity", "c1")
+        val c2 = strLit(exprs(2), "graft_k_anonymity", "c2")
+        val k = if (exprs.length >= 4) intLit(exprs(3), "graft_k_anonymity", "k") else 5
+        GraftSqlBridge.analyzed(graft.operators.TierSeventySix.kAnonymityOver(
+          SparkSession.active.table(view), c1, c2, k.toLong))
+      }),
+
+    ("graft_resample",
+      "graft_resample(table STRING, key STRING, weight STRING[, slots" +
+        " INT]) - systematic weighted resample (key, weight, mult) over" +
+        " any table/view: slots (default 1024) training draws" +
+        " proportional to `weight`, deterministically — two-pass prefix" +
+        " sum in key order, fixed stride, mult = boundary crossings" +
+        " (TierSeventySeven.resampleOver — q233's PPS epoch oversample)",
+      exprs => {
+        arity("graft_resample", exprs, 3, 4)
+        val view = strLit(exprs.head, "graft_resample", "table")
+        val key = strLit(exprs(1), "graft_resample", "key")
+        val w = strLit(exprs(2), "graft_resample", "weight")
+        val slots =
+          if (exprs.length >= 4) intLit(exprs(3), "graft_resample", "slots") else 1024
+        GraftSqlBridge.analyzed(graft.operators.TierSeventySeven.resampleOver(
+          SparkSession.active.table(view), key, w, slots.toLong))
+      }),
+
+    ("graft_run_lengths",
+      "graft_run_lengths(table STRING, pos STRING, key STRING) - per-key" +
+        " run-length report (key, n_rows, n_runs, max_run, clump_ppm)" +
+        " over any pre-positioned table/view: gaps-and-islands of" +
+        " consecutive positions sharing a key — the interleave/clumping" +
+        " audit (TierSeventySeven.runLengthsOver — q234's engine; the" +
+        " O(1)-state live twin is streaming.RunMonitor/s44)",
+      exprs => {
+        arity("graft_run_lengths", exprs, 3)
+        val view = strLit(exprs.head, "graft_run_lengths", "table")
+        val pos = strLit(exprs(1), "graft_run_lengths", "pos")
+        val key = strLit(exprs(2), "graft_run_lengths", "key")
+        GraftSqlBridge.analyzed(graft.operators.TierSeventySeven.runLengthsOver(
+          SparkSession.active.table(view), pos, key))
       }))
 
   /** The ARRAY<DOUBLE> twin of [[longArrayLit]] — a query vector is an

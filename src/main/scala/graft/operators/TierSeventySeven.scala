@@ -60,32 +60,55 @@ object TierSeventySeven {
        |FROM c CROSS JOIN t
        |WHERE cum // step - (cum - w) // step > 0
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val d = Tables.load(s, dir, "documents")
+    resampleOver(Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= ""))
-          .cast("long").as("w"))
-    val step = math.max(
-      d.agg(sum("w")).collect()(0).getLong(0) / SlotCount, 1L) // 1-row scalar
-    Cumulative.runningSum(s, d, Seq(col("doc_id")), col("w"), "cum")
-      .select(col("doc_id"), col("w"),
-        expr(s"cum div $step - (cum - w) div $step").as("mult"))
-      .filter(col("mult") > 0)
-      .orderBy("doc_id")
+          .cast("long").as("w")), "doc_id", "w", SlotCount)
   }
 
-  /** The naive easy-first order's per-lang runs — shared with the spec
-    * and the s44 streaming twin's parity check. */
-  private[graft] def naiveRuns(docs: DataFrame): DataFrame = {
+  /** q233's stride walk over ANY `(key, weight)` frame — the extracted
+    * library face (`graft_resample` SQL twin). Output
+    * `(<key>, <weight>, mult)`, mult > 0 rows only, key order. */
+  private[graft] def resampleOver(d: org.apache.spark.sql.DataFrame,
+      key: String, w: String, slots: Long): org.apache.spark.sql.DataFrame = {
+    val s = d.sparkSession
+    val step = math.max(
+      d.agg(sum(w)).collect()(0).getLong(0) / slots, 1L) // 1-row scalar
+    Cumulative.runningSum(s, d, Seq(col(key)), col(w), "cum")
+      .select(col(key), col(w),
+        expr(s"cum div $step - (cum - $w) div $step").as("mult"))
+      .filter(col("mult") > 0)
+      .orderBy(key)
+  }
+
+  /** The naive easy-first order as a positioned `(pos, lang)` frame —
+    * q234's input and the s44 streaming twin's feed shape. */
+  private[graft] def naivePositions(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     val d = docs.select(col("doc_id"), col("lang"),
       size(filter(split(col("text"), " "), x => x =!= ""))
         .cast("long").as("difficulty"))
-    val pos = Cumulative.rowNumber(s, d,
-      Seq(col("difficulty"), col("doc_id")), "pos")
-    val grp = pos.withColumn("rk",
-        row_number().over(Window.partitionBy("lang").orderBy("pos")).cast("long"))
-      .select(col("lang"), col("pos"), (col("pos") - col("rk")).as("grp"))
-    grp.groupBy("lang", "grp").agg(count(lit(1)).as("len"))
+    Cumulative.rowNumber(s, d,
+        Seq(col("difficulty"), col("doc_id")), "pos")
+      .select(col("pos"), col("lang"))
+  }
+
+  /** q234's per-key run-length report over ANY pre-positioned
+    * `(pos, key)` frame — the extracted library face (`graft_run_lengths`
+    * SQL twin): gaps-and-islands per key, then
+    * `(<key>, n_rows, n_runs, max_run, clump_ppm)`, key order. */
+  private[graft] def runLengthsOver(d: org.apache.spark.sql.DataFrame,
+      pos: String, key: String): org.apache.spark.sql.DataFrame = {
+    val runs = d.withColumn("rk",
+        row_number().over(Window.partitionBy(key).orderBy(pos)).cast("long"))
+      .select(col(key), (col(pos) - col("rk")).as("grp"))
+      .groupBy(key, "grp").agg(count(lit(1)).as("len"))
+    runs.groupBy(key)
+      .agg(sum("len").as("n_rows"), count(lit(1)).as("n_runs"),
+        max("len").as("max_run"))
+      .select(col(key), col("n_rows"), col("n_runs"), col("max_run"),
+        expr("((n_rows - n_runs) * 1000000) div n_rows").as("clump_ppm"))
+      .orderBy(key)
   }
 
   val q234 = Q("q234_interleave_audit",
@@ -105,18 +128,13 @@ object TierSeventySeven {
       |  FROM p),
       |runs AS (SELECT lang, grp, CAST(count(*) AS BIGINT) AS len
       |         FROM g GROUP BY 1, 2)
-      |SELECT lang, CAST(sum(len) AS BIGINT) AS n_docs,
+      |SELECT lang, CAST(sum(len) AS BIGINT) AS n_rows,
       |       CAST(count(*) AS BIGINT) AS n_runs, max(len) AS max_run,
       |       CAST(((sum(len) - count(*)) * 1000000) // sum(len) AS BIGINT)
       |         AS clump_ppm
       |FROM runs GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    naiveRuns(Tables.load(s, dir, "documents"))
-      .groupBy("lang")
-      .agg(sum("len").as("n_docs"), count(lit(1)).as("n_runs"),
-        max("len").as("max_run"))
-      .select(col("lang"), col("n_docs"), col("n_runs"), col("max_run"),
-        expr("((n_docs - n_runs) * 1000000) div n_docs").as("clump_ppm"))
-      .orderBy("lang")
+    runLengthsOver(naivePositions(Tables.load(s, dir, "documents")),
+      "pos", "lang")
   }
 
   val all: Seq[Q] = Seq(q233, q234)

@@ -101,27 +101,35 @@ object TierSeventySix {
       .toDF("n_docs", "both_pos", "a_only", "b_only", "both_neg", "kappa_ppm")
   }
 
+  /** q232's audit over ANY frame and quasi-identifier column pair — the
+    * extracted library face (`graft_k_anonymity` SQL twin; the
+    * Dedup.artifacts sharing convention). Output
+    * `(<c1>, <c2>, n_rows, k_anonymous, suppress_ppm)`. */
+  private[graft] def kAnonymityOver(df: org.apache.spark.sql.DataFrame,
+      c1: String, c2: String, k: Long = KAnon): org.apache.spark.sql.DataFrame = {
+    val g = df.groupBy(c1, c2).agg(count(lit(1)).as("n_rows"))
+    val n = g.agg(sum("n_rows").as("total"))
+    g.crossJoin(broadcast(n))
+      .select(col(c1), col(c2), col("n_rows"),
+        when(col("n_rows") >= k, 1L).otherwise(0L).as("k_anonymous"),
+        when(col("n_rows") >= k, 0L)
+          .otherwise(expr("(n_rows * 1000000) div total")).as("suppress_ppm"))
+      .orderBy(c1, c2)
+  }
+
   val q232 = Q("q232_k_anonymity",
     s"""WITH g AS (
-       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
        |  FROM documents GROUP BY 1, 2),
-       |n AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g)
-       |SELECT lang, source, n_docs,
-       |       CAST(CASE WHEN n_docs >= $KAnon THEN 1 ELSE 0 END AS BIGINT)
+       |n AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM g)
+       |SELECT lang, source, n_rows,
+       |       CAST(CASE WHEN n_rows >= $KAnon THEN 1 ELSE 0 END AS BIGINT)
        |         AS k_anonymous,
-       |       CAST(CASE WHEN n_docs >= $KAnon THEN 0
-       |                 ELSE (n_docs * 1000000) // total END AS BIGINT)
+       |       CAST(CASE WHEN n_rows >= $KAnon THEN 0
+       |                 ELSE (n_rows * 1000000) // total END AS BIGINT)
        |         AS suppress_ppm
        |FROM g CROSS JOIN n ORDER BY lang, source""".stripMargin) { (s, dir) =>
-    val g = Tables.load(s, dir, "documents")
-      .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
-    val n = g.agg(sum("n_docs").as("total"))
-    g.crossJoin(broadcast(n))
-      .select(col("lang"), col("source"), col("n_docs"),
-        when(col("n_docs") >= KAnon, 1L).otherwise(0L).as("k_anonymous"),
-        when(col("n_docs") >= KAnon, 0L)
-          .otherwise(expr("(n_docs * 1000000) div total")).as("suppress_ppm"))
-      .orderBy("lang", "source")
+    kAnonymityOver(Tables.load(s, dir, "documents"), "lang", "source")
   }
 
   val all: Seq[Q] = Seq(q231, q232)

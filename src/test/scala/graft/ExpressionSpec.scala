@@ -613,4 +613,45 @@ class ExpressionSpec extends SparkSpec {
       "SELECT * FROM graft_co_pairs('tw_li_pairs', 'l_orderkey', 'l_partkey', 3)"))
     assert(s3 == naive, "salts=3 must not change the pair set")
   }
+
+  test("graft_k_anonymity / graft_resample / graft_run_lengths SQL ≡ Scala (r12 twins)") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("tw_docs")
+
+    val kaSql = spark.sql(
+        "SELECT * FROM graft_k_anonymity('tw_docs', 'lang', 'source')")
+      .collect().map(_.toSeq).toSeq
+    val kaScala = operators.TierSeventySix.q232.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(kaSql == kaScala && kaSql.nonEmpty, "graft_k_anonymity must equal q232")
+    // the k knob bites: k = 1 flags every group anonymous
+    val k1 = spark.sql(
+        "SELECT * FROM graft_k_anonymity('tw_docs', 'lang', 'source', 1)")
+      .collect().map(r => r.getLong(3))
+    assert(k1.forall(_ == 1L), "k = 1 must flag every non-empty group anonymous")
+
+    spark.sql("""SELECT doc_id,
+                 CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG) AS w
+                 FROM tw_docs""").createOrReplaceTempView("tw_weights")
+    val rsSql = spark.sql(
+        "SELECT * FROM graft_resample('tw_weights', 'doc_id', 'w')")
+      .collect().map(_.toSeq).toSeq
+    operators.Cumulative.releaseAll()
+    val rsScala = operators.TierSeventySeven.q233.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Cumulative.releaseAll()
+    assert(rsSql == rsScala && rsSql.nonEmpty, "graft_resample must equal q233")
+
+    operators.TierSeventySeven.naivePositions(
+        Tables.load(spark, sf, "documents"))
+      .createOrReplaceTempView("tw_positions")
+    val rlSql = spark.sql(
+        "SELECT * FROM graft_run_lengths('tw_positions', 'pos', 'lang')")
+      .collect().map(_.toSeq).toSeq
+    operators.Cumulative.releaseAll()
+    val rlScala = operators.TierSeventySeven.q234.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    operators.Cumulative.releaseAll()
+    assert(rlSql == rlScala && rlSql.nonEmpty, "graft_run_lengths must equal q234")
+  }
 }

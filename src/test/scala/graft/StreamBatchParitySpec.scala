@@ -494,6 +494,41 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s45: LIVE Holt chart (transformWithState per type, level+trend state) ≡ batch q237") {
+    import graft.streaming.HoltMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = graft.operators.TierThirtyTwo.dailyCounts(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(x => (x._2, x._1)) // by day, types interleaved (s40 shape)
+      val in = MemoryStream[(String, Long, Long)]
+      val q = HoltMonitor.chart(
+          in.toDF().select(col("_1").as("event_type"), col("_2").as("day_idx"),
+            col("_3").as("cnt")))
+        .toDF()
+        .writeStream.format("memory").queryName("s45_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val streamed = spark.table("s45_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq.sortBy(x => (x._1, x._2))
+        val batch = graft.operators.TierSeventyNine.q237.run(spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq
+        operators.Cumulative.releaseAll()
+        assert(streamed == batch && streamed.nonEmpty,
+          s"live Holt chart must equal batch q237: ${streamed.size} vs ${batch.size}")
+        // (trend dynamics are exercised on the constructed ramp in
+        // TierSeventyNineSpec — this fixture's near-constant daily counts
+        // keep the dyadic trend at 0, which parity above already pins)
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s41: LIVE CUSUM chart (transformWithState, frozen phase-I mu) ≡ batch q201") {
     import graft.streaming.CusumMonitor
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
