@@ -644,6 +644,25 @@ object SqlSurface {
           SparkSession.active.table(view), c1, c2, k.toLong))
       }),
 
+    ("graft_l_diversity",
+      "graft_l_diversity(table STRING, c1 STRING, c2 STRING, sensitive" +
+        " STRING[, l INT]) - l-diversity audit (c1, c2, n_rows," +
+        " l_distinct, l_diverse) over any table/view: per quasi-" +
+        "identifier group the distinct count of the sensitive column," +
+        " flagged at l >= 3 (default) — a k-anonymous group can still be" +
+        " sensitive-concentrated (TierSeventyNine.lDiversityOver —" +
+        " q238's companion gate to graft_k_anonymity)",
+      exprs => {
+        arity("graft_l_diversity", exprs, 4, 5)
+        val view = strLit(exprs.head, "graft_l_diversity", "table")
+        val c1 = strLit(exprs(1), "graft_l_diversity", "c1")
+        val c2 = strLit(exprs(2), "graft_l_diversity", "c2")
+        val sens = strLit(exprs(3), "graft_l_diversity", "sensitive")
+        val l = if (exprs.length >= 5) intLit(exprs(4), "graft_l_diversity", "l") else 3
+        GraftSqlBridge.analyzed(graft.operators.TierSeventyNine.lDiversityOver(
+          SparkSession.active.table(view), c1, c2, sens, l.toLong))
+      }),
+
     ("graft_resample",
       "graft_resample(table STRING, key STRING, weight STRING[, slots" +
         " INT]) - systematic weighted resample (key, weight, mult) over" +

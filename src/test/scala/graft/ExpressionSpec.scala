@@ -630,6 +630,15 @@ class ExpressionSpec extends SparkSpec {
       .collect().map(r => r.getLong(3))
     assert(k1.forall(_ == 1L), "k = 1 must flag every non-empty group anonymous")
 
+    spark.sql("""SELECT lang, n_chars div 50 AS size_bkt, source FROM tw_docs""")
+      .createOrReplaceTempView("tw_qi")
+    val ldSql = spark.sql(
+        "SELECT * FROM graft_l_diversity('tw_qi', 'lang', 'size_bkt', 'source')")
+      .collect().map(_.toSeq).toSeq
+    val ldScala = operators.TierSeventyNine.q238.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(ldSql == ldScala && ldSql.nonEmpty, "graft_l_diversity must equal q238")
+
     spark.sql("""SELECT doc_id,
                  CAST(size(filter(split(text, ' '), x -> x != '')) AS LONG) AS w
                  FROM tw_docs""").createOrReplaceTempView("tw_weights")
