@@ -177,10 +177,12 @@ object TierSixtyEight {
   }
 
   /** The q220 body over any events frame — exposed so the spec can gate
-    * the estimate envelope on a constructed high-n frame (the fixture's
-    * tiny windows sit in raw-HLL's small-range regime, where q65's
-    * documented no-corrections stance means a known overestimate; the
-    * EXACT n_true column is what the declared query is judged by). */
+    * BOTH estimate regimes on constructed frames: a high-n ramp for the
+    * raw branch, a small-n frame where [[LcEst]]'s linear-counting
+    * branch fires (since round 12 — the fixture's tiny windows land
+    * there, and now read near-exact instead of raw-HLL's ~3.5×
+    * overestimate; the EXACT n_true column remains what the declared
+    * query is judged by). */
   private[graft] def rollingActiveHll(ev: DataFrame): DataFrame = {
     val evDays = ev.select(dayIdx.as("d")).distinct()
     // ×7 expansion of REGISTER rows (64/day), never of user rows — the
