@@ -46,7 +46,16 @@ object TierSeventyNine {
 
   /** THE Holt step — one definition for batch q237 (and any future live
     * twin; the q197 `ewmaStep` contract). `(first, l, b, x)` →
-    * `(l', b', flag)`. */
+    * `(l', b', flag)`.
+    *
+    * Division note: the `/` here TRUNCATES toward zero — deliberately,
+    * because the trend numerator `(l2−l)+3b` goes negative on any
+    * decreasing series and DuckDB's `//` truncates toward zero too
+    * (the q198 rule: −7//2 = −3, same as Java), so the oracle matches
+    * bit for bit with NO floor correction. Do not "fix" this to
+    * `Math.floorDiv` to match the repo's floor-division prose
+    * convention: that changes every negative-trend step by one and
+    * breaks the cross-engine law. */
   private[graft] def holtStep(first: Boolean, l: Long, b: Long, x: Long)
       : (Long, Long, Long) = {
     if (first) (x, 0L, 0L)

@@ -72,8 +72,12 @@ object TierSeventySeven {
   private[graft] def resampleOver(d: org.apache.spark.sql.DataFrame,
       key: String, w: String, slots: Long): org.apache.spark.sql.DataFrame = {
     val s = d.sparkSession
-    val step = math.max(
-      d.agg(sum(w)).collect()(0).getLong(0) / slots, 1L) // 1-row scalar
+    // 1-row scalar; sum() over an EMPTY frame is NULL (reachable through
+    // the public graft_resample twin) — treat it as 0 so the walk returns
+    // an empty frame instead of throwing on the read
+    val sumRow = d.agg(sum(w)).collect()(0)
+    val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    val step = math.max(total / slots, 1L)
     Cumulative.runningSum(s, d, Seq(col(key)), col(w), "cum")
       .select(col(key), col(w),
         expr(s"cum div $step - (cum - $w) div $step").as("mult"))
@@ -96,7 +100,15 @@ object TierSeventySeven {
   /** q234's per-key run-length report over ANY pre-positioned
     * `(pos, key)` frame — the extracted library face (`graft_run_lengths`
     * SQL twin): gaps-and-islands per key, then
-    * `(<key>, n_rows, n_runs, max_run, clump_ppm)`, key order. */
+    * `(<key>, n_rows, n_runs, max_run, clump_ppm)`, key order.
+    *
+    * Shape bound: the island rank is a per-KEY window, so the rank
+    * stage's parallelism equals the key cardinality (lang here — 5).
+    * That is the right plan for a LOW-cardinality audit key (each
+    * partition streams its positions once); if a future caller keys by
+    * something high-skew/low-cardinality at 100× data, re-shape the rank
+    * onto the value-grouped two-pass [[Cumulative]] pattern
+    * (q194/q199 precedent) instead of widening this window. */
   private[graft] def runLengthsOver(d: org.apache.spark.sql.DataFrame,
       pos: String, key: String): org.apache.spark.sql.DataFrame = {
     val runs = d.withColumn("rk",

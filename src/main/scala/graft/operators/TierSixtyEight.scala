@@ -74,9 +74,16 @@ object TierSixtyEight {
     * applies HLL++'s small-range branch: when the RAW estimate is
     * ≤ 2.5·m and at least one bucket is empty, report linear counting
     * ([[LcEst]]); otherwise the raw q65 estimate. Both branches and the
-    * branch CONDITION are bit-identical cross-engine: the raw estimate
-    * is pure IEEE mul/div on integers both engines agree on, and the LC
-    * values are shared literals. */
+    * branch CONDITION are bit-identical cross-engine: the LC values are
+    * shared literals, and the gate is evaluated in EXACT INTEGERS — no
+    * float comparison whose last bit could flip the branch per engine.
+    *
+    * Gate derivation (exact rationals, then cleared of denominators):
+    * `raw_est = (7213/10⁴)·(64000/65079)·4096·2^r_max / s_scaled ≤ 160`
+    * ⇔ `7213·64000·4096·2^r_max ≤ 160·65079·10⁴·s_scaled`
+    * ⇔ (÷64000)  `29544448·2^r_max ≤ 1626975·s_scaled`.
+    * Int64 envelope: r_max ≤ 26 ⇒ LHS ≤ 29544448·2²⁶ ≈ 2·10¹⁵;
+    * s_scaled ≤ 64·2²⁶ ⇒ RHS ≤ 7·10¹⁵ — both far under 2⁶³. */
   private[graft] def hllFold(regs: DataFrame, key: String): DataFrame = {
     val mx = regs.groupBy(col(key).as("mx_key"))
       .agg(max("reg").as("r_max"), count(lit(1)).as("nb"))
@@ -93,7 +100,8 @@ object TierSixtyEight {
           (lit(4096) * expr("shiftleft(cast(1 as bigint), r_max)")) /
           col("s_scaled"))
       .withColumn("est",
-        when(col("raw_est") <= 160.0 && col("v") >= 1L, expr(lcCaseSql))
+        when(expr("29544448 * shiftleft(cast(1 as bigint), r_max)")
+            <= expr("1626975 * s_scaled") && col("v") >= 1L, expr(lcCaseSql))
           .otherwise(round(col("raw_est"), 6)))
       .drop("raw_est", "v")
   }
@@ -118,8 +126,8 @@ object TierSixtyEight {
        |  AS lct(v, est_lc))
        |SELECT CAST(sfold.$key AS BIGINT) AS $key,
        |       CAST(r_max AS BIGINT) AS r_max, s_scaled, n_true,
-       |       CASE WHEN 0.7213 / (1 + 1.079/64)
-       |                   * (4096 * (CAST(1 AS BIGINT) << r_max)) / s_scaled <= 160.0
+       |       CASE WHEN 29544448 * (CAST(1 AS BIGINT) << r_max)
+       |                   <= 1626975 * s_scaled
        |                 AND sfold.v >= 1
        |            THEN CAST(lc.est_lc AS DOUBLE)
        |            ELSE round(0.7213 / (1 + 1.079/64)

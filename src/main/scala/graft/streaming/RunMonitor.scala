@@ -59,7 +59,19 @@ final class RunMonitor
 
 object RunMonitor {
 
-  /** Closed-run stream over an ordered `(pos, lang)` feed. */
+  /** Closed-run stream over an ordered `(pos, lang)` feed.
+    *
+    * OPEN-TAIL CONTRACT: the stream emits a run only when the NEXT
+    * lang closes it, so the final still-open run is never emitted —
+    * append mode cannot retract, and on an unbounded feed "the last
+    * run" does not exist yet. A consumer aggregating run statistics
+    * from this stream alone therefore undercounts by exactly the one
+    * open tail per key; at any drain point it must close the tail
+    * itself from the last emitted run's `(start, len)` and the feed's
+    * max pos (what StreamBatchParitySpec's s44 drain does), or compare
+    * against the batch
+    * [[graft.operators.TierSeventySeven.runLengthsOver]] which sees the
+    * bounded feed whole. */
   def runs(ordered: DataFrame): Dataset[RunClosed] = {
     val spark = ordered.sparkSession
     import spark.implicits._

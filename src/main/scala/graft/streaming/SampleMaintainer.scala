@@ -32,6 +32,16 @@ final case class SampleDelta(doc_id: Long, w: Long, pr: Long, op: Long)
   */
 object SampleMaintainer {
 
+  /** INVARIANT (the replay-dedupe premise): a doc_id's `(w, pr)` payload
+    * is a pure function of the doc — [[graft.operators.TierFiftyTwo.priorityOf]]
+    * is deterministic, so every re-delivery of a doc_id carries the
+    * IDENTICAL payload and the max-priority merge below is a no-op
+    * dedupe. If a future feed can legitimately CHANGE a doc's payload
+    * between deliveries (a mutable-document source), this operator is
+    * the wrong tool as-is: the merge keeps the historical max and would
+    * silently mask the update — switch the merge to last-writer-wins on
+    * a delivery sequence number, not weight, before reusing it there. */
+
   /** Membership-delta stream over `(doc_id, text)` document rows. */
   def deltas(docs: DataFrame, k: Int = graft.operators.TierFiftyTwo.sampleK)
       : Dataset[SampleDelta] = {

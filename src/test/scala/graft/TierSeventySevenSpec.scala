@@ -43,6 +43,16 @@ class TierSeventySevenSpec extends SparkSpec {
     }
   }
 
+  test("resampleOver on an EMPTY frame returns empty (null-sum guard)") {
+    // reachable through the public graft_resample twin: sum() over zero
+    // rows is NULL — the stride read must not throw
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "w")
+    assert(TierSeventySeven.resampleOver(empty, "doc_id", "w",
+      TierSeventySeven.SlotCount).collect().isEmpty)
+    operators.Cumulative.releaseAll()
+  }
+
   test("q234 interleave audit ≡ in-memory islands; q152's interleave de-clumps") {
     val langsInOrder = corpus.sortBy(d => (d._3, d._1)).map(_._2)
     val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
