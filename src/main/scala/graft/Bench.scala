@@ -1,39 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: every declared query against
   * `SPARK_GRAFT_SF_DIR` (default sf0.1), one JSON line on stdout.
   *
   * Method: one untimed warm-up pass (JIT + code cache + parquet footer
-  * cache), then one timed pass. Each query is forced through a `noop`
-  * write so the FULL plan materializes on executors — `count()` would let
-  * Catalyst prune projections and under-measure scan/compute cost.
+  * cache), then two timed passes, min per entry. Each query is forced
+  * through a `noop` write so the FULL plan materializes on executors —
+  * `count()` would let Catalyst prune projections and under-measure
+  * scan/compute cost.
+  *
+  * SHARED-ARTIFACTS SWEEP (VERDICT r12 #1): the two report families
+  * that share a detector — the MinHash dedup reports over
+  * [[graft.operators.Dedup.artifacts]] and the embedding near-dup-graph
+  * consumers over [[graft.operators.TierNineteen.celledArtifacts]] —
+  * are measured the way a production pipeline runs them: the shared
+  * build is timed ONCE per pass as its own entry (`a01_…`/`a02_…`,
+  * included in the total), and each consumer runs through its extracted
+  * face from [[graft.operators.SharedFaces]] (BenchFacesSpec pins every
+  * face ≡ its declared query bit for bit, so the measured plans are the
+  * production plans). `Verify`'s oracle sweep stays self-contained per
+  * query — each declared query still trains its own detector there, so
+  * its DuckDB oracle mirrors the whole chain. Set `SPARK_GRAFT_SHARED=0`
+  * to time every query self-contained (the pre-round-13 behavior).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.localSession("graft-bench")
+    val sharedMode = sys.env.getOrElse("SPARK_GRAFT_SHARED", "1") != "0"
 
-    def exec(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      // queries persist() small shared intermediates; drop them so the timed
-      // pass never reads the warm-up's cache (releaseAll also clears the
-      // rank-cache registry's references, which clearCache alone leaves
-      // growing for the session lifetime)
+    // queries persist() small shared intermediates; drop them so a timed
+    // plan never reads an earlier pass's cache (releaseAll also clears the
+    // rank-cache registry's references, which clearCache alone leaves
+    // growing for the session lifetime). clearCache only empties the SQL
+    // cache manager — localCheckpoint blocks (Components' per-round
+    // truncation) are plain persisted RDDs in the block manager; drop
+    // those too or they accumulate across the suite's 3 passes. The
+    // System.gc() nudge: a session that has executed 40+ heavy queries
+    // carries dead shuffle files / broadcasts whose cleanup is triggered
+    // by driver GC (ContextCleaner holds weak refs); without it later
+    // timed queries absorb the cleanup + memory pressure of earlier ones
+    // (measured: q23 2.96 s solo vs 9.28 s late in the full suite).
+    def deepClean(): Unit = {
       graft.operators.Cumulative.releaseAll()
       spark.catalog.clearCache()
-      // clearCache only empties the SQL cache manager — localCheckpoint
-      // blocks (Components' per-round truncation) are plain persisted RDDs
-      // in the block manager; drop those too or they accumulate across the
-      // suite's 3 passes
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // a session that has executed 40+ heavy queries carries dead shuffle
-      // files / broadcasts / unpersisted blocks whose cleanup is triggered
-      // by driver GC (ContextCleaner holds weak refs); without this nudge
-      // later timed queries absorb the cleanup + memory pressure of earlier
-      // ones (measured: q23 2.96 s solo vs 9.28 s late in the full suite)
       System.gc()
+    }
+
+    def timedWrite(name: String)(plan: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try plan.write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
@@ -41,18 +59,97 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def exec(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+      deepClean()
+      timedWrite(name)(fn(spark, sfDir))
+    }
+
+    // face timing: keep the shared handle's blocks (`keep`) warm — that
+    // is the point of the sweep — but drop everything ELSE (the previous
+    // face's own pinned intermediates, rank caches, checkpoint leaves)
+    // so each face still starts cold on its own work
+    def execFace(name: String, keep: Set[Int])(plan: => DataFrame): Double = {
+      graft.operators.Cumulative.releaseAll()
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!keep(id)) rdd.unpersist(blocking = false) }
+      System.gc()
+      timedWrite(name)(plan)
+    }
+
     // dev-loop filter: SPARK_GRAFT_ONLY=q23,q26 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(f => f.exists(n.startsWith)) }
-    ordered.foreach { case (n, f) => exec(n, f) } // warm-up, untimed
+    def selected(n: String): Boolean = only.forall(f => f.exists(n.startsWith))
+
+    val dedupFaces =
+      if (sharedMode) operators.SharedFaces.dedup.filter(p => selected(p._1)) else Nil
+    val celledFaces =
+      if (sharedMode) operators.SharedFaces.celled.filter(p => selected(p._1)) else Nil
+    val faceNames = (dedupFaces.map(_._1) ++ celledFaces.map(_._1)).toSet
+    val plain = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) && !faceNames(n) }
+
+    def runPass(): Seq[(String, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      plain.foreach { case (n, f) => out += n -> exec(n, f) }
+      if (dedupFaces.nonEmpty) {
+        deepClean()
+        var art: operators.Dedup.Artifacts = null
+        val tBuild = {
+          val t0 = System.nanoTime()
+          try {
+            art = operators.Dedup.artifacts(Tables.load(spark, sfDir, "documents"))
+            // materialize every member inside the build entry so the full
+            // detector cost lands here and none of it on the first face
+            Seq(art.pairs, art.labels, art.scores)
+              .foreach(_.write.format("noop").mode("overwrite").save())
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] a01_dedup_artifacts_build failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        out += "a01_dedup_artifacts_build" -> tBuild
+        val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        dedupFaces.foreach { case (n, f) =>
+          out += n -> execFace(n, keep)(f(spark, sfDir, art))
+        }
+        if (art != null) art.release()
+      }
+      if (celledFaces.nonEmpty) {
+        deepClean()
+        var art: operators.TierNineteen.CelledArtifacts = null
+        val tBuild = {
+          val t0 = System.nanoTime()
+          try {
+            art = operators.TierNineteen.celledArtifacts(
+              Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
+            art.warm()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] a02_celled_artifacts_build failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        out += "a02_celled_artifacts_build" -> tBuild
+        val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        celledFaces.foreach { case (n, f) =>
+          out += n -> execFace(n, keep)(f(spark, sfDir, art))
+        }
+        if (art != null) art.release()
+      }
+      out.toSeq
+    }
+
+    runPass() // warm-up, untimed
     // min of two timed cold-cache passes: the machine shares cores with
     // other tenants and single-shot timings swing ±50%; the min is the
     // least-interfered measurement of the same work
-    val results = ordered.map { case (n, f) => n -> exec(n, f) }
-      .zip(ordered.map { case (n, f) => n -> exec(n, f) })
-      .map { case ((n, a), (_, b)) => n -> (if (b >= 0 && (a < 0 || b < a)) b else a) }
+    val p1 = runPass().toMap
+    val results = runPass().map { case (n, b) =>
+      val a = p1.getOrElse(n, -1.0)
+      n -> (if (b >= 0 && (a < 0 || b < a)) b else a)
+    }.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

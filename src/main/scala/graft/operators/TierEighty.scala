@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 80 (round 12, twenty-seventh wave): pseudo-relevance feedback
@@ -108,9 +109,17 @@ object TierEighty {
        |WHERE (doc_a % $EraseMod = 0) <> (doc_b % $EraseMod = 0)
        |ORDER BY deleted_doc, surviving_twin""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    erasureAuditOver(TierNineteen.celledEmbedPairsOf(docs, Thr))
+  }
+
+  /** q240's survivor scan over an ARBITRARY pair frame `(doc_a, doc_b,
+    * c)` — the extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr) (BenchFacesSpec pins
+    * face ≡ declared query). */
+  private[graft] def erasureAuditOver(hits: DataFrame): DataFrame = {
     val delA = col("doc_a") % EraseMod === 0
     val delB = col("doc_b") % EraseMod === 0
-    TierNineteen.celledEmbedPairsOf(docs, Thr)
+    hits
       .filter(delA =!= delB)
       .select(
         when(delA, col("doc_a")).otherwise(col("doc_b")).as("deleted_doc"),
@@ -118,6 +127,10 @@ object TierEighty {
         round(col("c"), 6).as("cos"))
       .orderBy("deleted_doc", "surviving_twin")
   }
+
+  private[graft] def q240Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    erasureAuditOver(art.pairs(Thr))
 
   val all: Seq[Q] = Seq(q239, q240)
 }

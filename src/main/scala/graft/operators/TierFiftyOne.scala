@@ -64,9 +64,18 @@ object TierFiftyOne {
        |       CAST(sum(nt) AS BIGINT) AS n_tokens
        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    clusterSplitOver(docs, p => TierNineteen.celledEmbedPairsOf(
+      docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q186's component-split fold over an ARBITRARY pair source — the
+    * extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def clusterSplitOver(docs: DataFrame,
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val pairs = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        Thr, pins = Some(pins))
+    val pairs = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val lab = Components.connected(
       docs.select(col("doc_id").as("id")),
@@ -84,6 +93,10 @@ object TierFiftyOne {
       .orderBy("split")
     Release.onFirstExecution(out, () => pins.release())
   }
+
+  private[graft] def q186Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    clusterSplitOver(Tables.load(s, dir, "documents"), _ => art.pairs(Thr))
 
   /** One width's shingle stream (q170's expansion) folded to the
     * diversity row — total, distinct, distinct-ppm. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 53 (round 11, second wave): concentration diagnostics — where
@@ -61,9 +62,18 @@ object TierFiftyThree {
        |       CAST(max(nt) * 1000000 // sum(nt) AS BIGINT) AS top_share_ppm
        |FROM cm""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    dupConcentrationOver(docs, p => TierNineteen.celledEmbedPairsOf(
+      docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q190's concentration fold over an ARBITRARY pair source — the
+    * extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def dupConcentrationOver(docs: DataFrame,
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val pairs = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        Thr, pins = Some(pins))
+    val pairs = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
@@ -82,6 +92,10 @@ object TierFiftyThree {
         expr("(mx * 1000000) div dup_tokens").as("top_share_ppm"))
     Release.onFirstExecution(out, () => pins.release())
   }
+
+  private[graft] def q190Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    dupConcentrationOver(Tables.load(s, dir, "documents"), _ => art.pairs(Thr))
 
   val q191 = Q("q191_dispersion",
     """WITH dc AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 52 (round 11): cluster trust and weighted selection — one audit
@@ -59,9 +60,19 @@ object TierFiftyTwo {
        |JOIN sz ON sz.cluster = l.lbl
        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    clusterCohesionOver(p => TierNineteen.celledEmbedPairsOf(
+      docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q188's per-cluster cohesion fold over an ARBITRARY pair source
+    * `(doc_a, doc_b, c)` — the extracted face the shared-build bench
+    * sweep drives with [[TierNineteen.CelledArtifacts.pairs]](Thr);
+    * `pairSrc` receives the face's own [[Pins]] (BenchFacesSpec pins
+    * face ≡ declared query). */
+  private[graft] def clusterCohesionOver(
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val pairs = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-      Thr, pins = Some(pins)))
+    val pairs = pins(pairSrc(Some(pins)))
     val nodes = pairs.select(col("doc_a").as("id"))
       .union(pairs.select(col("doc_b").as("id"))).distinct()
     val lab = Components.connected(nodes,
@@ -76,6 +87,10 @@ object TierFiftyTwo {
       .orderBy("cluster")
     Release.onFirstExecution(out, () => pins.release())
   }
+
+  private[graft] def q188Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    clusterCohesionOver(_ => art.pairs(Thr))
 
   val q189 = Q("q189_priority_sample",
     s"""WITH t AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 43 (round 10, fifteenth wave): corpus-growth diagnostics — is
@@ -75,13 +76,24 @@ object TierFortyThree {
        |       CAST(count(*) AS BIGINT) AS n_pairs
        |FROM hits GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), HistThr)
+    simHistogramOver(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), HistThr))
+  }
+
+  /** q171's bucket fold over an ARBITRARY pair frame `(…, c)` — the
+    * extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](HistThr) (BenchFacesSpec
+    * pins face ≡ declared query). */
+  private[graft] def simHistogramOver(hits: DataFrame): DataFrame =
+    hits
       .select(floor(col("c") * 20).cast("long").as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"))
       .select(col("bucket"), (col("bucket") * 50000).as("lo_ppm"), col("n_pairs"))
       .orderBy("bucket")
-  }
+
+  private[graft] def q171Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    simHistogramOver(art.pairs(HistThr))
 
   val all: Seq[Q] = Seq(q170, q171)
 }

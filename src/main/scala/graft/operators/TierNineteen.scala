@@ -257,7 +257,8 @@ object TierNineteen {
     * downstream report. */
   final case class CelledArtifacts private[operators] (
       emb: DataFrame, cents: DataFrame,
-      pairs: Double => DataFrame, nn: () => DataFrame, release: () => Unit)
+      pairs: Double => DataFrame, nn: () => DataFrame,
+      warm: () => Unit, release: () => Unit)
 
   private[graft] def celledArtifacts(docs: DataFrame, probe2: Boolean = true,
       k: Int = 8): CelledArtifacts = {
@@ -269,6 +270,12 @@ object TierNineteen {
     CelledArtifacts(emb, cents,
       thr => celledPairsOver(emb, own, probed, thr),
       () => celledNnOver(emb, own, probed),
+      // materialize every pinned member of the working set (probed/own
+      // pull emb+cents through), so a harness timing the BUILD (Bench's
+      // shared-artifacts sweep) charges the full training cost to the
+      // build entry and none of it to the first face
+      () => Seq(cents, own, probed).foreach(
+        _.write.format("noop").mode("overwrite").save()),
       () => pins.release())
   }
 
@@ -416,13 +423,21 @@ object TierNineteen {
        |JOIN st sb ON sb.doc_id = h.doc_b
        |WHERE sa.split <> sb.split
        |ORDER BY train_doc, valid_doc""".stripMargin) { (s, dir) =>
+    leakOver(Tables.load(s, dir, "documents"), celledEmbedPairs(s, dir, 0.95))
+  }
+
+  /** q122's split-stamp + cross-split filter over an ARBITRARY pair
+    * frame `(doc_a, doc_b, c)` — the extracted face the shared-build
+    * bench sweep drives with [[CelledArtifacts.pairs]](0.95)
+    * (BenchFacesSpec pins face ≡ declared query bit for bit). */
+  private[graft] def leakOver(docs: DataFrame, hits: DataFrame): DataFrame = {
     val bkt = ((col("doc_id") % P) * A0 + B0) % P % 1000
-    val st = Tables.load(s, dir, "documents")
+    val st = docs
       .select(col("doc_id"), bkt.as("bkt"))
       .filter(col("bkt") < 990)
       .select(col("doc_id"),
         when(col("bkt") < 980, "train").otherwise("valid").as("split"))
-    celledEmbedPairs(s, dir, 0.95)
+    hits
       .join(st.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(st.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
       .filter(col("sa") =!= col("sb"))
@@ -432,6 +447,10 @@ object TierNineteen {
         round(col("c"), 6).as("cos"))
       .orderBy("train_doc", "valid_doc")
   }
+
+  private[graft] def q122Face(s: SparkSession, dir: String,
+      art: CelledArtifacts): DataFrame =
+    leakOver(Tables.load(s, dir, "documents"), art.pairs(0.95))
 
   val all: Seq[Q] = Seq(q121, q122)
 }

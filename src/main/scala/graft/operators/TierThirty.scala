@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 30 (round 10, second wave): semantic-distance closers on the
@@ -65,9 +66,18 @@ object TierThirty {
        |FROM sd LEFT JOIN d$SpRounds dd ON dd.nid = sd.doc_id
        |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    driftDistanceOver(docs,
+      p => TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q144's weighted SSSP over an ARBITRARY pair source `(doc_a, doc_b,
+    * c)` — the extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def driftDistanceOver(docs: DataFrame,
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        Thr, pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .withColumn("w", expr(costSql)).select("doc_a", "doc_b", "w"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst"), col("w")))
@@ -80,6 +90,10 @@ object TierThirty {
         .orderBy("doc_id"),
       sp.release)
   }
+
+  private[graft] def q144Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    driftDistanceOver(Tables.load(s, dir, "documents"), _ => art.pairs(Thr))
 
   /** Reciprocal nearest neighbors over the hash embeds: each doc's top-1
     * cosine neighbor WITHIN its probed Lloyd cells
@@ -99,9 +113,17 @@ object TierThirty {
        |WHERE x.doc_id < x.nb
        |ORDER BY doc_a""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    mutualNnOver(p => TierNineteen.celledNnOf(docs.select("doc_id", "text"), pins = p))
+  }
+
+  /** q145's mutuality self-join over an ARBITRARY `(vec_id, nn_id, cos)`
+    * top-1 frame — the extracted face the shared-build bench sweep
+    * drives with [[TierNineteen.CelledArtifacts.nn]] (BenchFacesSpec
+    * pins face ≡ declared query). */
+  private[graft] def mutualNnOver(
+      nnSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val nn = pins(TierNineteen.celledNnOf(docs.select("doc_id", "text"),
-      pins = Some(pins)))
+    val nn = pins(nnSrc(Some(pins)))
     val out = nn.as("x").join(nn.as("y"),
         col("y.vec_id") === col("x.nn_id") && col("y.nn_id") === col("x.vec_id"))
       .filter(col("x.vec_id") < col("x.nn_id"))
@@ -110,6 +132,10 @@ object TierThirty {
       .orderBy("doc_a")
     Release.onFirstExecution(out, () => pins.release())
   }
+
+  private[graft] def q145Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    mutualNnOver(_ => art.nn())
 
   val all: Seq[Q] = Seq(q144, q145)
 }

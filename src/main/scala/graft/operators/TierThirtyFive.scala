@@ -113,9 +113,18 @@ object TierThirtyFive {
        |SELECT a AS doc_a, b AS doc_b, cn FROM cn
        |ORDER BY cn DESC, doc_a, doc_b LIMIT $TopLinks""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    linkPredictionOver(p => TierNineteen.celledEmbedPairsOf(
+      docs.select("doc_id", "text"), 0.9, pins = p))
+  }
+
+  /** q155's common-neighbor scorer over an ARBITRARY pair source — the
+    * extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](0.9); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def linkPredictionOver(
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        0.9, pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -129,6 +138,10 @@ object TierThirtyFive {
       .limit(TopLinks)
     Release.onFirstExecution(out, () => pins.release())
   }
+
+  private[graft] def q155Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): org.apache.spark.sql.DataFrame =
+    linkPredictionOver(_ => art.pairs(0.9))
 
   val all: Seq[Q] = Seq(q154, q155)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 32 (round 10, fourth wave): community structure and volume
@@ -56,9 +57,18 @@ object TierThirtyTwo {
        |SELECT nid AS doc_id, CAST(label AS BIGINT) AS community
        |FROM l$LpaRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    lpaCommunitiesOver(p => TierNineteen.celledEmbedPairsOf(
+      docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q148's LPA loop over an ARBITRARY pair source — the extracted face
+    * the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def lpaCommunitiesOver(
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        Thr, pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -68,6 +78,10 @@ object TierThirtyTwo {
         .orderBy("doc_id"),
       l.release)
   }
+
+  private[graft] def q148Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    lpaCommunitiesOver(_ => art.pairs(Thr))
 
   /** Flagged (event_type, day) volume outliers. Int64 envelope: the test
     * multiplies day counts three deep (n·SS ≈ n·days·cnt²) — safe to

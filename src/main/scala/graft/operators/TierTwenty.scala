@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 20 (round 8, eighth wave): launch-assembly closers — the exact
@@ -105,6 +106,15 @@ object TierTwenty {
        |LEFT JOIN se ON se.doc_id = v.doc_id
        |ORDER BY v.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    contaminationOver(docs, TierNineteen.celledEmbedPairsOf(docs, 0.95))
+  }
+
+  /** q124's contamination report over an ARBITRARY semantic pair frame
+    * `(doc_a, doc_b, …)` — the extracted face the shared-build bench
+    * sweep drives with [[TierNineteen.CelledArtifacts.pairs]](0.95)
+    * (BenchFacesSpec pins face ≡ declared query bit for bit). */
+  private[graft] def contaminationOver(docs: DataFrame,
+      hits: DataFrame): DataFrame = {
     val bkt = ((col("doc_id") % P) * A0 + B0) % P % 1000
     val st = docs.select(col("doc_id"), bkt.as("bkt"))
       .filter(col("bkt") < 990)
@@ -118,7 +128,7 @@ object TierTwenty {
     val ex = digests.join(vd, Seq("doc_id"), "left_semi")
       .join(trainH, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(1L).as("exact_dup"))
-    val se = TierNineteen.celledEmbedPairsOf(docs, 0.95)
+    val se = hits
       .join(st.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
       .join(st.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
       .filter(col("sa") =!= col("sb"))
@@ -131,6 +141,12 @@ object TierTwenty {
         coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
         coalesce(col("semantic_dup"), lit(0L)).as("semantic_dup"))
       .orderBy("doc_id")
+  }
+
+  private[graft] def q124Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    contaminationOver(docs, art.pairs(0.95))
   }
 
   /** q123's STREAMING twin — a budget gate that admits documents in

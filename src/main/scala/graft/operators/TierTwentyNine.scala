@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 29 (round 10): two structural graph diagnostics on the unified
@@ -108,9 +109,18 @@ object TierTwentyNine {
        |${(0 until PeelRounds).map(peelSql).mkString(",\n")}
        |SELECT nid AS doc_id FROM a$PeelRounds ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    dupCoreOver(p => TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
+      Thr, pins = p))
+  }
+
+  /** q143's k-core peel over an ARBITRARY pair source — the extracted
+    * face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def dupCoreOver(
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"),
-        Thr, pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -119,6 +129,10 @@ object TierTwentyNine {
       core.core.select(col("nid").as("doc_id")).orderBy("doc_id"),
       core.release)
   }
+
+  private[graft] def q143Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    dupCoreOver(_ => art.pairs(Thr))
 
   val all: Seq[Q] = Seq(q142, q143)
 }

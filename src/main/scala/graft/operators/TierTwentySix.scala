@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 26 (round 8, nineteenth wave): the two graph primitives the
@@ -77,9 +78,18 @@ object TierTwentySix {
        |FROM sd LEFT JOIN d$MaxHops dd ON dd.nid = sd.doc_id
        |ORDER BY sd.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
+    seedDistanceOver(docs,
+      p => TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q136's seeded BFS over an ARBITRARY pair source — the extracted
+    * face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] (BenchFacesSpec pins face ≡ declared query). */
+  private[graft] def seedDistanceOver(docs: DataFrame,
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr,
-        pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .select("doc_a", "doc_b"))
     val ed = hits.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(hits.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -92,6 +102,10 @@ object TierTwentySix {
         .orderBy("doc_id"),
       bf.release)
   }
+
+  private[graft] def q136Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    seedDistanceOver(Tables.load(s, dir, "documents"), _ => art.pairs(Thr))
 
   /** One oracle-SQL WEIGHTED PageRank iteration (q125's `iterSql` with
     * the uniform `r // deg` split replaced by the per-edge proportional

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 23 (round 8, thirteenth wave): graph-shape and co-occurrence
@@ -64,10 +65,20 @@ object TierTwentyThree {
        |            THEN 2 * coalesce(trc.n_tri, 0) * 1000000 // (dgr.deg * (dgr.deg - 1))
        |            ELSE 0 END AS BIGINT) AS lcc_ppm
        |FROM dgr LEFT JOIN trc USING (nid) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    dupGraphStatsOver(p => TierNineteen.celledEmbedPairsOf(
+      Tables.load(s, dir, "documents").select("doc_id", "text"), Thr, pins = p))
+  }
+
+  /** q130's triangle/degree report over an ARBITRARY pair source — the
+    * extracted face the shared-build bench sweep drives with
+    * [[TierNineteen.CelledArtifacts.pairs]](Thr); `pairSrc` receives the
+    * face's own [[Pins]] so a self-training source threads its internals
+    * through the same release (BenchFacesSpec pins face ≡ declared query
+    * bit for bit). */
+  private[graft] def dupGraphStatsOver(
+      pairSrc: Option[Pins] => DataFrame): DataFrame = {
     val pins = new Pins
-    val hits = pins(TierNineteen.celledEmbedPairsOf(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), Thr,
-        pins = Some(pins))
+    val hits = pins(pairSrc(Some(pins))
       .select(col("doc_a"), col("doc_b")))
     val tri = pins(hits.as("h1")
       .join(hits.as("h2"), col("h1.doc_b") === col("h2.doc_a"))
@@ -91,6 +102,10 @@ object TierTwentyThree {
         .orderBy("doc_id"),
       () => pins.release())
   }
+
+  private[graft] def q130Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): DataFrame =
+    dupGraphStatsOver(_ => art.pairs(Thr))
 
   /** Top-20 token COLLOCATIONS by document-level co-occurrence lift —
     * `lift_ppm = c_ab·N·10⁶ // (c_a·c_b)` over per-doc DISTINCT token

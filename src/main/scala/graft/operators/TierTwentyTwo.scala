@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Tier 22 (round 8, eleventh wave): trust propagation and memorization
@@ -84,6 +85,13 @@ object TierTwentyTwo {
     val docs = Tables.load(s, dir, "documents")
     trustOver(docs, TierNineteen.celledEmbedPairsOf(docs.select("doc_id", "text"), Thr))
   }
+
+  /** q128 through a PREBUILT celled quantizer — the shared-build bench
+    * face ([[trustOver]] was parameterized for exactly this swap;
+    * BenchFacesSpec pins face ≡ declared query bit for bit). */
+  private[graft] def q128Face(s: org.apache.spark.sql.SparkSession, dir: String,
+      art: TierNineteen.CelledArtifacts): org.apache.spark.sql.DataFrame =
+    trustOver(Tables.load(s, dir, "documents"), art.pairs(Thr))
 
   /** q128's propagation engine over an ARBITRARY undirected pair frame
     * `(doc_a, doc_b)` — parameterized by the edge source so the celled
