@@ -88,6 +88,56 @@ object Components {
   def connected(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 100): DataFrame =
     connectedWithStats(nodes, edges, maxRounds).labels
 
+  /** INCREMENTAL cluster maintenance (VERDICT r12 #4) — fold a NEW pair
+    * batch into an existing labeling without recomputing from scratch:
+    * `(labels, newEdges)` → updated `(id, lbl)`, law-pinned
+    * `delta(connected(N, E), ΔE) ≡ connected(N ∪ nodes(ΔE), E ∪ ΔE)`
+    * (ComponentsSpec). The persisted indexes (SigIndex/LexIndex/
+    * IvfStore) all carry append ≡ rebuild laws; this is the cluster
+    * layer's.
+    *
+    * Why it is exact: a component-min labeling is a lossless CONTRACTION
+    * of the old edge set — every old path is witnessed by a shared
+    * label. So the fold rewrites each delta endpoint to its current
+    * label (new nodes label themselves), drops the self-loops that
+    * rewriting creates (delta edges WITHIN an existing cluster cost
+    * nothing), and solves components over ONLY the touched super-nodes;
+    * since each old label is the MIN id of its old component and new
+    * nodes are their own min, the super-solve's min-label output IS the
+    * min over all original ids in each merged component. Untouched
+    * clusters pass through the final left join unchanged.
+    *
+    * Scale: everything is proportional to the DELTA (plus one
+    * broadcast-or-hash join against `labels` to rewrite endpoints and
+    * one to compose back) — the super-graph the inner [[connected]]
+    * sees has at most one node per touched cluster and one edge per
+    * delta pair, so a steady-state ingest folds millions of new pairs
+    * without ever re-reading the historical edge set.
+    *
+    * The result (like [[connected]]'s) rides on lineage-truncated
+    * checkpoint leaves: materialize it once (or persist a copy) and
+    * release via `GraftSqlBridge.releaseLeaves(result)` — the
+    * [[Dedup.artifacts]] discipline.
+    */
+  def delta(labels: DataFrame, newEdges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val ends = newEdges.select(col("src").as("id"))
+      .unionAll(newEdges.select(col("dst").as("id"))).distinct()
+    val fresh = ends.join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("lbl"))
+    val all = labels.select("id", "lbl").unionAll(fresh)
+    val superEdges = newEdges
+      .join(all.select(col("id").as("src"), col("lbl").as("lsrc")), "src")
+      .join(all.select(col("id").as("dst"), col("lbl").as("ldst")), "dst")
+      .select(col("lsrc").as("src"), col("ldst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val touched = superEdges.select(col("src").as("id"))
+      .unionAll(superEdges.select(col("dst").as("id"))).distinct()
+    val sup = connected(touched, superEdges, maxRounds)
+      .select(col("id").as("lbl"), col("lbl").as("nlbl"))
+    all.join(sup, Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+  }
+
   // every checkpoint goes through freshLeaf: localCheckpoint PRESERVES
   // the replaced plan's optimizer stats, and join-size estimates
   // multiply — compounding them across rounds grows the BigInt estimate

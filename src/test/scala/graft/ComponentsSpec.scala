@@ -118,4 +118,59 @@ class ComponentsSpec extends SparkSpec {
       org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
     }
   }
+
+  test("delta fold: incremental ≡ full recompute on the unioned pair set") {
+    // the cluster layer's append ≡ rebuild law (the SigIndex/LexIndex/
+    // IvfStore convention): directed cases first, then a randomized
+    // three-batch fold differential
+    val nodes = spark.range(1L, 11L).select(col("id"))
+    val base = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val lbl0 = Components.connected(nodes, base)
+    // one delta batch exercising every case at once: a merge of two
+    // existing clusters through interior nodes (3–5), a new cluster among
+    // existing isolated nodes (7–8), brand-new nodes (11–12), a self-loop,
+    // a duplicate of an existing edge, and an intra-cluster no-op (1–3)
+    val d1 = Seq((3L, 5L), (7L, 8L), (11L, 12L), (9L, 9L), (1L, 2L), (1L, 3L))
+      .toDF("src", "dst")
+    val inc1 = Components.delta(lbl0, d1)
+    val full1 = Components.connected(
+      spark.range(1L, 13L).select(col("id")), base.unionAll(d1))
+    val gotInc1 = inc1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotFull1 = full1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotInc1 == gotFull1, "delta fold must equal the full recompute")
+    assert(gotInc1(6L) == 1L && gotInc1(8L) == 7L && gotInc1(12L) == 11L,
+      "fixture must exercise merge, fresh-cluster and new-node cases")
+    // second fold CHAINS through the first (6 joined cluster 1 via the
+    // first delta; now 12 joins through 6) — folds compose
+    val d2 = Seq((6L, 12L)).toDF("src", "dst")
+    val inc2 = Components.delta(inc1, d2)
+    val full2 = Components.connected(
+      spark.range(1L, 13L).select(col("id")), base.unionAll(d1).unionAll(d2))
+    assert(inc2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == full2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "chained delta folds must keep matching the full recompute")
+    Seq(lbl0, inc1, full1, inc2, full2)
+      .foreach(org.apache.spark.sql.GraftSqlBridge.releaseLeaves(_))
+    // randomized: 60 nodes, 90 edges in three batches, fold twice
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, 60L), Gen.chooseNum(1L, 60L))
+    for (seed <- 20 until 22) {
+      val edges = (0 until 90).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      val (b0, rest) = edges.splitAt(30)
+      val (b1, b2) = rest.splitAt(30)
+      val n = spark.range(1L, 61L).select(col("id"))
+      val folded = Components.delta(
+        Components.delta(Components.connected(n, b0.toDF("src", "dst")),
+          b1.toDF("src", "dst")),
+        b2.toDF("src", "dst"))
+      val full = Components.connected(n, edges.toDF("src", "dst"))
+      assert(folded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        == full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        s"seed $seed: two chained folds diverged from the full recompute")
+      Seq(folded, full)
+        .foreach(org.apache.spark.sql.GraftSqlBridge.releaseLeaves(_))
+    }
+  }
 }
