@@ -475,6 +475,21 @@ object SqlSurface {
           SparkSession.active.table(grid)))
       }),
 
+    ("graft_holt",
+      "graft_holt(grid STRING) - exact-integer Holt linear chart" +
+        " (event_type, day_idx, cnt, level, trend, flag) over a" +
+        " (event_type, day_idx, cnt) table/view" +
+        " (TierSeventyNine.holtChart: l <- (x + 7(l+b)) div 8," +
+        " b <- ((l'-l) + 3b) div 4, 20% relative tripwire vs the" +
+        " pre-update forecast l+b — the q237/s45 shared-step engine," +
+        " completing the graft_ewma/graft_cusum chart family)",
+      exprs => {
+        arity("graft_holt", exprs, 1)
+        val grid = strLit(exprs.head, "graft_holt", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierSeventyNine.holtChart(
+          SparkSession.active.table(grid)))
+      }),
+
     ("graft_near_dup_pairs",
       "graft_near_dup_pairs(docs STRING, thr_ppm INT[, probe2 INT[, k INT]])" +
         " - celled semantic near-dup pairs (doc_a, doc_b, c) over a" +

@@ -508,6 +508,10 @@ class ExpressionSpec extends SparkSpec {
     val cScala = rows6(operators.TierFiftyNine.cusumChart(spark.table("chart_in")))
     assert(cSql == cScala && cSql.exists(_._6 == 1L), "graft_cusum must match + alarm")
     assert(cSql.filter(_._1 == "b").forall(_._6 == 0L), "the flat type stays quiet")
+    val hSql = rows6(spark.sql("SELECT * FROM graft_holt('chart_in')"))
+    val hScala = rows6(operators.TierSeventyNine.holtChart(spark.table("chart_in")))
+    assert(hSql == hScala && hSql.exists(_._6 == 1L), "graft_holt must match + flag")
+    assert(hSql.filter(_._1 == "b").forall(_._6 == 0L), "the flat type stays quiet")
   }
 
   test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
