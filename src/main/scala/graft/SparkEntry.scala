@@ -52,7 +52,8 @@ object SparkEntry {
       operators.TierSeventyThree.all ++ operators.TierSeventyFour.all ++
       operators.TierSeventyFive.all ++ operators.TierSeventySix.all ++
       operators.TierSeventySeven.all ++ operators.TierSeventyEight.all ++
-      operators.TierSeventyNine.all ++ operators.TierEighty.all
+      operators.TierSeventyNine.all ++ operators.TierEighty.all ++
+      operators.TierEightyOne.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
