@@ -54,7 +54,8 @@ object SparkEntry {
       operators.TierSeventySeven.all ++ operators.TierSeventyEight.all ++
       operators.TierSeventyNine.all ++ operators.TierEighty.all ++
       operators.TierEightyOne.all ++ operators.TierEightyTwo.all ++
-      operators.TierEightyThree.all ++ operators.TierEightyFour.all
+      operators.TierEightyThree.all ++ operators.TierEightyFour.all ++
+      operators.TierEightyFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

@@ -45,7 +45,8 @@ object SharedFaces {
       "q186_cluster_split" -> (TierFiftyOne.q186Face _),
       "q188_cluster_cohesion" -> (TierFiftyTwo.q188Face _),
       "q190_dup_concentration" -> (TierFiftyThree.q190Face _),
-      "q240_erasure_audit" -> (TierEighty.q240Face _))
+      "q240_erasure_audit" -> (TierEighty.q240Face _),
+      "q250_threshold_sweep" -> (TierEightyFive.q250Face _))
 
   /** Consumers of the MinHash dedup-composition working set
     * ([[Dedup.Artifacts]]): pairs + cluster labels + classifier scores
