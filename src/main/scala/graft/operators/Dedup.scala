@@ -152,6 +152,19 @@ object Dedup {
   private def labOf(a: Artifacts): DataFrame =
     a.labels.select(col("doc_id").as("id"), col("cluster").as("lbl"))
 
+  /** q55's cluster-size histogram from a shared [[Artifacts]] build —
+    * exact by construction: q55's declared body IS
+    * `Components.connected(docs.ids, minhashPairs(tok))` folded to the
+    * histogram, and `labels` is that same call. (The OTHER heavy
+    * recompositions — q58/q98/q104/q114 — run their detectors over
+    * `exactSurvivors`/bespoke compositions, so an artifacts face would
+    * only coincide on a corpus with no exact duplicates; they stay
+    * self-contained in the bench on purpose.) */
+  def clusterSizes(a: Artifacts): DataFrame =
+    a.labels.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("csize")
+
   /** q158's leakage matrix from a shared [[Artifacts]] build. */
   def leakageMatrix(docs: DataFrame, a: Artifacts): DataFrame =
     TierThirtySeven.leakageOver(docs, a.pairs)

@@ -54,6 +54,8 @@ object SharedFaces {
     * exposes; DedupArtifactsSpec's inventory). */
   val dedup: Seq[(String, (SparkSession, String, Dedup.Artifacts) => DataFrame)] =
     Seq(
+      "q55_dedup_clusters" -> ((s, dir, a) =>
+        Dedup.clusterSizes(a)),
       "q158_leakage_matrix" -> ((s, dir, a) =>
         Dedup.leakageMatrix(Tables.load(s, dir, "documents"), a)),
       "q159_dedup_savings" -> ((s, dir, a) =>
