@@ -115,6 +115,21 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
   }
 
+  test("round-13 tier plans (q242/q245/q246/q249/q250): no CartesianProduct") {
+    // the tiny broadcast sides (7-row lag table, 4-row band table, 9-row
+    // Benford table) are BroadcastNestedLoopJoins by design — what must
+    // never appear is a non-broadcast cartesian; global one-row scalar
+    // folds keep their metadata-scale SinglePartition finals (the q14/q46
+    // convention), so only the cartesian gate applies here
+    import graft.operators.{TierEightyOne, TierEightyThree, TierEightyFive}
+    for (q <- Seq(TierEightyOne.q242, TierEightyThree.q245,
+        TierEightyThree.q246, TierEightyFive.q249, TierEightyFive.q250)) {
+      val plan = heavyPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
+      operators.Cumulative.releaseAll()
+    }
+  }
+
   test("q28 PPJoin candidate invariant: each pair once, candidates stay near the output (VERDICT r7 #4)") {
     val (cand, verified) = TierFour.ngramJaccardStages(spark, sf)
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
