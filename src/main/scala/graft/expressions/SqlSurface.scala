@@ -490,6 +490,62 @@ object SqlSurface {
           SparkSession.active.table(grid)))
       }),
 
+    ("graft_acf",
+      "graft_acf(grid STRING) - lag-1..7 autocorrelation of daily counts" +
+        " (event_type, lag, n_pairs, acf_ppm) over a (event_type," +
+        " day_idx, cnt) table/view (TierEightyThree.acfChart: frozen" +
+        " full-series integer mean, dev = n*x - S, truncating division" +
+        " — the q245 engine, completing the chart-family twins)",
+      exprs => {
+        arity("graft_acf", exprs, 1)
+        val grid = strLit(exprs.head, "graft_acf", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierEightyThree.acfChart(
+          SparkSession.active.table(grid)))
+      }),
+
+    ("graft_dataset_card",
+      "graft_dataset_card(docs STRING) - per-source corpus card (source," +
+        " n_docs, n_tokens, tok_per_doc, ttr_ppm, n_langs, short_docs)" +
+        " over a (source, lang, text) table/view" +
+        " (TierEightyFour.cardOver — the q247 engine)",
+      exprs => {
+        arity("graft_dataset_card", exprs, 1)
+        val docs = strLit(exprs.head, "graft_dataset_card", "docs")
+        GraftSqlBridge.analyzed(graft.operators.TierEightyFour.cardOver(
+          SparkSession.active.table(docs)))
+      }),
+
+    ("graft_burstiness",
+      "graft_burstiness(docs STRING) - Church-Gale term burstiness" +
+        " (token, cf, df, burst_ppm) over a (doc_id, text) table/view" +
+        " (TierEightyFour.burstinessOver — the q248 engine; ordering" +
+        " burst DESC, token ASC)",
+      exprs => {
+        arity("graft_burstiness", exprs, 1)
+        val docs = strLit(exprs.head, "graft_burstiness", "docs")
+        GraftSqlBridge.analyzed(graft.operators.TierEightyFour.burstinessOver(
+          SparkSession.active.table(docs)))
+      }),
+
+    ("graft_window_funnel",
+      "graft_window_funnel(events STRING, window_sec INT, step1, step2, ...)" +
+        " - chained-window funnel (stage, step, users, conv_ppm) over a" +
+        " (user_id, event_type, ts) table/view: each step must land" +
+        " within window_sec of the previous completion, greedy-earliest" +
+        " witness (TierEightyFive.funnelOver — the q249 engine)",
+      exprs => {
+        if (exprs.length < 3) throw new IllegalArgumentException(
+          "graft_window_funnel expects (events, window_sec, step1[, step2 ...])" +
+            s", got ${exprs.length} arguments")
+        val view = strLit(exprs.head, "graft_window_funnel", "events")
+        val winUs = intLit(exprs(1), "graft_window_funnel", "window_sec")
+          .toLong * 1000000L
+        val steps = exprs.drop(2).zipWithIndex.map { case (e, i) =>
+          strLit(e, "graft_window_funnel", s"step${i + 1}") }
+        GraftSqlBridge.analyzed(graft.operators.TierEightyFive.funnelOver(
+          SparkSession.active.table(view), steps, winUs))
+      }),
+
     ("graft_near_dup_pairs",
       "graft_near_dup_pairs(docs STRING, thr_ppm INT[, probe2 INT[, k INT]])" +
         " - celled semantic near-dup pairs (doc_a, doc_b, c) over a" +

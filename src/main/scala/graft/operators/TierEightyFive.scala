@@ -63,25 +63,36 @@ object TierEightyFive {
        |SELECT CAST(stage AS BIGINT) AS stage, step, users,
        |       CAST(users * 1000000 // u1 AS BIGINT) AS conv_ppm
        |FROM m CROSS JOIN base ORDER BY stage""".stripMargin) { (s, dir) =>
+    funnelOver(Tables.load(s, dir, "events"),
+      Seq("signup", "click", "purchase"), FunnelWindowUs)
+  }
+
+  /** q249's chained-window funnel over ANY `(user_id, event_type, ts)`
+    * frame, arbitrary step list and window — the extracted library face
+    * (`graft_window_funnel` SQL twin). Greedy-earliest witness per
+    * stage; three bounded driver reads (one long per stage). */
+  private[graft] def funnelOver(events: DataFrame, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val e = Tables.load(s, dir, "events")
+    require(steps.nonEmpty, "window funnel needs at least one step")
+    val e = events
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
-    def next(prev: DataFrame, tPrev: String, step: String, tOut: String): DataFrame =
+    def next(prev: DataFrame, step: String): DataFrame =
       e.filter(col("event_type") === step)
         .join(prev, "user_id")
-        .filter(col("us") > col(tPrev) && col("us") <= col(tPrev) + FunnelWindowUs)
-        .groupBy("user_id").agg(min("us").as(tOut))
-    val s1 = e.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("us").as("t1"))
-    val s2 = next(s1, "t1", "click", "t2")
-    val s3 = next(s2, "t2", "purchase", "t3")
-    // three scalar counts — bounded driver reads (one long each)
-    val counts = Seq(
-      (1L, "signup", s1.count()), (2L, "click", s2.count()),
-      (3L, "purchase", s3.count()))
+        .filter(col("us") > col("t") && col("us") <= col("t") + windowUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+    val s1 = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t"))
+    val stages = steps.tail.scanLeft(s1)(next)
+    val counts = steps.zip(stages).zipWithIndex.map { case ((nm, df), i) =>
+      (i + 1L, nm, df.count()) // bounded: one long per stage
+    }
     val u1 = counts.head._3
-    counts.map { case (st, nm, u) => (st, nm, u, u * 1000000L / u1) }
+    counts.map { case (st, nm, u) =>
+      (st, nm, u, if (u1 == 0) 0L else u * 1000000L / u1) }
       .toDF("stage", "step", "users", "conv_ppm").orderBy("stage")
   }
 

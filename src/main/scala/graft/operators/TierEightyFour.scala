@@ -59,7 +59,12 @@ object TierEightyFour {
        |       n_langs, short_docs
        |FROM base JOIN tt USING (source)
        |ORDER BY source""".stripMargin) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
+    cardOver(Tables.load(s, dir, "documents"))
+  }
+
+  /** q247's card fold over ANY `(source, lang, text, …)` frame — the
+    * extracted library face (`graft_dataset_card` SQL twin). */
+  private[graft] def cardOver(docs: DataFrame): DataFrame = {
     val d = docs.select(col("source"), col("lang"),
       size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("nt"))
     val base = d.groupBy("source").agg(
@@ -88,7 +93,13 @@ object TierEightyFour {
       |       CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS burst_ppm
       |FROM g GROUP BY 1
       |ORDER BY burst_ppm DESC, token""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    burstinessOver(Tables.load(s, dir, "documents"))
+  }
+
+  /** q248's burstiness fold over ANY `(doc_id, text, …)` frame — the
+    * extracted library face (`graft_burstiness` SQL twin). */
+  private[graft] def burstinessOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy("tk", "doc_id").agg(count(lit(1)).as("c"))
@@ -97,7 +108,6 @@ object TierEightyFour {
       .select(col("token"), col("cf"), col("df"),
         expr("(cf * 1000000) div df").as("burst_ppm"))
       .orderBy(col("burst_ppm").desc, col("token"))
-  }
 
   val all: Seq[Q] = Seq(q247, q248)
 }

@@ -54,14 +54,25 @@ object TierEightyThree {
        |lags AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag)
        |SELECT x.event_type, CAST(lags.lag AS BIGINT) AS lag,
        |       CAST(count(*) AS BIGINT) AS n_pairs,
-       |       CAST(sum(x.dv * y.dv) * 1000000 // den.dd AS BIGINT) AS acf_ppm
+       |       CAST(CASE WHEN den.dd = 0 THEN 0
+       |            ELSE sum(x.dv * y.dv) * 1000000 // den.dd END AS BIGINT)
+       |         AS acf_ppm
        |FROM dev x CROSS JOIN lags
        |JOIN dev y ON y.event_type = x.event_type AND y.d = x.d + lags.lag
        |JOIN den ON den.event_type = x.event_type
        |GROUP BY 1, 2, den.dd
        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    val dc = TierThirtyTwo.dailyCounts(Tables.load(s, dir, "events"))
-      .select(col("event_type"), col("day_idx").as("d"), col("cnt").as("c"))
+    acfChart(TierThirtyTwo.dailyCounts(Tables.load(s, dir, "events")))
+  }
+
+  /** q245's ACF fold over ANY `(event_type, day_idx, cnt)` grid — the
+    * extracted library face (`graft_acf` SQL twin; the
+    * ewma/cusum/holt chart-family convention). */
+  private[graft] def acfChart(grid: DataFrame): DataFrame = {
+    val s = grid.sparkSession
+    val dc = grid
+      .select(col("event_type"), col("day_idx").cast("long").as("d"),
+        col("cnt").cast("long").as("c"))
     val st = dc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("c").as("s"))
     val dev = dc.join(broadcast(st), "event_type")
@@ -77,7 +88,10 @@ object TierEightyThree {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x.dv") * col("y.dv")).as("num"))
       .select(col("event_type"), col("lag"), col("n_pairs"),
-        expr("(num * 1000000) div dd").as("acf_ppm"))
+        // a CONSTANT series has zero variance — no autocorrelation signal;
+        // report 0 instead of dividing by zero (reachable via graft_acf)
+        expr("CASE WHEN dd = 0 THEN CAST(0 AS BIGINT)"
+          + " ELSE (num * 1000000) div dd END").as("acf_ppm"))
       .orderBy("event_type", "lag")
   }
 

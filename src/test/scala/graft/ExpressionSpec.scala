@@ -512,6 +512,35 @@ class ExpressionSpec extends SparkSpec {
     val hScala = rows6(operators.TierSeventyNine.holtChart(spark.table("chart_in")))
     assert(hSql == hScala && hSql.exists(_._6 == 1L), "graft_holt must match + flag")
     assert(hSql.filter(_._1 == "b").forall(_._6 == 0L), "the flat type stays quiet")
+    val aSql = spark.sql("SELECT * FROM graft_acf('chart_in')")
+      .collect().map(_.toString).toSeq
+    val aScala = operators.TierEightyThree.acfChart(spark.table("chart_in"))
+      .collect().map(_.toString).toSeq
+    assert(aSql == aScala && aSql.nonEmpty, "graft_acf must match the q245 engine")
+  }
+
+  test("graft_dataset_card / graft_burstiness / graft_window_funnel from SQL ≡ the Scala engines") {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("card_docs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val cSql = rows(spark.sql("SELECT * FROM graft_dataset_card('card_docs')"))
+    val cScala = rows(operators.TierEightyFour.cardOver(spark.table("card_docs")))
+    assert(cSql == cScala && cSql.nonEmpty, "graft_dataset_card must match q247")
+    val bSql = rows(spark.sql("SELECT * FROM graft_burstiness('card_docs')"))
+    val bScala = rows(operators.TierEightyFour.burstinessOver(spark.table("card_docs")))
+    assert(bSql == bScala && bSql.nonEmpty, "graft_burstiness must match q248")
+    Tables.load(spark, sf, "events").createOrReplaceTempView("funnel_ev")
+    val fSql = rows(spark.sql(
+      "SELECT * FROM graft_window_funnel('funnel_ev', 86400, 'signup', 'click', 'purchase')"))
+    val fScala = rows(operators.TierEightyFive.funnelOver(spark.table("funnel_ev"),
+      Seq("signup", "click", "purchase"), 86400L * 1000000L))
+    assert(fSql == fScala && fSql.size == 3, "graft_window_funnel must match q249")
+    // a two-step funnel through the variadic tail exercises the scanLeft
+    val f2 = rows(spark.sql(
+      "SELECT * FROM graft_window_funnel('funnel_ev', 86400, 'view', 'purchase')"))
+    assert(f2.size == 2, "variadic step list must shape the output")
+    operators.Cumulative.releaseAll()
   }
 
   test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
