@@ -133,6 +133,28 @@ object TierEightyOne {
     rows.toDF("ranker", "dcg", "idcg", "ndcg_ppm").orderBy("ranker")
   }
 
+  /** q242's hash projection `(event_type, h)` over ANY `(event_type,
+    * user_id, ts, …)` frame — ONE definition for the batch sketch and
+    * the live [[graft.streaming.KmvMonitor]] feed (the q189/s39
+    * cannot-drift rule). NOT deduplicated: the sketch's bottom-k insert
+    * is itself the dedupe. */
+  private[graft] def udayHashes(events: DataFrame): DataFrame =
+    TierNine.hllWithH(
+      events.select(col("event_type"),
+        (col("user_id") * 1024L +
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")).as("uday")),
+      col("uday"))
+      .select(col("event_type"), col("h"))
+
+  /** The KMV readout from a bottom-k window: `(n_kept, kth_hash, est)` —
+    * the Scala mirror of q242's in-plan expression, shared with the live
+    * monitor (parity pinned by s47). */
+  private[graft] def kmvEstOf(bottom: Seq[Long]): (Long, Long, Long) = {
+    val n = bottom.size.toLong
+    val kth = bottom.last
+    (n, kth, if (n < KmvK) n else (KmvK - 1).toLong * TierFour.P / kth)
+  }
+
   val q242 = Q("q242_kmv_sketch",
     s"""WITH ud AS (
        |  SELECT event_type,
@@ -152,12 +174,7 @@ object TierEightyOne {
        |            ELSE ${(KmvK - 1).toLong * P} // max(h) END AS BIGINT) AS est
        |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val ud = Tables.load(s, dir, "events")
-      .select(col("event_type"),
-        (col("user_id") * 1024L +
-          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")).as("uday"))
-    val hashed = TierNine.hllWithH(ud, col("uday"))
-      .select(col("event_type"), col("h")).distinct()
+    val hashed = udayHashes(Tables.load(s, dir, "events")).distinct()
     val withAll = hashed.unionAll(
       hashed.select(lit("_all").as("event_type"), col("h")).distinct())
     val bk = withAll.as[(String, Long)]

@@ -529,6 +529,56 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s47: LIVE KMV distinct sketch (O(k) state per type) — drained ≡ batch q242; merge law; replay-quiet") {
+    import graft.streaming.KmvMonitor
+    import graft.operators.TierEightyOne
+    import graft.functions.BottomK
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the SHARED hash projection shapes the feed (the cannot-drift rule)
+      val rows = TierEightyOne.udayHashes(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val in = MemoryStream[(String, Long)]
+      val q = KmvMonitor.updates(
+          in.toDF().select(col("_1").as("event_type"), col("_2").as("h")))
+        .toDF()
+        .writeStream.format("memory").queryName("s47_out").outputMode("append").start()
+      try {
+        val chunks = rows.grouped(math.max(1, rows.size / 5)).toSeq
+        chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+        val n0 = spark.table("s47_out").count()
+        // change-only emission ⇒ an at-least-once replay of already-folded
+        // rows is output-SILENT (every hash collides in the window or sits
+        // above the k-th value)
+        in.addData(chunks.last); q.processAllAvailable()
+        assert(spark.table("s47_out").count() == n0,
+          "replaying folded rows must emit nothing")
+        val updates = spark.table("s47_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getSeq[Long](4).toVector))
+        // LAST update per key ≡ the batch q242 per-type row
+        val last = updates.zipWithIndex.groupBy(_._1._1).view
+          .mapValues(_.maxBy(_._2)._1).toMap
+        val batch = TierEightyOne.q242.run(spark, sf).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toMap
+        operators.Cumulative.releaseAll()
+        assert(last.keySet == batch.keySet - "_all",
+          "one live sketch per event type")
+        for ((t, u) <- last)
+          assert((u._2, u._3, u._4) == batch(t), s"$t: live sketch must equal batch")
+        // the merge law LIVE: folding the drained per-type windows
+        // together reproduces the batch '_all' row exactly
+        val agg = new BottomK(TierEightyOne.KmvK)
+        val merged = last.values.map(u => u._5: Seq[Long]).reduce(agg.merge)
+        assert(TierEightyOne.kmvEstOf(merged) == batch("_all"),
+          "merged per-type windows must equal the batch '_all' sketch")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s41: LIVE CUSUM chart (transformWithState, frozen phase-I mu) ≡ batch q201") {
     import graft.streaming.CusumMonitor
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
