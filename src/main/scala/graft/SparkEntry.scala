@@ -55,7 +55,8 @@ object SparkEntry {
       operators.TierSeventyNine.all ++ operators.TierEighty.all ++
       operators.TierEightyOne.all ++ operators.TierEightyTwo.all ++
       operators.TierEightyThree.all ++ operators.TierEightyFour.all ++
-      operators.TierEightyFive.all ++ operators.TierEightySix.all
+      operators.TierEightyFive.all ++ operators.TierEightySix.all ++
+      operators.TierEightySeven.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
