@@ -56,7 +56,8 @@ object SparkEntry {
       operators.TierEightyOne.all ++ operators.TierEightyTwo.all ++
       operators.TierEightyThree.all ++ operators.TierEightyFour.all ++
       operators.TierEightyFive.all ++ operators.TierEightySix.all ++
-      operators.TierEightySeven.all ++ operators.TierEightyEight.all
+      operators.TierEightySeven.all ++ operators.TierEightyEight.all ++
+      operators.TierEightyNine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
