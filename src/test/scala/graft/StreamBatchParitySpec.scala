@@ -613,6 +613,42 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
 
+  test("s48: LIVE Page–Hinkley chart (transformWithState, 4 longs of state) ≡ batch q260") {
+    import graft.streaming.PhMonitor
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val grid = graft.operators.TierThirtyTwo.dailyCounts(Tables.load(spark, sf, "events"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // frozen per-type mu only parameterizes delta and lambda (the level
+      // self-calibrates — PH's point); same floor-mean q260 derives
+      val mu = grid.groupBy(_._1).map { case (t, rs) =>
+        t -> rs.map(_._3).sum / rs.size }
+      val rows = grid.sortBy(x => (x._2, x._1)) // by day, types interleaved
+      val in = MemoryStream[(String, Long, Long)]
+      val q = PhMonitor.chart(
+          in.toDF().select(col("_1").as("event_type"), col("_2").as("day_idx"),
+            col("_3").as("cnt")), mu)
+        .toDF()
+        .writeStream.format("memory").queryName("s48_out").outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
+          in.addData(c); q.processAllAvailable()
+        }
+        val streamed = spark.table("s48_out").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq.sortBy(x => (x._1, x._2))
+        val batch = graft.operators.TierNinety.q260.run(spark, sf).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5))).toSeq
+        assert(streamed == batch && streamed.exists(_._6 == 1L)
+            && streamed.exists(_._6 == 0L),
+          s"live PH chart must equal batch q260: ${streamed.size} vs ${batch.size}")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
+
   test("s39: LIVE priority sample (transformWithState top-k deltas) ≡ batch q189") {
     import graft.streaming.SampleMaintainer
     val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
