@@ -546,6 +546,100 @@ object SqlSurface {
           SparkSession.active.table(view), steps, winUs))
       }),
 
+    ("graft_mann_kendall",
+      "graft_mann_kendall(grid STRING) - tie-corrected Mann-Kendall trend" +
+        " test (event_type, n_days, s_stat, var18, z_r6) over a" +
+        " (event_type, day_idx, cnt) table/view" +
+        " (TierEightySix.mannKendallOver — the q251 engine: S and 18*Var" +
+        " exact Int64, continuity-corrected z)",
+      exprs => {
+        arity("graft_mann_kendall", exprs, 1)
+        val grid = strLit(exprs.head, "graft_mann_kendall", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierEightySix.mannKendallOver(
+          SparkSession.active.table(grid)))
+      }),
+
+    ("graft_page_hinkley",
+      "graft_page_hinkley(grid STRING) - Page-Hinkley running-mean drift" +
+        " chart (event_type, day_idx, cnt, mean_run, ph, alarm) over a" +
+        " (event_type, day_idx, cnt) table/view (TierNinety.phChart:" +
+        " M accumulates x - floor-running-mean - mu/50, PH = M - min M," +
+        " alarm above mu/4 — the q260/s48 shared-step engine, completing" +
+        " the graft_ewma/_cusum/_holt/_acf chart family)",
+      exprs => {
+        arity("graft_page_hinkley", exprs, 1)
+        val grid = strLit(exprs.head, "graft_page_hinkley", "grid")
+        GraftSqlBridge.analyzed(graft.operators.TierNinety.phChart(
+          SparkSession.active.table(grid)))
+      }),
+
+    ("graft_kendall_tau",
+      "graft_kendall_tau(groups STRING) - Kendall tau-b rank association" +
+        " (n_groups, concordant, discordant, ties_x, ties_y, tau_r6)" +
+        " over a (gk, x, y) table/view (TierEightySix.kendallTauOver —" +
+        " the q252 engine: sign-comparison concordance, group-by ties)",
+      exprs => {
+        arity("graft_kendall_tau", exprs, 1)
+        val g = strLit(exprs.head, "graft_kendall_tau", "groups")
+        GraftSqlBridge.analyzed(graft.operators.TierEightySix.kendallTauOver(
+          SparkSession.active.table(g)))
+      }),
+
+    ("graft_spearman",
+      "graft_spearman(groups STRING) - Spearman rho rank correlation" +
+        " (n_groups, sxy, sxx, syy, rho_r6) over a (gk, x, y) table/view" +
+        " (TierNinety.spearmanOver — the q259 engine: Pearson over exact" +
+        " doubled average ranks, tie-correct)",
+      exprs => {
+        arity("graft_spearman", exprs, 1)
+        val g = strLit(exprs.head, "graft_spearman", "groups")
+        GraftSqlBridge.analyzed(graft.operators.TierNinety.spearmanOver(
+          SparkSession.active.table(g)))
+      }),
+
+    ("graft_hellinger",
+      "graft_hellinger(docs STRING) - per-group Bhattacharyya/Hellinger" +
+        " distance from the leave-one-out rest (grp, n_tok, bc_scaled," +
+        " bc_r6, hellinger_r6) over a (grp, text) table/view" +
+        " (TierEightySeven.hellingerOver on the whitespace tokens —" +
+        " the q253 engine; scaled-integer BC sum, order-free)",
+      exprs => {
+        arity("graft_hellinger", exprs, 1)
+        val docs = strLit(exprs.head, "graft_hellinger", "docs")
+        val tk = SparkSession.active.table(docs)
+          .select(col("grp"), explode(
+            filter(split(col("text"), " "), x => x =!= "")).as("token"))
+        GraftSqlBridge.analyzed(graft.operators.TierEightySeven.hellingerOver(tk))
+      }),
+
+    ("graft_allocation",
+      "graft_allocation(weights STRING, seats INT) - Hamilton" +
+        " largest-remainder apportionment (source, w_chars, base_seats," +
+        " extra, seats) over a (source, w) table/view; sum(seats) =" +
+        " seats exactly (TierEightyNine.allocate — the q258 engine)",
+      exprs => {
+        arity("graft_allocation", exprs, 2)
+        val w = strLit(exprs.head, "graft_allocation", "weights")
+        val seats = intLit(exprs(1), "graft_allocation", "seats").toLong
+        GraftSqlBridge.analyzed(graft.operators.TierEightyNine.allocate(
+          SparkSession.active.table(w), seats))
+      }),
+
+    ("graft_readability",
+      "graft_readability(docs STRING) - FORCAST readability grade per" +
+        " source (source, n_docs, n_words, mono_words, mono_ppm," +
+        " grade_milli) over a (source, doc_id, text) table/view" +
+        " (TierEightyNine.readabilityOver on the whitespace tokens —" +
+        " the q257 engine; no sentence-boundary dependence)",
+      exprs => {
+        arity("graft_readability", exprs, 1)
+        val docs = strLit(exprs.head, "graft_readability", "docs")
+        val tk = SparkSession.active.table(docs)
+          .select(col("source"), col("doc_id"), explode(
+            filter(split(col("text"), " "), x => x =!= "")).as("token"))
+        GraftSqlBridge.analyzed(graft.operators.TierEightyNine.readabilityOver(tk))
+      }),
+
     ("graft_near_dup_pairs",
       "graft_near_dup_pairs(docs STRING, thr_ppm INT[, probe2 INT[, k INT]])" +
         " - celled semantic near-dup pairs (doc_a, doc_b, c) over a" +

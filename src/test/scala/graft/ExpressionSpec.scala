@@ -543,6 +543,54 @@ class ExpressionSpec extends SparkSpec {
     operators.Cumulative.releaseAll()
   }
 
+  test("round-13 stat twins from SQL ≡ the Scala engines (mann_kendall/page_hinkley/kendall_tau/spearman/hellinger/allocation/readability)") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // the chart grid with a level shift (both PH states live)
+    val grid = (0L until 30L).map(d => ("a", d, if (d < 20) 100L else 150L)) ++
+      (0L until 30L).map(d => ("b", d, 60L))
+    grid.toDF("event_type", "day_idx", "cnt").createOrReplaceTempView("mk_in")
+    assert(rows(spark.sql("SELECT * FROM graft_mann_kendall('mk_in')")) ==
+      rows(operators.TierEightySix.mannKendallOver(spark.table("mk_in"))))
+    val ph = spark.sql("SELECT * FROM graft_page_hinkley('mk_in')")
+      .orderBy("event_type", "day_idx")
+    val phScala = operators.TierNinety.phChart(spark.table("mk_in"))
+      .orderBy("event_type", "day_idx")
+    assert(rows(ph) == rows(phScala) &&
+      ph.collect().exists(_.getLong(5) == 1L), "graft_page_hinkley must match + alarm")
+    // rank statistics over a (gk, x, y) group view
+    Seq((1L, 10L, 1L), (2L, 30L, 2L), (3L, 20L, 4L), (4L, 40L, 3L))
+      .toDF("gk", "x", "y").createOrReplaceTempView("rk_in")
+    assert(rows(spark.sql("SELECT * FROM graft_kendall_tau('rk_in')")) ==
+      rows(operators.TierEightySix.kendallTauOver(spark.table("rk_in"))))
+    assert(rows(spark.sql("SELECT * FROM graft_spearman('rk_in')")) ==
+      rows(operators.TierNinety.spearmanOver(spark.table("rk_in"))))
+    // corpus twins over documents views
+    Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang").as("grp"),
+        org.apache.spark.sql.functions.col("text"))
+      .createOrReplaceTempView("hl_in")
+    assert(rows(spark.sql("SELECT * FROM graft_hellinger('hl_in')")).nonEmpty)
+    assert(rows(spark.sql("SELECT * FROM graft_hellinger('hl_in')")) ==
+      rows(operators.TierEightySeven.q253.run(spark, sf)
+        .withColumnRenamed("lang", "grp")))
+    Tables.load(spark, sf, "documents").createOrReplaceTempView("rd_in")
+    assert(rows(spark.sql("SELECT * FROM graft_readability('rd_in')")) ==
+      rows(operators.TierEightyNine.q257.run(spark, sf)))
+    Tables.load(spark, sf, "documents")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("w"))
+      .createOrReplaceTempView("al_in")
+    val alloc = spark.sql("SELECT * FROM graft_allocation('al_in', 100)")
+    assert(rows(alloc) ==
+      rows(operators.TierEightyNine.allocate(spark.table("al_in"), 100L)))
+    assert(alloc.agg(org.apache.spark.sql.functions.sum("seats"))
+      .collect().head.getLong(0) == 100L, "the SQL twin keeps the exact-total law")
+    operators.Cumulative.releaseAll()
+  }
+
   test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
     graft.expressions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "documents").select("doc_id", "text")
