@@ -130,6 +130,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tier 86-90 plans (q251/q252/q255/q258/q259/q260): no CartesianProduct") {
+    // the pair stages over GROUP aggregates (nation τ/ρ ranks, remainder
+    // rank, Kendall sign pairs) are explicit-broadcast NLJs; the q255
+    // truth side is the q23 mask BNL — same rule as above: no
+    // non-broadcast cartesian anywhere
+    import graft.operators.{TierEightySix, TierEightyEight, TierEightyNine, TierNinety}
+    for (q <- Seq(TierEightySix.q251, TierEightySix.q252, TierEightyEight.q255,
+        TierEightyNine.q258, TierNinety.q259, TierNinety.q260)) {
+      val plan = heavyPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
+      operators.Cumulative.releaseAll()
+    }
+  }
+
   test("q28 PPJoin candidate invariant: each pair once, candidates stay near the output (VERDICT r7 #4)") {
     val (cand, verified) = TierFour.ngramJaccardStages(spark, sf)
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
