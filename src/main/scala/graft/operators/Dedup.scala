@@ -184,4 +184,49 @@ object Dedup {
   /** q177's keep-rule policy diff from a shared build. */
   def policyDiff(docs: DataFrame, a: Artifacts): DataFrame =
     TierFortySix.policyDiffOver(docs, labOf(a), a.scores)
+
+  /** INCREMENTAL CLUSTER MAINTENANCE — the ingest-loop composition of
+    * the two incremental layers this repo already law-pins separately:
+    * probe the batch against the persisted [[SigIndex]] (near-dup pairs
+    * touching the batch, frozen-vocab — SigIndexSpec: probe ∪ corpus
+    * pairs ≡ full recompute), fold those pairs into the existing
+    * cluster labels with [[Components.delta]] (ComponentsSpec: delta ≡
+    * rebuild on the unioned edges), then ABSORB the batch into the
+    * index so the next batch sees it as corpus. Returns the updated
+    * `(doc_id, cluster)` frame — an eager lineage-truncated leaf,
+    * materialized BEFORE the absorb step (the probe plan reads the
+    * postings table lazily; checkpointing first pins the pre-append
+    * read). Release with `GraftSqlBridge.releaseLeaves`.
+    *
+    * Law (DedupMaintainSpec): `maintain(build(D); B₁); … ; Bₖ)` ≡ the
+    * one-shot `Components.connected` over the frozen-token-space pair
+    * set of D ∪ B₁ ∪ … ∪ Bₖ — exactly the full Artifacts rebuild when
+    * the batches add no vocabulary (the SigIndex drop-semantics caveat
+    * applies: genuinely-new tokens need a rebuild, like any frozen
+    * tokenizer). Isolated batch docs (no near-dup pair) enter as their
+    * own singleton clusters. The probe's two batch-sized persists
+    * follow q60's posture (released by the sweep's hygiene pass).
+    *
+    * Scale: per batch this moves O(batch·bands) postings + the touched
+    * super-edges — the corpus is read only through the bucketed index
+    * scan and the labels only through the delta fold; nothing
+    * re-tokenizes, nothing re-clusters from scratch. */
+  def maintain(name: String, labels: DataFrame, newDocs: DataFrame,
+      buckets: Int = 32): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nd = newDocs.select("doc_id", "text")
+    val pairs = SigIndex.probe(spark, name, nd)
+    val lbl0 = labels.select(col("doc_id").as("id"), col("cluster").as("lbl"))
+    val seeded = lbl0.unionByName(
+      nd.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+        .join(lbl0.select("id"), Seq("id"), "left_anti"))
+    val updated = Components.delta(seeded,
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val out = org.apache.spark.sql.GraftSqlBridge.freshLeaf(
+      updated.localCheckpoint(true))
+    org.apache.spark.sql.GraftSqlBridge.releaseLeaves(updated)
+    SigIndex.append(spark, name, nd, buckets)
+    out
+  }
 }
