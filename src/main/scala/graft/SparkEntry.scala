@@ -59,7 +59,8 @@ object SparkEntry {
       operators.TierEightySeven.all ++ operators.TierEightyEight.all ++
       operators.TierEightyNine.all ++ operators.TierNinety.all ++
       operators.TierNinetyOne.all ++ operators.TierNinetyTwo.all ++
-      operators.TierNinetyThree.all ++ operators.TierNinetyFour.all
+      operators.TierNinetyThree.all ++ operators.TierNinetyFour.all ++
+      operators.TierNinetyFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
