@@ -144,6 +144,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("tier 91-95 plans (q261/q263/q264/q267/q268/q270): no CartesianProduct") {
+    // q264/q270's tiny broadcast grids and the prefix-sum offset frames
+    // are explicit broadcasts; the lag/MASE joins are equi-joins on the
+    // daily grid — same gate: no non-broadcast cartesian anywhere
+    import graft.operators.{TierNinetyOne, TierNinetyTwo, TierNinetyFour, TierNinetyFive}
+    for (q <- Seq(TierNinetyOne.q261, TierNinetyTwo.q263, TierNinetyTwo.q264,
+        TierNinetyFour.q267, TierNinetyFour.q268, TierNinetyFive.q270)) {
+      val plan = heavyPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: ${plan.take(800)}")
+      operators.Cumulative.releaseAll()
+    }
+  }
+
   test("q28 PPJoin candidate invariant: each pair once, candidates stay near the output (VERDICT r7 #4)") {
     val (cand, verified) = TierFour.ngramJaccardStages(spark, sf)
     val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
