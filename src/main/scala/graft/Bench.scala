@@ -154,12 +154,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // compact summary FIRST (VERDICT r13 #6): the full per-query line is
+    // ~10 KB at 270 queries and the driver's stdout tail capture has
+    // truncated it three rounds running ("parsed": null) — a short
+    // self-contained record up front parses even when the long line is
+    // cut, and names the artifact file that always holds the full map
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${results.size},"artifact":"$outPath","sf":"$sfDir"}""")
     println(line)
     // stdout shares the pipe with sbt/Spark noise and the driver's tail
     // capture truncated round 6's line mid-stream (BENCH_r06 lost q01-q31);
     // a file copy makes the capture path irrelevant. Default lands in the
     // sbt working directory (BENCH_LAST.json) when the env var is unset.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

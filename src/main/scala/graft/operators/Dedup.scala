@@ -196,7 +196,11 @@ object Dedup {
     * `(doc_id, cluster)` frame — an eager lineage-truncated leaf,
     * materialized BEFORE the absorb step (the probe plan reads the
     * postings table lazily; checkpointing first pins the pre-append
-    * read). Release with `GraftSqlBridge.releaseLeaves`.
+    * read). Release with `GraftSqlBridge.releaseLeaves`. The input
+    * `labels` frame is NOT consumed: maintain releases only its own
+    * internal leaves, so a chained loop can keep (or release) each
+    * round's labels itself — DedupMaintainSpec pins the previous
+    * round's frame still readable after the next maintain.
     *
     * Law (DedupMaintainSpec): `maintain(build(D); B₁); … ; Bₖ)` ≡ the
     * one-shot `Components.connected` over the frozen-token-space pair
@@ -225,7 +229,14 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
     val out = org.apache.spark.sql.GraftSqlBridge.freshLeaf(
       updated.localCheckpoint(true))
-    org.apache.spark.sql.GraftSqlBridge.releaseLeaves(updated)
+    // release ONLY the delta-internal leaves: the composed plan also
+    // embeds the caller's `labels` frame, which in the chained-ingest
+    // case is itself a checkpointed leaf (the previous maintain's
+    // output) — unpersisting it would destroy a caller-owned input
+    // (lineage truncated ⇒ unrecoverable; ADVICE r13). The input stays
+    // caller-owned: release it yourself once the chain is done.
+    org.apache.spark.sql.GraftSqlBridge.releaseLeavesExcept(updated,
+      org.apache.spark.sql.GraftSqlBridge.leafIds(labels))
     SigIndex.append(spark, name, nd, buckets)
     out
   }

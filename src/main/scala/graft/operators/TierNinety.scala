@@ -13,11 +13,21 @@ import org.apache.spark.sql.functions._
   *    squared). Tie-correct by construction: computed as PEARSON OVER
   *    AVERAGE RANKS, with ranks kept as the exact integer
   *    `rank2 = 2·|{<}| + |{=}| + 1` (twice the average rank — never a
-  *    fractional .5) from a broadcast pair count over the group
-  *    aggregate, and the three centered moments as exact Int64
-  *    (`n·Σab − Σa·Σb` ≤ 4·G³ — safe to G ≈ 10⁶ groups; the grouping
-  *    dimension, not the data). Only the final ratio is float: one
-  *    int→double cast each leg, one multiply, one `sqrt`, one divide.
+  *    fractional .5). The Spark side derives rank2 from value-grouped
+  *    counts + ONE two-pass distributed prefix sum per leg (the q202
+  *    count-of-counts rank: for a value with inclusive cumulative count
+  *    `cum` and multiplicity `cnt`, rank2 = 2·cum − cnt + 1 — no O(G²)
+  *    pair expansion, no single-partition sort; TierNinetySpec pins it
+  *    ≡ the definitional pair count on the fixture). The oracle keeps
+  *    the definitional CROSS JOIN (G is the nation cardinality there).
+  *    The three centered moments are exact Int64: with doubled ranks
+  *    ≤ 2·G the worst term `n·Σab` is bounded by 4·G⁴ — safe to
+  *    G ≈ 3.9·10⁴ groups (the grouping dimension, not the data); past
+  *    that, run the same shape over DECIMAL(38,0) sums (the
+  *    `graft_spearman` SQL twin takes any table — cast its rank legs)
+  *    or fold the moments in BigInt driver-side. Only the final ratio
+  *    is float: one int→double cast each leg, one multiply, one
+  *    `sqrt`, one divide.
   *  - q260: PAGE–HINKLEY DRIFT CHART (Page 1954, the running-mean
   *    form) — per event type over the daily grid: `M_t = Σ_{i≤t}(x_i −
   *    x̄_i − δ)` with x̄_i the RUNNING integer mean `⌊S_i/i⌋`,
@@ -44,19 +54,29 @@ object TierNinety {
   /** PH alarm divisor: λ = μ / 4 (probed: both states live). */
   private[graft] val LambdaDiv = 4L
 
+  /** Doubled average ranks of one leg as `(v, r2)` per DISTINCT value —
+    * value-grouped counts + the two-pass distributed prefix sum: a value
+    * with inclusive cumulative count `cum` and multiplicity `cnt` spans
+    * positions (cum−cnt+1)…cum, so its doubled average rank is
+    * `2·cum − cnt + 1`. O(G log G) work, fully distributed — the
+    * replacement for the definitional O(G²) pair count (TierNinetySpec
+    * pins both equal on the q259 fixture). */
+  private def rank2Of(vals: DataFrame, c: String): DataFrame = {
+    val cc = vals.groupBy(c).agg(count(lit(1)).as("cnt"))
+    Cumulative.runningSum(vals.sparkSession, cc, Seq(col(c)), col("cnt"), "cum")
+      .select(col(c), (lit(2L) * col("cum") - col("cnt") + 1L).as(s"r2_$c"))
+  }
+
   /** Spearman ρ over ANY `(gk, x, y)` group aggregate — the extracted
     * library face (`graft_spearman` SQL twin). One output row:
     * `(n_groups, sxy, sxx, syy, rho_r6)`; a constant leg (sxx or syy
-    * zero) is DECLARED ρ = 0. */
+    * zero) is DECLARED ρ = 0. Int64 moment bound: 4·G⁴ — see the tier
+    * doc for the G ≈ 3.9·10⁴ ceiling and the DECIMAL/BigInt escape. */
   private[graft] def spearmanOver(g: DataFrame): DataFrame = {
-    val b = broadcast(g.select(col("gk").as("gb"), col("x").as("xb"),
-      col("y").as("yb")))
-    val r = g.join(b, lit(true))
-      .groupBy("gk")
-      .agg((lit(2L) * sum(when(col("xb") < col("x"), 1L).otherwise(0L)) +
-        sum(when(col("xb") === col("x"), 1L).otherwise(0L)) + 1L).as("ra"),
-        (lit(2L) * sum(when(col("yb") < col("y"), 1L).otherwise(0L)) +
-          sum(when(col("yb") === col("y"), 1L).otherwise(0L)) + 1L).as("rb"))
+    val r = g
+      .join(rank2Of(g.select("x"), "x"), "x")
+      .join(rank2Of(g.select("y"), "y"), "y")
+      .select(col("r2_x").as("ra"), col("r2_y").as("rb"))
     val m = r.agg(count(lit(1)).as("n"), sum("ra").as("sa"), sum("rb").as("sb"),
       sum(col("ra") * col("ra")).as("saa"), sum(col("rb") * col("rb")).as("sbb"),
       sum(col("ra") * col("rb")).as("sab"))

@@ -104,6 +104,13 @@ object TierNinetyFour {
        |FROM m""".stripMargin) { (s, dir) =>
     import s.implicits._
     val w = winsorC2(TierFiftyFive.armRevenue(s, dir))
+    // both arms must be populated — fail loudly with the arm set instead
+    // of a bare NoSuchElementException (the oracle SQL returns NULL sums
+    // on an empty arm; an uplift readout over a missing arm is a fixture
+    // defect, not an answer — ADVICE r13)
+    require(w.contains(0L) && w.contains(1L),
+      s"q267 needs both experiment arms populated; got arms " +
+        s"{${w.keySet.toSeq.sorted.mkString(",")}}")
     Seq((w(0L)._1, w(1L)._1, w(0L)._2, w(1L)._2, w(1L)._2 - w(0L)._2))
       .toDF("n_a", "n_b", "win_a_c2", "win_b_c2", "diff_c2")
   }

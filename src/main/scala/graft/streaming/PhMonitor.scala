@@ -5,9 +5,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 import org.apache.spark.sql.streaming.ValueState
 
-/** One Page–Hinkley-charted day for one event type (append mode). */
+/** One Page–Hinkley-charted day for one event type (append mode).
+  * `pinned` = 1 when the type's μ was in the deployment's pinned map,
+  * 0 when it ran unpinned (δ = λ = 0 — maximally sensitive, alarms on
+  * any positive deviation): the visibility marker that tells an operator
+  * a NEW type is alarming because nobody has pinned it yet, not because
+  * it drifted (ADVICE r13). */
 final case class PhPoint(event_type: String, day_idx: Long, cnt: Long,
-    mean_run: Long, ph: Long, alarm: Long)
+    mean_run: Long, ph: Long, alarm: Long, pinned: Long)
 
 private[streaming] final case class PhState(i: Long, s: Long, m: Long, mn: Long)
 
@@ -21,7 +26,9 @@ private[streaming] final case class PhState(i: Long, s: Long, m: Long, mn: Long)
   * q260 derives it from the full grid, a live deployment from its
   * phase-I window). A type absent from the pinned map runs with
   * δ = λ = 0 — maximally sensitive until someone pins it (documented,
-  * not an error: the monitor must not drop data).
+  * not an error: the monitor must not drop data) — and every point it
+  * emits carries `pinned = 0`, so the alarm storm a brand-new type
+  * produces is visibly "unpinned type", not "drift".
   * Same delivery contract as s40/s45: day closes arrive per-type in
   * day order, micro-batches sorted on day before folding.
   */
@@ -52,6 +59,7 @@ final class PhMonitor(mu: Map[String, Long])
 
   override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
       timerValues: TimerValues): Iterator[PhPoint] = {
+    val isPinned = mu.contains(key)
     val mu0 = mu.getOrElse(key, 0L)
     val (delta, lambda) = (mu0 / TierNinety.DeltaDiv, mu0 / TierNinety.LambdaDiv)
     var (i, s, m, mn) =
@@ -61,7 +69,8 @@ final class PhMonitor(mu: Map[String, Long])
       val (i2, s2, m2, mn2) = TierNinety.phStep(i, s, m, mn, x, delta)
       i = i2; s = s2; m = m2; mn = mn2
       val ph = m2 - mn2
-      PhPoint(t, d, x, s2 / i2, ph, if (ph > lambda) 1L else 0L)
+      PhPoint(t, d, x, s2 / i2, ph, if (ph > lambda) 1L else 0L,
+        if (isPinned) 1L else 0L)
     }
     st.update(PhState(i, s, m, mn))
     out.iterator

@@ -82,4 +82,29 @@ object GraftSqlBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** The RDD ids behind a plan's LogicalRDD leaves — the exclusion set
+    * for [[releaseLeavesExcept]]. */
+  def leafIds(df: DataFrame): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => b += lr.rdd.id
+      case _ => ()
+    }
+    b.result()
+  }
+
+  /** [[releaseLeaves]] that spares the leaves in `keep` — for composed
+    * pipelines whose plan embeds a CALLER-OWNED checkpointed input (e.g.
+    * [[graft.operators.Dedup.maintain]]'s labels frame in a chained
+    * ingest loop): releasing the whole tree would destroy the caller's
+    * frame (lineage truncated ⇒ unrecoverable). Capture the input's ids
+    * with [[leafIds]] BEFORE building the composed plan, release with
+    * this afterwards. */
+  def releaseLeavesExcept(df: DataFrame, keep: Set[Int]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD if !keep(lr.rdd.id) =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

@@ -33,7 +33,13 @@ class DedupMaintainSpec extends SparkSpec {
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
     val m1 = Dedup.maintain(name, labels0, b1)
+    val m1Rows = m1.count()
     val m2 = Dedup.maintain(name, m1, b2)
+    // maintain must NOT consume its input: m1 is a checkpointed leaf fed
+    // into the second call, and the internal release must spare it
+    // (ADVICE r13 — releaseLeavesExcept) so the caller can still read it
+    assert(m1.count() == m1Rows,
+      "the previous round's labels must survive the next maintain")
     val got = m2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val fullLabels = Components.connected(
       docs.select(col("doc_id").as("id")),

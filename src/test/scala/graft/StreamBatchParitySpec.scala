@@ -622,9 +622,19 @@ class StreamBatchParitySpec extends SparkSpec {
       val grid = graft.operators.TierThirtyTwo.dailyCounts(Tables.load(spark, sf, "events"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       // frozen per-type mu only parameterizes delta and lambda (the level
-      // self-calibrates — PH's point); same floor-mean q260 derives
-      val mu = grid.groupBy(_._1).map { case (t, rs) =>
+      // self-calibrates — PH's point); same floor-mean q260 derives.
+      // One type is left UNPINNED on purpose: its chart rows must carry
+      // pinned = 0 (the ADVICE r13 visibility marker) while the pinned
+      // rest must still equal batch q260 bit for bit. The unpinned type
+      // runs with δ = λ = 0; the fixture type's μ is asserted ≥ LambdaDiv
+      // so its PINNED λ would be nonzero — the unpinned run is observably
+      // more trigger-happy, which is what the marker exists to flag.
+      val muAll = grid.groupBy(_._1).map { case (t, rs) =>
         t -> rs.map(_._3).sum / rs.size }
+      val unpinnedType = muAll.toSeq.maxBy(t => (t._2, t._1))._1
+      assert(muAll(unpinnedType) >= graft.operators.TierNinety.LambdaDiv,
+        "fixture: the unpinned type's mu must yield a nonzero pinned lambda")
+      val mu = muAll - unpinnedType
       val rows = grid.sortBy(x => (x._2, x._1)) // by day, types interleaved
       val in = MemoryStream[(String, Long, Long)]
       val q = PhMonitor.chart(
@@ -636,15 +646,27 @@ class StreamBatchParitySpec extends SparkSpec {
         rows.grouped(math.max(1, rows.size / 6)).foreach { c =>
           in.addData(c); q.processAllAvailable()
         }
-        val streamed = spark.table("s48_out").collect()
+        val streamedAll = spark.table("s48_out").collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getLong(4), r.getLong(5))).toSeq.sortBy(x => (x._1, x._2))
+            r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+          .sortBy(x => (x._1, x._2))
+        assert(streamedAll.forall(p =>
+            (p._7 == 0L) == (p._1 == unpinnedType)),
+          "pinned marker must be 0 exactly on the unpinned type")
+        val streamed = streamedAll.filter(_._1 != unpinnedType)
+          .map(p => (p._1, p._2, p._3, p._4, p._5, p._6))
         val batch = graft.operators.TierNinety.q260.run(spark, sf).collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
             r.getLong(4), r.getLong(5))).toSeq
-        assert(streamed == batch && streamed.exists(_._6 == 1L)
-            && streamed.exists(_._6 == 0L),
-          s"live PH chart must equal batch q260: ${streamed.size} vs ${batch.size}")
+        assert(streamed == batch.filter(_._1 != unpinnedType)
+            && streamed.exists(_._6 == 1L) && streamed.exists(_._6 == 0L),
+          s"live PH chart must equal batch q260 on the pinned types: " +
+            s"${streamed.size} vs ${batch.size}")
+        // the unpinned arm alarms on any positive deviation (λ = 0) — the
+        // storm the marker exists to explain
+        val unp = streamedAll.filter(_._1 == unpinnedType)
+        assert(unp.nonEmpty && unp.forall(p => (p._6 == 1L) == (p._5 > 0L)),
+          "unpinned type must alarm exactly on ph > 0")
       } finally q.stop()
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }

@@ -50,6 +50,26 @@ class TierNinetySpec extends SparkSpec {
       .collect().head.getDouble(4) == 0.0)
   }
 
+  test("spearmanOver ties: distributed prefix-sum rank2 ≡ pair-count definition on a heavily tied fixture") {
+    // the r13→r14 re-shape swapped the O(G²) broadcast pair count for
+    // value-grouped counts + the two-pass prefix sum (rank2 = 2·cum −
+    // cnt + 1); ties are where the two forms could drift, so pin them
+    // equal where BOTH legs tie in blocks
+    val g = Seq((1L, 5L, 9L), (2L, 5L, 9L), (3L, 5L, 2L), (4L, 7L, 9L),
+      (5L, 1L, 2L), (6L, 7L, 7L), (7L, 1L, 9L))
+    val (ra, rb) = (rank2(g.map(_._2)), rank2(g.map(_._3)))
+    val n = g.length.toLong
+    val (sa, sb) = (ra.sum, rb.sum)
+    val (saa, sbb) = (ra.map(v => v * v).sum, rb.map(v => v * v).sum)
+    val sab = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val (sxy, sxx, syy) = (n * sab - sa * sb, n * saa - sa * sa, n * sbb - sb * sb)
+    val rho = r6(sxy.toDouble / math.sqrt(sxx.toDouble * syy.toDouble))
+    val got = TierNinety.spearmanOver(g.toDF("gk", "x", "y")).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getDouble(4)) == ((n, sxy, sxx, syy, rho)))
+    graft.operators.Cumulative.releaseAll()
+  }
+
   test("q260 Page–Hinkley ≡ independently-coded sequential replay") {
     val dc = Tables.load(spark, sf, "events")
       .groupBy(col("event_type"),
