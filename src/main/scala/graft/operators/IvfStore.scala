@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   *   - `ledger/` `(ingest_id, batch_id)` — absorbed stream batches, the
   *     at-least-once replay guard ([[LexIndex.append]]'s semantics: ids are
   *     per streaming query; a second stream passes its own `ingestId`).
+  *   - `mirror/` (opt-in, `build(…, mirrored = true)`) — every vector
+  *     AGAIN under its runner-up cell, the replication that makes the
+  *     celled pair relation's reverse direction partition-prunable for
+  *     [[probePairs]] ([[SemanticDedup]]'s incremental pair source).
   *
   * [[graft.operators.TierTwelve.q92]] oracle-checks build+append+probe
   * end to end with q70's own SQL — serving from the appended store must
@@ -82,18 +86,50 @@ object IvfStore {
       .join(emb, "vec_id")
       .select(col("vec_id"), col("e"), col("cell"))
 
+  /** `(vec_id, e, cell)` rows keyed by the RUNNER-UP centroid — the
+    * second-nearest cell under exactly [[TierNine.assignTo]]'s distance
+    * and tie-break (squared L2 via the dot identity, ties on lower cid;
+    * the [[TierEleven.probeAssign]] probe2 definition). Vectors see no
+    * runner when the quantizer has one cell. */
+  private def runnerPlaced(emb: DataFrame, cents: DataFrame): DataFrame =
+    TierNine.candidates(emb, cents)
+      .join(TierNine.assignTo(emb, cents).withColumnRenamed("cid", "owncid"),
+        "vec_id")
+      .filter(col("cid") =!= col("owncid"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cell"))
+      .join(emb, "vec_id")
+      .select(col("vec_id"), col("e"), col("cell"))
+
+  private[operators] def mirrored(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/mirror")
+
   /** Persist the store: freeze `centroids` as the quantizer, assign `emb`
     * against the PERSISTED copy (one source of truth — assignments always
     * derive from the bits a later [[append]] will read), and lay the
-    * vectors out partitioned by cell. */
+    * vectors out partitioned by cell.
+    *
+    * `mirrored = true` additionally writes `mirror/` — every vector AGAIN
+    * under its runner-up cell. That doubles vector storage (the standard
+    * multi-probe posting-replication tradeoff) and buys [[probePairs]]
+    * its symmetry: the celled near-dup relation pairs a with b when
+    * EITHER probes the other's own cell, so an incremental probe must
+    * see not only the own-cell members of the batch's probed cells
+    * (`vectors/`) but also the stored vectors whose RUNNER-UP cell is a
+    * batch own cell — and without the mirror that reverse direction is a
+    * full-store scan, because runner-up is not the partition key. With
+    * it, both directions are static partition filters. */
   def build(spark: SparkSession, emb: DataFrame, path: String,
-      centroids: DataFrame): Unit = {
-    Seq("vectors", "ledger", "vectors_cpt_tmp", "vectors_cpt_old",
-        "ledger_cpt_tmp", "ledger_cpt_old")
+      centroids: DataFrame, mirrored: Boolean = false): Unit = {
+    Seq("vectors", "ledger", "mirror", "vectors_cpt_tmp", "vectors_cpt_old",
+        "ledger_cpt_tmp", "ledger_cpt_old", "mirror_cpt_tmp", "mirror_cpt_old")
       .foreach(d => delete(spark, s"$path/$d"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val frozen = spark.read.parquet(s"$path/centroids")
     Warehouse.writePartitioned(placed(emb, frozen), s"$path/vectors", "cell")
+    if (mirrored)
+      Warehouse.writePartitioned(runnerPlaced(emb, frozen), s"$path/mirror", "cell")
   }
 
   private def absorbed(spark: SparkSession, path: String, ingestId: String,
@@ -115,6 +151,12 @@ object IvfStore {
     val frozen = spark.read.parquet(s"$path/centroids")
     placed(newVecs, frozen)
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    // a mirrored store absorbs the batch's runner replicas too — append
+    // ≡ rebuild must hold for BOTH layouts or probePairs loses the
+    // reverse direction on absorbed batches
+    if (mirrored(spark, path))
+      runnerPlaced(newVecs, frozen)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/mirror")
     batchId.foreach { id =>
       spark.sql(s"SELECT '${ingestId.replace("'", "''")}' AS ingest_id, " +
           s"CAST($id AS BIGINT) AS batch_id")
@@ -150,6 +192,73 @@ object IvfStore {
       .limit(k)
   }
 
+  /** Every celled near-dup pair TOUCHING a batch — the incremental face
+    * of [[TierNineteen]]'s celled pair detector against a MIRRORED store
+    * (build with `mirrored = true`): `(doc_a, doc_b, c)` pairs at exact
+    * cosine ≥ `thr` under EXACTLY the batch detector's relation, which
+    * is directional — a pair (a, b), a < b, exists iff the SMALLER id's
+    * own + runner-up probe set contains the LARGER id's own cell
+    * (celledPairsOver joins probed×own and keeps `doc_a < doc_b`, so
+    * only the lower endpoint probes). Three candidate legs, all
+    * cell-keyed equi-joins:
+    *
+    *  1. batch as prober — batch (own + runner) rows × `vectors/` own
+    *     rows in the batch's probed cells, batch id < stored id;
+    *  2. stored as prober — batch own rows × stored rows that PROBE
+    *     those cells, stored id < batch id. A stored vector probes cell
+    *     c iff its own cell is c (its `vectors/` row) or its runner-up
+    *     cell is c (its `mirror/` row — the reverse direction that
+    *     would otherwise be a full-store scan, because runner-up is not
+    *     the partition key; the reason the mirrored layout exists, at
+    *     the standard multi-probe cost of 2× vector storage);
+    *  3. batch × batch — the arrivals against each other.
+    *
+    * Scale: the batch's probed cell ids are bounded driver metadata
+    * (≤ 2·|batch|, the [[probe]] rule), so every store read prunes to
+    * those cells' partitions at plan time; nothing re-reads or
+    * re-assigns the corpus. Zero-vector embeds carry no cosine signal —
+    * exclude them upstream (the celled detector's pair-universe rule).
+    */
+  def probePairs(spark: SparkSession, path: String, batch: DataFrame,
+      thr: Double): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    import TierNine.dotc
+    val frozen = spark.read.parquet(s"$path/centroids")
+    val own = TierNine.assignTo(batch, frozen)
+    val probed = TierEleven.probeAssign(batch, frozen, own, probe2 = true)
+    val probedCells = probed.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val ownCells = own.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def norm(c: org.apache.spark.sql.Column) = sqrt(dotc(c, c))
+    // batch sides: as prober (own + runner rows) and as target (own rows)
+    val bp = probed.join(batch, "vec_id")
+      .select(col("cid"), col("vec_id").as("pid"), col("e").as("pe"))
+    val bt = own.join(batch, "vec_id")
+      .select(col("cid"), col("vec_id").as("tid"), col("e").as("te"))
+    // stored sides: targets live in their own cell (vectors/); probers
+    // of a cell are its own members (vectors/) plus its runner-up
+    // members (mirror/)
+    val st = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell").as("cid"), col("vec_id").as("tid"), col("e").as("te"))
+    val sp = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(ownCells: _*))
+      .unionByName(spark.read.parquet(s"$path/mirror")
+        .filter(col("cell").isin(ownCells: _*)))
+      .select(col("cell").as("cid"), col("vec_id").as("pid"), col("e").as("pe"))
+    val cand = bp.join(st, Seq("cid"))       // leg 1: batch probes stored
+      .unionByName(sp.join(bt, Seq("cid"))   // leg 2: stored probes batch
+        .select(col("cid"), col("pid"), col("pe"), col("tid"), col("te")))
+      .unionByName(bp.join(bt, Seq("cid")))  // leg 3: batch × batch
+    cand.filter(col("pid") < col("tid"))
+      .withColumn("c",
+        dotc(col("pe"), col("te")) / (norm(col("pe")) * norm(col("te"))))
+      .filter(col("c") >= thr)
+      .select(col("pid").as("doc_a"), col("tid").as("doc_b"), col("c"))
+      .distinct()
+  }
+
   /** Maintenance after sustained ingest — the partitioned-path twin of
     * [[LexIndex.compact]]: rewrite the vector partitions to one file per
     * cell (repartition by cell, then swap directories) and fold the ledger
@@ -173,18 +282,18 @@ object IvfStore {
     rename(spark, vecDir, old)
     rename(spark, tmp, vecDir)
     delete(spark, old)
-    val ledgerDir = s"$path/ledger"
-    if (exists(spark, ledgerDir) &&
-        spark.read.parquet(ledgerDir).inputFiles.length > 1) {
-      val lTmp = s"$path/ledger_cpt_tmp"
-      val lOld = s"$path/ledger_cpt_old"
-      Seq(lTmp, lOld).foreach(d => delete(spark, d))
-      spark.read.parquet(ledgerDir).coalesce(1)
-        .write.parquet(lTmp)
-      rename(spark, ledgerDir, lOld)
-      rename(spark, lTmp, ledgerDir)
-      delete(spark, lOld)
+    if (mirrored(spark, path)) {
+      val mDir = s"$path/mirror"
+      val mTmp = s"$path/mirror_cpt_tmp"
+      val mOld = s"$path/mirror_cpt_old"
+      Seq(mTmp, mOld).foreach(d => delete(spark, d))
+      Warehouse.writePartitioned(
+        spark.read.parquet(mDir).repartition(col("cell")), mTmp, "cell")
+      rename(spark, mDir, mOld)
+      rename(spark, mTmp, mDir)
+      delete(spark, mOld)
     }
+    Warehouse.foldToOneFile(spark, s"$path/ledger")
     true
   }
 }

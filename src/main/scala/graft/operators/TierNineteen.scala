@@ -167,6 +167,18 @@ object TierNineteen {
     celledEmbedPairsOf(Tables.load(s, dir, "documents").select("doc_id", "text"),
       thr, probe2, k)
 
+  /** The celled pair join against CALLER-FROZEN centroids — the one-shot
+    * rebuild [[SemanticDedup]]'s maintain law compares to, and the pair
+    * source its build seeds from. Same relation as [[celledEmbedPairsOf]]
+    * (probed×own, `doc_a < doc_b`); the quantizer is the caller's frozen
+    * table instead of freshly trained cells. `emb` must be zero-vector
+    * free (the celled pair-universe rule). */
+  private[graft] def pairsOverCents(emb: DataFrame, cents: DataFrame,
+      thr: Double, probe2: Boolean = true): DataFrame = {
+    val own = TierNine.assignTo(emb, cents)
+    celledPairsOver(emb, own, TierEleven.probeAssign(emb, cents, own, probe2), thr)
+  }
+
   /** The celled family's shared embed frame: `(vec_id, e[8])` hash embeds
     * as a DOUBLE array, zero vectors excluded — persisted (trainer takes
     * 2 passes, assignment + both pair sides re-read it), into the

@@ -116,6 +116,32 @@ object Warehouse {
     spark.catalog.refreshTable(table)
   }
 
+  /** Fold a parquet DIRECTORY (not a catalog table) to a single file with
+    * rows preserved exactly — the ledger-compaction discipline: every
+    * ledger-writing ingest operator ([[graft.operators.IvfStore]],
+    * [[graft.streaming.SemanticAdmit]]) appends one tiny file per
+    * micro-batch and re-reads the whole directory per replay check, so
+    * after 10⁴ batches the at-least-once guard is file-open-bound.
+    * Same swap convention as [[compactBucketed]]: materialize fully under
+    * `<dir>_cpt_tmp`, move the old directory aside, rename in, drop —
+    * a crash mid-swap strands a `_cpt_*` directory but never loses a
+    * row. No-op (false) when the directory is missing or already a
+    * single file. */
+  def foldToOneFile(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return false
+    if (spark.read.parquet(dir).inputFiles.length <= 1) return false
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_cpt_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "_cpt_old")
+    Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    spark.read.parquet(dir).coalesce(1).write.parquet(tmp.toString)
+    require(fs.rename(path, old), s"rename $dir -> $old failed")
+    require(fs.rename(tmp, path), s"rename $tmp -> $dir failed")
+    fs.delete(old, true)
+    true
+  }
+
   /** Parquet with a per-file ROW CAP — the export-side shard control: a
     * training-data drop wants files sized for its consumers (loader
     * workers, object-store part limits), independent of this job's

@@ -121,6 +121,17 @@ object SemanticAdmit {
     }
   }
 
+  /** Fold the admission ledger at `outPath/ledger` to one file, rows
+    * preserved exactly — [[absorb]] appends a 1-row file per micro-batch
+    * and [[absorbed]] re-reads the whole directory per batch, so a
+    * long-running ingest's replay guard becomes file-open-bound without
+    * this (the [[graft.operators.IvfStore.compact]] ledger discipline;
+    * VERDICT r13 #4). Safe to call between batches at any cadence;
+    * replay-skip behavior is identical across a fold
+    * (SemanticAdmitSpec). Returns true when it folded. */
+  def compactLedger(spark: SparkSession, outPath: String): Boolean =
+    graft.sources.Warehouse.foldToOneFile(spark, s"$outPath/ledger")
+
   /** The streaming wiring: `foreachBatch` over a `(doc_id, text)` stream,
     * each micro-batch through [[absorb]]. */
   def run(stream: DataFrame, vocab: DataFrame, storePath: String,

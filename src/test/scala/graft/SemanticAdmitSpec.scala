@@ -112,6 +112,30 @@ class SemanticAdmitSpec extends SparkSpec {
       Thr, batchId = Some(0L))
     assert(admittedIds(out).size == n0, "re-delivered ledgered batch must be skipped")
 
+    // ledger compaction (VERDICT r13 #4): fold the per-batch ledger files
+    // to one, rows preserved exactly, replay-skip semantics identical —
+    // a ledgered id still skips, a fresh id still admits
+    assert(spark.read.parquet(s"$out/ledger").inputFiles.length > 1,
+      "fixture: the drained stream must have left multiple ledger files")
+    val ledgerRows = spark.read.parquet(s"$out/ledger")
+      .collect().map(_.toString).sorted.toSeq
+    assert(SemanticAdmit.compactLedger(spark, out), "the fold must trigger")
+    assert(spark.read.parquet(s"$out/ledger").inputFiles.length == 1,
+      "the ledger must fold to a single file")
+    assert(spark.read.parquet(s"$out/ledger")
+        .collect().map(_.toString).sorted.toSeq == ledgerRows,
+      "folding must preserve every ledgered batch id")
+    assert(!SemanticAdmit.compactLedger(spark, out),
+      "an already-folded ledger is a no-op")
+    SemanticAdmit.absorb(incoming.toDF("doc_id", "text"), vocab, store, out,
+      Thr, batchId = Some(1L))
+    assert(admittedIds(out).size == n0,
+      "a ledgered batch must still skip after the fold")
+    SemanticAdmit.absorb(Seq((9104L, "zq9x wq7k vv3m")).toDF("doc_id", "text"),
+      vocab, store, out, Thr, batchId = Some(2L))
+    assert(admittedIds(out).size == n0 + 1,
+      "a fresh batch must still admit after the fold")
+
     // grow mode: a twin of an earlier ADMISSION is rejected; the frozen
     // store admits both (the contrast that justifies the option)
     val novel = inVocabFresh.get
