@@ -236,7 +236,8 @@ object Dedup {
     // (lineage truncated ⇒ unrecoverable; ADVICE r13). The input stays
     // caller-owned: release it yourself once the chain is done.
     org.apache.spark.sql.GraftSqlBridge.releaseLeavesExcept(updated,
-      org.apache.spark.sql.GraftSqlBridge.leafIds(labels))
+      org.apache.spark.sql.GraftSqlBridge.leafIds(labels)
+        ++ org.apache.spark.sql.GraftSqlBridge.leafIds(newDocs))
     SigIndex.append(spark, name, nd, buckets)
     out
   }

@@ -92,7 +92,11 @@ object SemanticDedup {
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("vec_id"), col("lbl").as("cluster"))
     val out = GraftSqlBridge.freshLeaf(updated.localCheckpoint(true))
-    GraftSqlBridge.releaseLeavesExcept(updated, GraftSqlBridge.leafIds(labels))
+    // spare BOTH caller-owned inputs: labels AND newVecs can be
+    // checkpointed leaves (the ingest pipeline hands in its screened
+    // batch as one), and the store append below still reads the batch
+    GraftSqlBridge.releaseLeavesExcept(updated,
+      GraftSqlBridge.leafIds(labels) ++ GraftSqlBridge.leafIds(newVecs))
     IvfStore.append(spark, path, live, batchId = batchId, ingestId = ingestId)
     out
   }
