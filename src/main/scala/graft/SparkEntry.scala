@@ -60,7 +60,8 @@ object SparkEntry {
       operators.TierEightyNine.all ++ operators.TierNinety.all ++
       operators.TierNinetyOne.all ++ operators.TierNinetyTwo.all ++
       operators.TierNinetyThree.all ++ operators.TierNinetyFour.all ++
-      operators.TierNinetyFive.all ++ operators.TierNinetySix.all
+      operators.TierNinetyFive.all ++ operators.TierNinetySix.all ++
+      operators.TierNinetySeven.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

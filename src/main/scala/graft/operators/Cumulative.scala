@@ -154,6 +154,69 @@ object Cumulative {
     rowNumber(spark, events.select(col("event_id"), col("ts")),
       Seq(col("ts"), col("event_id")), "running_cnt", partitions)
 
+  /** Append `outName` = the NEXT row's `value` under the given TOTAL
+    * order — `lead(value) OVER (ORDER BY …)` without the single-partition
+    * window, NULL on the global last row. Same two-pass shape as
+    * [[rowNumber]]: range-partition + sort, then ONE bounded driver read
+    * (each partition's FIRST value — ≤ #partitions longs) stitches the
+    * partition boundaries, and a per-partition scan with one-row
+    * lookahead emits the lead. `value` must be integral (the neighbor
+    * arithmetic consumers do — value gaps, interval widths — is exact
+    * Int64); same ownership/release contract as [[rowNumber]].
+    */
+  def leadValue(spark: SparkSession, df: DataFrame, sortCols: Seq[Column],
+      value: Column, outName: String, partitions: Int = 0): DataFrame = {
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val resolved = df.select(value.as("__ld_probe")).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(resolved),
+      s"leadValue value must be integral, got ${resolved.catalogString}")
+    val in = df.withColumn("__ld_v", value.cast(LongType)).persist()
+    val parted = in
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .persist() // pin sampled range boundaries across the two passes
+    retained.synchronized { retained += parted }
+    // first sorted value per non-empty partition — bounded driver read
+    val vIdxIn = parted.schema.fieldIndex("__ld_v")
+    implicit val firstEnc: Encoder[(Int, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val firsts = parted.mapPartitions { it =>
+      if (it.hasNext) Iterator.single(
+        (TaskContext.getPartitionId(), it.next().getLong(vIdxIn)))
+      else Iterator.empty
+    }.collect().toMap
+    in.unpersist()
+    // boundary lead for partition pid = the first value of the next
+    // NON-EMPTY partition (range partitions can be empty on skewed keys)
+    val boundary: Array[Option[Long]] = Array.tabulate(p) { pid =>
+      ((pid + 1) until p).collectFirst {
+        case q if firsts.contains(q) => firsts(q)
+      }
+    }
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outName, LongType, nullable = true))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    parted.mapPartitions { it =>
+      val bnd: Any = boundary(TaskContext.getPartitionId())
+        .map(Long.box).orNull
+      new Iterator[Row] {
+        private var cur: Row = if (it.hasNext) it.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): Row = {
+          val nxt: Row = if (it.hasNext) it.next() else null
+          val lead: Any = if (nxt != null) Long.box(nxt.getLong(vIdxIn)) else bnd
+          // drop the internal __ld_v column (last), append the lead
+          val out = Row.fromSeq(cur.toSeq.dropRight(1) :+ lead)
+          cur = nxt
+          out
+        }
+      }
+    }
+  }
+
   /** Append `outName` = INCLUSIVE BIGINT running sum of `value` over the
     * given TOTAL order — `sum(value) OVER (ORDER BY …)` without the
     * single-partition window: the same two-pass shape as [[rowNumber]],

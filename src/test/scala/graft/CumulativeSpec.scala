@@ -50,6 +50,25 @@ class CumulativeSpec extends SparkSpec {
     Cumulative.releaseAll()
   }
 
+  test("two-pass leadValue ≡ window-function lead (boundary stitching incl. NULL last row)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.load(spark, sf, "events")
+      .select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"))
+    val windowed = df
+      .withColumn("nxt", lead("us", 1).over(Window.orderBy(col("us"), col("event_id"))))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toMap
+    // partitions = 7 forces six partition boundaries through the stitch
+    val twoPass = Cumulative.leadValue(spark, df,
+        Seq(col("us"), col("event_id")), col("us"), "nxt", partitions = 7)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else Long.box(r.getLong(2)))).toMap
+    assert(twoPass == windowed && twoPass.nonEmpty)
+    assert(twoPass.values.count(_ == null) == 1, "exactly one global last row")
+    Cumulative.releaseAll()
+  }
+
   test("runningSum rejects fractional value columns loudly (no silent truncation)") {
     val df = Tables.load(spark, sf, "events")
       .select(col("event_id"), col("ts"), col("value").cast("double").as("v"))
