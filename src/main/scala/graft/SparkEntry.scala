@@ -61,7 +61,8 @@ object SparkEntry {
       operators.TierNinetyOne.all ++ operators.TierNinetyTwo.all ++
       operators.TierNinetyThree.all ++ operators.TierNinetyFour.all ++
       operators.TierNinetyFive.all ++ operators.TierNinetySix.all ++
-      operators.TierNinetySeven.all ++ operators.TierNinetyEight.all
+      operators.TierNinetySeven.all ++ operators.TierNinetyEight.all ++
+      operators.TierNinetyNine.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
