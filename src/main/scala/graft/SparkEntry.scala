@@ -62,7 +62,7 @@ object SparkEntry {
       operators.TierNinetyThree.all ++ operators.TierNinetyFour.all ++
       operators.TierNinetyFive.all ++ operators.TierNinetySix.all ++
       operators.TierNinetySeven.all ++ operators.TierNinetyEight.all ++
-      operators.TierNinetyNine.all
+      operators.TierNinetyNine.all ++ operators.TierHundred.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time
