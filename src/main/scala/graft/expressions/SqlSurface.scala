@@ -597,6 +597,67 @@ object SqlSurface {
           SparkSession.active.table(g)))
       }),
 
+    ("graft_ks",
+      "graft_ks(arms STRING) - two-sample Kolmogorov-Smirnov D between" +
+        " arm 0 and arm 1 (n_a, n_b, d_num, d_ppm) over an (arm, cents)" +
+        " table/view (TierNinetySeven.ksOver — the q273 engine: exact" +
+        " integer cross-multiplied CDF gap, empty arm -> -1)",
+      exprs => {
+        arity("graft_ks", exprs, 1)
+        val a = strLit(exprs.head, "graft_ks", "arms")
+        GraftSqlBridge.analyzed(graft.operators.TierNinetySeven.ksOver(
+          SparkSession.active.table(a)))
+      }),
+
+    ("graft_wasserstein",
+      "graft_wasserstein(arms STRING) - 1-D Wasserstein (earth mover's)" +
+        " distance between arm 0 and arm 1 (n_a, n_b, w1_num, w1_c2) over" +
+        " an (arm, cents) table/view (TierNinetySeven.wassersteinOver —" +
+        " the q274 engine: exact integral of the integer CDF gap over the" +
+        " value spine, empty arm -> -1)",
+      exprs => {
+        arity("graft_wasserstein", exprs, 1)
+        val a = strLit(exprs.head, "graft_wasserstein", "arms")
+        GraftSqlBridge.analyzed(graft.operators.TierNinetySeven.wassersteinOver(
+          SparkSession.active.table(a)))
+      }),
+
+    ("graft_lorenz",
+      "graft_lorenz(units STRING) - Lorenz decile concentration table" +
+        " (decile, n_users, mass, cum_share_ppm) over a (user_id, cents)" +
+        " table/view (TierNinetyEight.lorenzDecilesOver — the q275" +
+        " engine: two-pass distributed rank + prefix sum, exact ppm)",
+      exprs => {
+        arity("graft_lorenz", exprs, 1)
+        val u = strLit(exprs.head, "graft_lorenz", "units")
+        GraftSqlBridge.analyzed(graft.operators.TierNinetyEight.lorenzDecilesOver(
+          SparkSession.active.table(u)))
+      }),
+
+    ("graft_gini_stump",
+      "graft_gini_stump(docs STRING[, topk INT]) - one-token decision" +
+        " stump table (token, n_with, gini_ppm) over a (doc_id, text," +
+        " cls) table/view: the topk [default 20] document-frequency" +
+        " tokens scored by count-weighted Gini impurity, best first" +
+        " (TierNinetyNine.giniStumpOver — the q278 engine)",
+      exprs => {
+        arity("graft_gini_stump", exprs, 1, 2)
+        val view = strLit(exprs.head, "graft_gini_stump", "docs")
+        val topk = if (exprs.length >= 2)
+          intLit(exprs(1), "graft_gini_stump", "topk") else 20
+        val docs = SparkSession.active.table(view)
+        val tok = docs.select(col("doc_id"), explode(
+            filter(split(col("text"), " "), x => x =!= "")).as("token"))
+          .distinct()
+        val cands = tok.groupBy("token")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token").asc).limit(topk)
+          .select("token")
+        GraftSqlBridge.analyzed(graft.operators.TierNinetyNine.giniStumpOver(
+          docs.select(col("doc_id"), col("cls")), tok, cands))
+      }),
+
     ("graft_hellinger",
       "graft_hellinger(docs STRING) - per-group Bhattacharyya/Hellinger" +
         " distance from the leave-one-out rest (grp, n_tok, bc_scaled," +

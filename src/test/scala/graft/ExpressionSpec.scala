@@ -591,6 +591,32 @@ class ExpressionSpec extends SparkSpec {
     operators.Cumulative.releaseAll()
   }
 
+  test("graft_ks / graft_wasserstein / graft_lorenz / graft_gini_stump from SQL ≡ the round-14 Scala engines") {
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val arms = Seq((0L, 10L), (0L, 20L), (0L, 20L), (1L, 15L), (1L, 40L))
+      .toDF("arm", "cents")
+    arms.createOrReplaceTempView("arm_in")
+    assert(rows(spark.sql("SELECT * FROM graft_ks('arm_in')")) ==
+      rows(operators.TierNinetySeven.ksOver(spark.table("arm_in"))))
+    assert(rows(spark.sql("SELECT * FROM graft_wasserstein('arm_in')")) ==
+      rows(operators.TierNinetySeven.wassersteinOver(spark.table("arm_in"))))
+    Seq((1L, 5L), (2L, 0L), (3L, 9L), (4L, 2L), (5L, 7L))
+      .toDF("user_id", "cents").createOrReplaceTempView("lz_in")
+    assert(rows(spark.sql("SELECT * FROM graft_lorenz('lz_in')")) ==
+      rows(operators.TierNinetyEight.lorenzDecilesOver(spark.table("lz_in"))))
+    Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang").as("cls"))
+      .createOrReplaceTempView("gs_in")
+    assert(rows(spark.sql("SELECT * FROM graft_gini_stump('gs_in', 20)")) ==
+      rows(operators.TierNinetyNine.q278.run(spark, sf)))
+    operators.Cumulative.releaseAll()
+  }
+
   test("graft_near_dup_pairs / graft_mutual_nn table functions from SQL ≡ the celled Scala engines") {
     graft.expressions.GraftFunctions.register(spark)
     Tables.load(spark, sf, "documents").select("doc_id", "text")
