@@ -137,5 +137,38 @@ object TierNinetySeven {
     wassersteinOver(TierFiftyFive.armRevenue(s, dir))
   }
 
+  /** KS-ON-GRID — THE shared fold behind the s50 live drift monitor
+    * ([[graft.streaming.KsMonitor]]) and its batch replays: the CDF gap
+    * against a FROZEN reference, evaluated AT the reference's grid
+    * points only. `counts(j)` = live observations in the j-th grid
+    * bucket (`(g_{j−1}, g_j]`; j = 0 includes everything ≤ g_0; j =
+    * grid-size is the beyond-grid overflow — it never hosts an
+    * evaluation point but DOES count in n_live, so rightward mass shift
+    * is still seen). `refCum(i)` = reference observations ≤ g_i,
+    * strictly positive and non-decreasing with `refCum.last` = n_ref.
+    *
+    * Returns `(n_live, d_num, d_ppm)` with the q273 cross-multiplied
+    * exactness: `d_num = max_i |cumLive_i·n_ref − cumRef_i·n_live|`,
+    * `d_ppm = 10⁶·d_num // (n_live·n_ref)`; an empty live side is the
+    * declared −1. Grid-KS is a LOWER bound of the exact two-sample D
+    * and EQUALS it whenever the live values all land on grid points
+    * (KsMonitorSpec pins both facts). */
+  private[graft] def ksGridStep(counts: collection.Map[Int, Long],
+      refCum: IndexedSeq[Long]): (Long, Long, Long) = {
+    val nRef = refCum.last
+    val nLive = counts.valuesIterator.sum
+    if (nLive == 0 || refCum.isEmpty) return (nLive, -1L, -1L)
+    var cum = 0L
+    var best = 0L
+    var i = 0
+    while (i < refCum.length) {
+      cum += counts.getOrElse(i, 0L)
+      val gap = math.abs(cum * nRef - refCum(i) * nLive)
+      if (gap > best) best = gap
+      i += 1
+    }
+    (nLive, best, 1000000L * best / (nLive * nRef))
+  }
+
   val all: Seq[Q] = Seq(q273, q274)
 }
