@@ -185,6 +185,14 @@ object Dedup {
   def policyDiff(docs: DataFrame, a: Artifacts): DataFrame =
     TierFortySix.policyDiffOver(docs, labOf(a), a.scores)
 
+  /** q280's cluster source-purity table from a shared build — `labels`
+    * IS q280's label set (the same `Components.connected` over
+    * `minhashPairs` on the full corpus), so the face ≡ the declared
+    * query exactly (BenchFacesSpec). */
+  def clusterPurity(docs: DataFrame, a: Artifacts): DataFrame =
+    TierHundred.purityOver(labOf(a),
+      docs.select(col("doc_id").as("id"), col("source").as("src")))
+
   /** INCREMENTAL CLUSTER MAINTENANCE — the ingest-loop composition of
     * the two incremental layers this repo already law-pins separately:
     * probe the batch against the persisted [[SigIndex]] (near-dup pairs

@@ -65,5 +65,7 @@ object SharedFaces {
       "q176_selection" -> ((s, dir, a) =>
         Dedup.budgetSelection(Tables.load(s, dir, "documents"), a, TierFortySix.Budget)),
       "q177_policy_diff" -> ((s, dir, a) =>
-        Dedup.policyDiff(Tables.load(s, dir, "documents"), a)))
+        Dedup.policyDiff(Tables.load(s, dir, "documents"), a)),
+      "q280_cluster_purity" -> ((s, dir, a) =>
+        Dedup.clusterPurity(Tables.load(s, dir, "documents"), a)))
 }
