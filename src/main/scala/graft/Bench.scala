@@ -5,10 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_SF_DIR` (default sf0.1), one JSON line on stdout.
   *
   * Method: one untimed warm-up pass (JIT + code cache + parquet footer
-  * cache), then two timed passes, min per entry. Each query is forced
-  * through a `noop` write so the FULL plan materializes on executors —
-  * `count()` would let Catalyst prune projections and under-measure
-  * scan/compute cost.
+  * cache), then two timed passes, min per entry, plus a third pass over
+  * the entries still reading >5 s (min-of-3 — slow entries dominate the
+  * total and swing the most under co-tenant load; VERDICT r14 #6). The
+  * 1-min system loadavg at start and end lands in the JSON so a
+  * cross-round swing is attributable to the box vs the code. Each query
+  * is forced through a `noop` write so the FULL plan materializes on
+  * executors — `count()` would let Catalyst prune projections and
+  * under-measure scan/compute cost.
   *
   * SHARED-ARTIFACTS SWEEP (VERDICT r12 #1): the two report families
   * that share a detector — the MinHash dedup reports over
@@ -89,10 +93,16 @@ object Bench {
     val plain = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => selected(n) && !faceNames(n) }
 
-    def runPass(): Seq[(String, Double)] = {
+    // sub: restrict a pass to a name subset (the min-of-3 re-run for
+    // slow entries — VERDICT r14 #6). A face subset still pays its
+    // shared-artifact build (that IS the production cost structure);
+    // the build's own entry is recorded only when itself selected.
+    def runPass(sub: String => Boolean = _ => true): Seq[(String, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      plain.foreach { case (n, f) => out += n -> exec(n, f) }
-      if (dedupFaces.nonEmpty) {
+      plain.foreach { case (n, f) => if (sub(n)) out += n -> exec(n, f) }
+      val dedupSel = dedupFaces.filter(p => sub(p._1))
+      val celledSel = celledFaces.filter(p => sub(p._1))
+      if (dedupSel.nonEmpty || (dedupFaces.nonEmpty && sub("a01_dedup_artifacts_build"))) {
         deepClean()
         var art: operators.Dedup.Artifacts = null
         val tBuild = {
@@ -109,14 +119,15 @@ object Bench {
             -1.0
           }
         }
-        out += "a01_dedup_artifacts_build" -> tBuild
+        if (sub("a01_dedup_artifacts_build"))
+          out += "a01_dedup_artifacts_build" -> tBuild
         val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-        dedupFaces.foreach { case (n, f) =>
+        dedupSel.foreach { case (n, f) =>
           out += n -> execFace(n, keep)(f(spark, sfDir, art))
         }
         if (art != null) art.release()
       }
-      if (celledFaces.nonEmpty) {
+      if (celledSel.nonEmpty || (celledFaces.nonEmpty && sub("a02_celled_artifacts_build"))) {
         deepClean()
         var art: operators.TierNineteen.CelledArtifacts = null
         val tBuild = {
@@ -131,9 +142,10 @@ object Bench {
             -1.0
           }
         }
-        out += "a02_celled_artifacts_build" -> tBuild
+        if (sub("a02_celled_artifacts_build"))
+          out += "a02_celled_artifacts_build" -> tBuild
         val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
-        celledFaces.foreach { case (n, f) =>
+        celledSel.foreach { case (n, f) =>
           out += n -> execFace(n, keep)(f(spark, sfDir, art))
         }
         if (art != null) art.release()
@@ -141,27 +153,55 @@ object Bench {
       out.toSeq
     }
 
-    runPass() // warm-up, untimed
-    // min of two timed cold-cache passes: the machine shares cores with
-    // other tenants and single-shot timings swing ±50%; the min is the
-    // least-interfered measurement of the same work
-    val p1 = runPass().toMap
-    val results = runPass().map { case (n, b) =>
-      val a = p1.getOrElse(n, -1.0)
-      n -> (if (b >= 0 && (a < 0 || b < a)) b else a)
-    }.sortBy(_._1)
+    // 1-min system loadavg at pass boundaries (VERDICT r14 #6): co-tenant
+    // load is the dominant cross-round noise source; recording it makes a
+    // 20% swing attributable to the box vs the code
+    def load1: Double = math.round(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100.0
+    val loadStart = load1
+
+    // SPARK_GRAFT_PASSES=1 → ONE cold timed pass, no warm-up (the scale
+    // probe's mode: at 10× data a multi-pass suite costs hours and the
+    // growth FACTOR, not the absolute floor, is the measurement)
+    val singlePass = sys.env.get("SPARK_GRAFT_PASSES").contains("1")
+    val results = (if (singlePass) runPass()
+    else {
+      runPass() // warm-up, untimed
+      // min of two timed cold-cache passes: the machine shares cores with
+      // other tenants and single-shot timings swing ±50%; the min is the
+      // least-interfered measurement of the same work
+      val p1 = runPass().toMap
+      val p2 = runPass().map { case (n, b) =>
+        val a = p1.getOrElse(n, -1.0)
+        n -> (if (b >= 0 && (a < 0 || b < a)) b else a)
+      }
+      // min-of-3 for slow entries (VERDICT r14 #6): >5 s entries dominate
+      // the total AND swing the most under co-tenancy; one extra pass over
+      // just those buys the attribution without tripling the suite
+      val slow = p2.collect { case (n, v) if v > 5.0 => n }.toSet
+      val p3 = if (slow.isEmpty) Map.empty[String, Double]
+        else runPass(slow).toMap
+      p2.map { case (n, v) =>
+        val c = p3.getOrElse(n, -1.0)
+        n -> (if (c >= 0 && (v < 0 || c < v)) c else v)
+      }
+    }).sortBy(_._1)
+    val loadEnd = load1
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // compact summary FIRST (VERDICT r13 #6): the full per-query line is
-    // ~10 KB at 270 queries and the driver's stdout tail capture has
-    // truncated it three rounds running ("parsed": null) — a short
-    // self-contained record up front parses even when the long line is
-    // cut, and names the artifact file that always holds the full map
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","load1_start":$loadStart,"load1_end":$loadEnd,"queries":$qs,"sf":"$sfDir"}"""
+    // compact summary BEFORE AND AFTER the full per-query line (VERDICT
+    // r14 #2): the per-query line is ~10 KB at 280 queries; the driver's
+    // capture has kept a stdout TAIL some rounds and a truncated head
+    // others — a short self-contained record on each side parses
+    // whichever end survives, and names the artifact file that always
+    // holds the full map
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${results.size},"artifact":"$outPath","sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_entries":${results.size},"load1_start":$loadStart,"load1_end":$loadEnd,"artifact":"$outPath","sf":"$sfDir"}"""
+    println(summary)
     println(line)
+    println(summary)
     // stdout shares the pipe with sbt/Spark noise and the driver's tail
     // capture truncated round 6's line mid-stream (BENCH_r06 lost q01-q31);
     // a file copy makes the capture path irrelevant. Default lands in the

@@ -149,25 +149,34 @@ object TierNinetySeven {
     *
     * Returns `(n_live, d_num, d_ppm)` with the q273 cross-multiplied
     * exactness: `d_num = max_i |cumLive_i·n_ref − cumRef_i·n_live|`,
-    * `d_ppm = 10⁶·d_num // (n_live·n_ref)`; an empty live side is the
-    * declared −1. Grid-KS is a LOWER bound of the exact two-sample D
-    * and EQUALS it whenever the live values all land on grid points
-    * (KsMonitorSpec pins both facts). */
+    * `d_ppm = 10⁶·d_num // (n_live·n_ref)`; an empty live OR reference
+    * side is the declared −1 (the empty-reference guard runs BEFORE any
+    * `refCum.last` read — ADVICE r14). Grid-KS is a LOWER bound of the
+    * exact two-sample D and EQUALS it whenever the live values all land
+    * on grid points (KsMonitorSpec pins both facts).
+    *
+    * Overflow discipline (ADVICE r14): a long-running monitor's live
+    * counts grow without bound, so the gap products and the 10⁶ ppm
+    * scaling fold in BigInt and only the final readouts narrow back to
+    * Int64 — exact for any `n_live·n_ref` < 2⁶³/10⁶ ≈ 9.2e12 per-key
+    * observations, saturating (never wrapping) beyond. */
   private[graft] def ksGridStep(counts: collection.Map[Int, Long],
       refCum: IndexedSeq[Long]): (Long, Long, Long) = {
-    val nRef = refCum.last
     val nLive = counts.valuesIterator.sum
-    if (nLive == 0 || refCum.isEmpty) return (nLive, -1L, -1L)
+    if (refCum.isEmpty || nLive == 0) return (nLive, -1L, -1L)
+    val nRef = refCum.last
     var cum = 0L
-    var best = 0L
+    var best = BigInt(0)
     var i = 0
     while (i < refCum.length) {
       cum += counts.getOrElse(i, 0L)
-      val gap = math.abs(cum * nRef - refCum(i) * nLive)
+      val gap = (BigInt(cum) * nRef - BigInt(refCum(i)) * nLive).abs
       if (gap > best) best = gap
       i += 1
     }
-    (nLive, best, 1000000L * best / (nLive * nRef))
+    val ppm = BigInt(1000000) * best / (BigInt(nLive) * nRef)
+    def sat(b: BigInt): Long = if (b > Long.MaxValue) Long.MaxValue else b.toLong
+    (nLive, sat(best), sat(ppm))
   }
 
   val all: Seq[Q] = Seq(q273, q274)

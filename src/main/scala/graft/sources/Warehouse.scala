@@ -127,6 +127,17 @@ object Warehouse {
     * a crash mid-swap strands a `_cpt_*` directory but never loses a
     * row. No-op (false) when the directory is missing or already a
     * single file. */
+  /** True when `dir` exists on the warehouse filesystem — the narrow
+    * "is there a ledger yet" probe the at-least-once replay guards need
+    * (ADVICE r14: a `try read catch { _ => false }` also swallows real
+    * I/O failures, making a re-delivered batch look fresh and
+    * double-appending its output; probing existence first lets every
+    * OTHER failure propagate so Spark retries the batch). */
+  def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   def foldToOneFile(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

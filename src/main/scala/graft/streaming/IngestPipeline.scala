@@ -67,7 +67,10 @@ object IngestPipeline {
   val BloomHashes = 3
 
   /** The frozen corpus-side working set + the live labels leaf. Release
-    * with [[Handle.release]] once the stream is done. */
+    * with [[Handle.release]] once the stream is done. `compactEvery`:
+    * fold the admission ledger and compact the IVF store every N
+    * ledgered batches (VERDICT r14 #4 — without a cadence, a 10⁵-batch
+    * ingest's replay guard goes file-open-bound); 0 disables. */
   final class Handle private[IngestPipeline] (
       val words: Array[Long],
       val sigStore: DataFrame,
@@ -75,6 +78,7 @@ object IngestPipeline {
       val storePath: String,
       val outPath: String,
       val thr: Double,
+      val compactEvery: Int,
       @volatile private var labelsRef: DataFrame) {
 
     /** Current `(vec_id, cluster)` labels over corpus ∪ admissions —
@@ -103,7 +107,7 @@ object IngestPipeline {
     * corpus embeds. */
   def build(spark: SparkSession, corpus: DataFrame, storePath: String,
       outPath: String, centroids: DataFrame => DataFrame,
-      thr: Double): Handle = {
+      thr: Double, compactEvery: Int = 16): Handle = {
     val docs = corpus.select("doc_id", "text")
     val words = Bloom.toBits(
       Bloom.build(docs, xxhash64(col("text")), bits = BloomBits,
@@ -119,7 +123,8 @@ object IngestPipeline {
     val emb = SemanticAdmit.embedOf(docs, vocab)
       .filter(call_function("graft_dot", col("e"), col("e")) > 0)
     val labels0 = SemanticDedup.build(spark, emb, storePath, centroids(emb), thr)
-    new Handle(words, sigStore, vocab, storePath, outPath, thr, labels0)
+    new Handle(words, sigStore, vocab, storePath, outPath, thr, compactEvery,
+      labels0)
   }
 
   /** The full admission screen, batch-shaped — stages 1–4 over any
@@ -136,14 +141,24 @@ object IngestPipeline {
     SemanticAdmit.screen(gated, h.vocab, h.storePath, h.thr)
   }
 
+  // existence probe first, NO blanket catch (ADVICE r14): a transient
+  // ledger read failure must FAIL the batch so Spark retries it, not
+  // silently read as "fresh" and double-process an absorbed batch
   private def ledgered(spark: SparkSession, outPath: String, id: Long): Boolean =
-    try spark.read.parquet(s"$outPath/ledger")
-      .filter(col("batch_id") === id).head(1).nonEmpty
-    catch { case _: Throwable => false } // no ledger yet
+    graft.sources.Warehouse.dirExists(spark, s"$outPath/ledger") &&
+      spark.read.parquet(s"$outPath/ledger")
+        .filter(col("batch_id") === id).head(1).nonEmpty
 
-  /** One micro-batch through the whole pipeline: screen → append
+  /** One micro-batch through the whole pipeline: screen → write
     * admissions → fold cluster labels + absorb into the store → ledger.
-    * A re-delivered ledgered batch is skipped whole. */
+    * A re-delivered ledgered batch is skipped whole. With a batch id the
+    * admissions land under the DETERMINISTIC partition dir
+    * `admitted/bid=<id>` in overwrite mode (ADVICE r14): a crash after
+    * the admitted write but before the ledger write replays the batch
+    * and OVERWRITES the same dir instead of appending a second copy —
+    * `admitted/` is exactly-once, not at-least-once. (Readers of the
+    * parent dir see the extra `bid` partition column; don't mix
+    * ledgered and unledgered absorbs into one `outPath`.) */
   def absorb(h: Handle, batch: DataFrame, batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     if (batchId.exists(ledgered(spark, h.outPath, _))) return
@@ -156,7 +171,12 @@ object IngestPipeline {
     // lineage here makes every downstream reference a shallow leaf read.
     val admitted = GraftSqlBridge.freshLeaf(
       screen(h, batch.select("doc_id", "text")).localCheckpoint(true))
-    admitted.write.mode("append").parquet(s"${h.outPath}/admitted")
+    batchId match {
+      case Some(id) => admitted.write.mode("overwrite")
+        .parquet(s"${h.outPath}/admitted/bid=$id")
+      case None => admitted.write.mode("append")
+        .parquet(s"${h.outPath}/admitted")
+    }
     // labels + store advance together: maintain materializes the fold
     // BEFORE the store absorb and shares the batch id with the store's
     // own ledger, so a crash between the two replays consistently
@@ -167,6 +187,13 @@ object IngestPipeline {
     batchId.foreach { id =>
       spark.sql(s"SELECT CAST($id AS BIGINT) AS batch_id")
         .coalesce(1).write.mode("append").parquet(s"${h.outPath}/ledger")
+      // auto-compaction cadence (VERDICT r14 #4): both calls are no-ops
+      // below their file-count thresholds and atomic-swap safe, so a
+      // fixed modulus costs one directory listing on off batches
+      if (h.compactEvery > 0 && id % h.compactEvery == 0 && id > 0) {
+        SemanticAdmit.compactLedger(spark, h.outPath)
+        graft.operators.IvfStore.compact(spark, h.storePath)
+      }
     }
   }
 

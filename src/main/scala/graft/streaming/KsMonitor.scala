@@ -32,8 +32,17 @@ final case class KsPoint(event_type: String, n_live: Long, d_num: Long,
   *
   * A key absent from the reference map still counts its arrivals
   * (overflow bucket) and emits `pinned = 0` with −1 distances.
+  *
+  * `maxLive` (ADVICE r14): tumbling count-window discipline for a
+  * long-running monitor — once a key's live count reaches it, the
+  * readout is emitted and the key's buckets CLEAR, so the next arrival
+  * starts a fresh window (drift is judged per window of recent
+  * arrivals, the CUSUM-reset posture, instead of an ever-staler
+  * all-history CDF). The default keeps all history; the ppm arithmetic
+  * is BigInt-exact either way ([[TierNinetySeven.ksGridStep]]).
   */
-final class KsMonitor(ref: Map[String, IndexedSeq[(Long, Long)]])
+final class KsMonitor(ref: Map[String, IndexedSeq[(Long, Long)]],
+    maxLive: Long = Long.MaxValue)
     extends StatefulProcessor[String, (String, Long), KsPoint] {
 
   @transient private var st: MapState[Int, Long] = _
@@ -67,13 +76,15 @@ final class KsMonitor(ref: Map[String, IndexedSeq[(Long, Long)]])
     if (!touched) Iterator.empty
     else {
       val counts = st.iterator().map { case (k, v) => k -> v }.toMap
-      pinnedRef match {
+      val out = pinnedRef match {
         case Some(rc) =>
           val (n, num, ppm) = TierNinetySeven.ksGridStep(counts, rc.map(_._2))
-          Iterator.single(KsPoint(key, n, num, ppm, 1L))
+          KsPoint(key, n, num, ppm, 1L)
         case None =>
-          Iterator.single(KsPoint(key, counts.valuesIterator.sum, -1L, -1L, 0L))
+          KsPoint(key, counts.valuesIterator.sum, -1L, -1L, 0L)
       }
+      if (out.n_live >= maxLive) st.clear() // tumbling window boundary
+      Iterator.single(out)
     }
   }
 }
@@ -82,14 +93,15 @@ object KsMonitor {
 
   /** Drift-readout stream over a `(event_type, v)` value feed against
     * the per-key frozen reference CDFs. */
-  def watch(values: DataFrame,
-      ref: Map[String, IndexedSeq[(Long, Long)]]): Dataset[KsPoint] = {
+  def watch(values: DataFrame, ref: Map[String, IndexedSeq[(Long, Long)]],
+      maxLive: Long = Long.MaxValue): Dataset[KsPoint] = {
     val spark = values.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     values.select(col("event_type").cast("string"), col("v").cast("long"))
       .as[(String, Long)]
       .groupByKey(_._1)
-      .transformWithState(new KsMonitor(ref), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new KsMonitor(ref, maxLive), TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -91,16 +91,20 @@ object SemanticAdmit {
     docs.join(twins, Seq("doc_id"), "left_anti")
   }
 
+  // existence probe first, NO blanket catch (ADVICE r14): a transient
+  // ledger read failure must FAIL the batch so Spark retries it, not
+  // silently read as "fresh" and double-admit an absorbed batch
   private def absorbed(spark: SparkSession, outPath: String, batchId: Long): Boolean =
-    try spark.read.parquet(s"$outPath/ledger")
-      .filter(col("batch_id") === batchId).head(1).nonEmpty
-    catch { case _: Throwable => false } // no ledger yet
+    graft.sources.Warehouse.dirExists(spark, s"$outPath/ledger") &&
+      spark.read.parquet(s"$outPath/ledger")
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
 
   /** One micro-batch through the screen with the replay contract
-    * ([[IvfStore.append]]'s): admitted rows append to
-    * `outPath/admitted`, the batch id lands in `outPath/ledger` AFTER
-    * the write, and an at-least-once re-delivery of a ledgered batch is
-    * skipped instead of double-admitted. With `grow`, admitted non-zero
+    * ([[IvfStore.append]]'s): admitted rows land under
+    * `outPath/admitted/bid=<id>` (overwrite — replay-idempotent even in
+    * the crash window before the ledger write), the batch id lands in
+    * `outPath/ledger` AFTER the write, and an at-least-once re-delivery
+    * of a ledgered batch is skipped whole. With `grow`, admitted non-zero
     * embeds are absorbed into the store before the ledger write (the
     * store append keeps its own ledger under the same batch id). */
   def absorb(batch: DataFrame, vocab: DataFrame, storePath: String,
@@ -110,7 +114,15 @@ object SemanticAdmit {
     if (batchId.exists(absorbed(spark, outPath, _))) return
     val admitted = screen(batch, vocab, storePath, thr)
       .persist() // read twice below (write + optional grow); dropped before return
-    admitted.write.mode("append").parquet(s"$outPath/admitted")
+    // deterministic partition dir per ledgered batch (ADVICE r14): a
+    // crash-window replay overwrites instead of double-appending, so
+    // admitted/ is exactly-once; unledgered batch calls keep the flat
+    // append (don't mix the two modes in one outPath)
+    batchId match {
+      case Some(id) => admitted.write.mode("overwrite")
+        .parquet(s"$outPath/admitted/bid=$id")
+      case None => admitted.write.mode("append").parquet(s"$outPath/admitted")
+    }
     if (grow) IvfStore.append(spark, storePath,
       embedOf(admitted, vocab).filter(dotc(col("e"), col("e")) > 0),
       batchId = batchId, ingestId = "semantic_admit")

@@ -210,6 +210,28 @@ class IngestPipelineSpec extends SparkSpec {
     assert(h.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       == labelsBefore, "labels must not move on a replayed batch")
 
+    // ---- auto-compaction cadence (VERDICT r14 #4): an absorb whose
+    // batch id hits the modulus folds the ledger mid-stream; replay
+    // skips and fresh admissions are unchanged across the fold ----
+    val ledgerIdsBefore = spark.read.parquet(s"$outPath/ledger")
+      .collect().map(_.getLong(0)).toSet
+    assert(spark.read.parquet(s"$outPath/ledger").inputFiles.length > 1,
+      "fixture: the stream must have left multiple ledger files")
+    IngestPipeline.absorb(h,
+      Seq((9009L, "zq9x wq7k vv3m mm2p")).toDF("doc_id", "text"),
+      batchId = Some(112L)) // 112 % 16 == 0 → the cadence fires
+    assert(spark.read.parquet(s"$outPath/ledger").inputFiles.length == 1,
+      "the cadence batch must fold the admission ledger to one file")
+    assert(spark.read.parquet(s"$outPath/ledger")
+        .collect().map(_.getLong(0)).toSet == ledgerIdsBefore + 112L,
+      "folding must preserve every ledgered batch id")
+    val afterCadence = admittedIds
+    IngestPipeline.absorb(h,
+      Seq((9010L, "another new doc")).toDF("doc_id", "text"),
+      batchId = Some(1L)) // ledgered pre-fold → must still skip post-fold
+    assert(admittedIds == afterCadence,
+      "a pre-fold ledgered id must still skip after the fold")
+
     h.release()
     Cumulative.releaseAll()
     spark.catalog.clearCache()

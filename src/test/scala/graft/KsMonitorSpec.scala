@@ -117,4 +117,52 @@ class KsMonitorSpec extends SparkSpec {
       graft.operators.Cumulative.releaseAll()
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
   }
+
+  test("s50: empty-reference sentinel, BigInt ppm beyond Int64, maxLive window reset (ADVICE r14)") {
+    // empty reference CDF: the -1 sentinel, NOT NoSuchElementException
+    // (the r14 guard-order fix — refCum.last ran before the isEmpty check)
+    assert(TierNinetySeven.ksGridStep(Map(0 -> 5L), IndexedSeq.empty[Long])
+      == ((5L, -1L, -1L)), "empty reference must read the -1 sentinel")
+    assert(TierNinetySeven.ksGridStep(Map.empty[Int, Long], IndexedSeq.empty[Long])
+      == ((0L, -1L, -1L)), "empty both sides must read the -1 sentinel")
+    // overflow: n_live = 10^13 in the overflow bucket against n_ref = 1 —
+    // the pre-fix 10^6·best wraps Int64 (10^19 > 2^63); BigInt reads the
+    // exact maximal drift
+    val big = 10000000000000L
+    val (nB, numB, ppmB) = TierNinetySeven.ksGridStep(Map(1 -> big), IndexedSeq(1L))
+    assert(nB == big && numB == big && ppmB == 1000000L,
+      s"10^13 live obs must read exact maximal ppm, got ($nB, $numB, $ppmB)")
+
+    // maxLive = 3: the readout at the boundary covers the first window,
+    // then the buckets clear and the next batch is a FRESH window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ref = Map("k" -> refOf(Seq(10L, 20L, 30L)))
+      val in = MemoryStream[(String, Long)]
+      val q = KsMonitor.watch(
+          in.toDF().select(col("_1").as("event_type"), col("_2").as("v")),
+          ref, maxLive = 3L)
+        .toDF()
+        .writeStream.format("memory").queryName("s50_reset")
+        .outputMode("append").start()
+      try {
+        in.addData(("k", 10L), ("k", 10L), ("k", 10L)); q.processAllAvailable()
+        in.addData(("k", 30L), ("k", 30L)); q.processAllAvailable()
+        val pts = spark.table("s50_reset").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val gridK = ref("k").map(_._1)
+        val w1 = TierNinetySeven.ksGridStep(
+          bucketFold(gridK, Seq(10L, 10L, 10L)), ref("k").map(_._2))
+        val w2 = TierNinetySeven.ksGridStep(
+          bucketFold(gridK, Seq(30L, 30L)), ref("k").map(_._2))
+        assert(pts == Seq((w1._1, w1._2, w1._3), (w2._1, w2._2, w2._3)),
+          s"window 2 must start fresh after the maxLive boundary: $pts vs $w1 / $w2")
+        assert(pts(1)._1 == 2L, "post-reset n_live must count only the new window")
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+  }
 }

@@ -158,4 +158,52 @@ class SemanticAdmitSpec extends SparkSpec {
     vocab.unpersist()
     Cumulative.releaseAll()
   }
+
+  test("s46: crash-window replay overwrites admitted/ exactly-once; a corrupt ledger FAILS the batch (ADVICE r14)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val vocab = freshVocab(corpus)
+    val emb = SemanticAdmit.embedOf(corpus, vocab)
+      .filter(expr("aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x)") > 0)
+    val store = java.nio.file.Files.createTempDirectory("sem_eo_store").toString
+    IvfStore.build(spark, emb, store, IvfStore.train(emb, k = 2))
+    val out = java.nio.file.Files.createTempDirectory("sem_eo_out").toString
+    val batch = Seq((90L, "totally novel words here")).toDF("doc_id", "text")
+
+    def admittedRows(): Seq[Long] =
+      spark.read.parquet(s"$out/admitted").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+
+    SemanticAdmit.absorb(batch, vocab, store, out, Thr, batchId = Some(5L))
+    assert(admittedRows() == Seq(90L), "fixture: the novel doc admits")
+
+    // the crash window: admitted/ written, ledger write never happened —
+    // simulate by deleting the ledger, then re-deliver the same id. The
+    // deterministic bid=5 dir must OVERWRITE, not append a second copy.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/ledger"), true)
+    SemanticAdmit.absorb(batch, vocab, store, out, Thr, batchId = Some(5L))
+    assert(admittedRows() == Seq(90L),
+      "a crash-window replay must overwrite its own bid dir, never duplicate")
+
+    // a ledger that EXISTS but cannot be read is a real failure, not
+    // "no ledger yet": the batch must fail (so Spark retries it) instead
+    // of silently re-processing as fresh
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/ledger"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/ledger"))
+    val garbage = fs.create(
+      new org.apache.hadoop.fs.Path(s"$out/ledger/part-corrupt.parquet"))
+    garbage.write("this is not a parquet file".getBytes)
+    garbage.close()
+    intercept[Exception] {
+      SemanticAdmit.absorb(batch, vocab, store, out, Thr, batchId = Some(6L))
+    }
+    assert(admittedRows() == Seq(90L),
+      "a failed ledger probe must not have admitted anything")
+    vocab.unpersist()
+    Cumulative.releaseAll()
+  }
 }
