@@ -62,7 +62,9 @@ object SparkEntry {
       operators.TierNinetyThree.all ++ operators.TierNinetyFour.all ++
       operators.TierNinetyFive.all ++ operators.TierNinetySix.all ++
       operators.TierNinetySeven.all ++ operators.TierNinetyEight.all ++
-      operators.TierNinetyNine.all ++ operators.TierHundred.all
+      operators.TierNinetyNine.all ++ operators.TierHundred.all ++
+      operators.TierHundredOne.all ++ operators.TierHundredTwo.all ++
+      operators.TierHundredThree.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

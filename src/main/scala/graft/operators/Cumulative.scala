@@ -91,15 +91,22 @@ object Cumulative {
       case (acc, pid) => acc + perPartition.getOrElse(pid, 0L)
     }.toArray // exclusive prefix: offsets(pid) = rows before partition pid
     val outSchema = StructType(df.schema.fields :+ StructField(outName, LongType))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    parted.mapPartitions { it =>
-      val base = offsets(TaskContext.getPartitionId())
-      var i = 0L
-      it.map { r =>
-        i += 1
-        Row.fromSeq(r.toSeq :+ (base + i))
-      }
-    }
+    // mapPartitionsWithIndex on the RDD, NOT Dataset.mapPartitions +
+    // TaskContext.getPartitionId(): a narrow downstream chain (broadcast
+    // join → union) fuses this map into a stage whose task indices are
+    // the UNION's partition numbering, so TaskContext reports an id ≥ p
+    // for the second union leg (measured: ArrayIndexOutOfBounds in the
+    // q281 face). The RDD partition index is structural and survives any
+    // downstream plan shape.
+    spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val base = offsets(pid)
+        var i = 0L
+        it.map { r =>
+          i += 1
+          Row.fromSeq(r.toSeq :+ (base + i))
+        }
+      }, outSchema)
   }
 
   /** Append `outName` = INCLUSIVE BIGINT running MAX of `value` over the
@@ -136,16 +143,17 @@ object Cumulative {
       case (acc, pid) => math.max(acc, perPartition.getOrElse(pid, Long.MinValue))
     }.toArray
     val outSchema = StructType(in.schema.fields :+ StructField(outName, LongType))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    parted.mapPartitions { it =>
-      var acc = offsets(TaskContext.getPartitionId())
-      val vIdx = outSchema.fieldIndex("__rm_v")
-      it.map { r =>
-        val before = acc
-        acc = math.max(acc, r.getLong(vIdx))
-        Row.fromSeq(r.toSeq :+ (if (exclusive) before else acc))
-      }
-    }.drop("__rm_v")
+    // RDD partition index, not TaskContext — see rowNumber's union hazard
+    spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = offsets(pid)
+        val vIdx = outSchema.fieldIndex("__rm_v")
+        it.map { r =>
+          val before = acc
+          acc = math.max(acc, r.getLong(vIdx))
+          Row.fromSeq(r.toSeq :+ (if (exclusive) before else acc))
+        }
+      }, outSchema).drop("__rm_v")
   }
 
   /** Cumulative count over the total order (ts, event_id); returns
@@ -198,23 +206,23 @@ object Cumulative {
     }
     val outSchema = StructType(df.schema.fields :+
       StructField(outName, LongType, nullable = true))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    parted.mapPartitions { it =>
-      val bnd: Any = boundary(TaskContext.getPartitionId())
-        .map(Long.box).orNull
-      new Iterator[Row] {
-        private var cur: Row = if (it.hasNext) it.next() else null
-        def hasNext: Boolean = cur != null
-        def next(): Row = {
-          val nxt: Row = if (it.hasNext) it.next() else null
-          val lead: Any = if (nxt != null) Long.box(nxt.getLong(vIdxIn)) else bnd
-          // drop the internal __ld_v column (last), append the lead
-          val out = Row.fromSeq(cur.toSeq.dropRight(1) :+ lead)
-          cur = nxt
-          out
+    // RDD partition index, not TaskContext — see rowNumber's union hazard
+    spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val bnd: Any = boundary(pid).map(Long.box).orNull
+        new Iterator[Row] {
+          private var cur: Row = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): Row = {
+            val nxt: Row = if (it.hasNext) it.next() else null
+            val lead: Any = if (nxt != null) Long.box(nxt.getLong(vIdxIn)) else bnd
+            // drop the internal __ld_v column (last), append the lead
+            val out = Row.fromSeq(cur.toSeq.dropRight(1) :+ lead)
+            cur = nxt
+            out
+          }
         }
-      }
-    }
+      }, outSchema)
   }
 
   /** Append `outName` = INCLUSIVE BIGINT running sum of `value` over the
@@ -256,14 +264,15 @@ object Cumulative {
       case (acc, pid) => acc + perPartition.getOrElse(pid, 0L)
     }.toArray
     val outSchema = StructType(in.schema.fields :+ StructField(outName, LongType))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    parted.mapPartitions { it =>
-      var acc = offsets(TaskContext.getPartitionId())
-      val vIdx = outSchema.fieldIndex("__rs_v")
-      it.map { r =>
-        acc += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ acc)
-      }
-    }.drop("__rs_v")
+    // RDD partition index, not TaskContext — see rowNumber's union hazard
+    spark.createDataFrame(
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = offsets(pid)
+        val vIdx = outSchema.fieldIndex("__rs_v")
+        it.map { r =>
+          acc += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ acc)
+        }
+      }, outSchema).drop("__rs_v")
   }
 }

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier 101 (round 15): multi-pass blocking for edit-distance ER and
+  * the classical species-richness estimate of a corpus vocabulary.
+  *
+  *  - q281: MULTI-PASS BLOCKED EDIT-DISTANCE PAIRS (VERDICT r14 #5) —
+  *    q271's single prefix-16 block misses any edit in the FIRST 16
+  *    characters by construction; the standard remedy is multi-pass
+  *    blocking (Christen 2012 §4.2): run several cheap blocking passes
+  *    with complementary keys and verify the UNION of their candidate
+  *    pairs. Pass 1 is q271's prefix-16 equi-join (catches tail edits);
+  *    pass 2 is q94's sorted-neighborhood machinery over the REVERSED
+  *    string (suffix-locality — strings differing only near the head
+  *    sort adjacent when read right-to-left), window w = 5. The pair
+  *    sets are dedup'd before the Levenshtein verify so no pair pays
+  *    the O(len²) DP twice. Recall strictly improves on head-edit
+  *    fixtures while the candidate count stays linear in the corpus
+  *    (TierHundredOneSpec pins both against brute force).
+  *  - q282: CHAO1 VOCABULARY RICHNESS (Chao 1984) — the lower-bound
+  *    estimate of the TRUE vocabulary size behind a corpus sample,
+  *    from the singleton/doubleton counts: `Ŝ = D + f₁²/(2·f₂)` (the
+  *    bias-corrected `D + f₁(f₁−1)/2` when no doubletons exist). The
+  *    unseen-mass sibling of q262's Good–Turing: GT prices the NEXT
+  *    token being novel, Chao1 sizes the whole unseen tail — the
+  *    "how much vocabulary does 10× more data buy" scaling readout.
+  *    All counts are exact Int64 and the estimator is declared as the
+  *    FLOOR form (integer division), so both engines agree bit for
+  *    bit with no float in the plan at all.
+  *
+  * Scale: q281 is two equi-joins (block key; rank adjacency via one
+  * explode of w offsets — q94's pattern, never all-pairs) over a
+  * distributed two-pass rank; q282 is two hash aggregations (token
+  * counts, then count-of-counts) folded to one row.
+  *
+  * Reference mapping: none (SURVEY.md §2.1) — north-star dedup /
+  * corpus-analysis ops.
+  */
+object TierHundredOne {
+
+  /** Union-of-blocks candidate pairs over ANY single-column `s` frame of
+    * DISTINCT strings: prefix-`prefixLen` blocks ∪ sorted-neighborhood
+    * (reversed order, window `w`), canonical `sa < sb`, dedup'd. The
+    * verify is the caller's. */
+  private[graft] def multiBlockPairs(spark: SparkSession, s: DataFrame,
+      prefixLen: Int, w: Int): DataFrame = {
+    val base = s.select(col("s"))
+    val keyed = base.withColumn("k", substring(col("s"), 1, prefixLen))
+    val prefixPairs = keyed.select(col("k"), col("s").as("sa"))
+      .join(keyed.select(col("k"), col("s").as("sb")), Seq("k"))
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb")
+    val ranked = Cumulative.rowNumber(spark,
+      base.withColumn("rev", reverse(col("s"))),
+      Seq(col("rev"), col("s")), "rk")
+    val left = ranked.select(col("s").as("s_a"),
+        explode(sequence(lit(1L), lit(w.toLong))).as("off"), col("rk"))
+      .withColumn("rk_b", col("rk") + col("off"))
+    val right = ranked.select(col("s").as("s_b"), col("rk").as("rk_b"))
+    val snPairs = left.join(right, "rk_b")
+      .select(least(col("s_a"), col("s_b")).as("sa"),
+        greatest(col("s_a"), col("s_b")).as("sb"))
+    prefixPairs.unionByName(snPairs).distinct()
+  }
+
+  /** Multi-pass blocked Levenshtein pair distribution over ANY
+    * single-column `s` frame: `(dist, n_pairs)` for 1 ≤ dist ≤ maxDist. */
+  private[graft] def editMultiBlockedOver(spark: SparkSession, s: DataFrame,
+      maxDist: Int, prefixLen: Int = 16, w: Int = 5): DataFrame =
+    multiBlockPairs(spark, s, prefixLen, w)
+      .select(levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist && col("dist") >= 1)
+      .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+
+  val q281 = Q("q281_edit_multi_blocked",
+    """WITH c AS (SELECT DISTINCT c_name AS s FROM customer),
+      |pb AS (
+      |  SELECT a.s AS sa, b.s AS sb
+      |  FROM c a JOIN c b ON substr(a.s, 1, 16) = substr(b.s, 1, 16)
+      |    AND a.s < b.s),
+      |r AS (SELECT s, row_number() OVER (ORDER BY reverse(s), s) AS rk FROM c),
+      |sn AS (
+      |  SELECT least(a.s, b.s) AS sa, greatest(a.s, b.s) AS sb
+      |  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 5),
+      |u AS (SELECT DISTINCT sa, sb FROM (
+      |  SELECT sa, sb FROM pb UNION ALL SELECT sa, sb FROM sn))
+      |SELECT CAST(levenshtein(sa, sb) AS BIGINT) AS dist,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM u WHERE levenshtein(sa, sb) BETWEEN 1 AND 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    editMultiBlockedOver(s,
+      Tables.load(s, dir, "customer").select(col("c_name").as("s")).distinct(),
+      maxDist = 2)
+  }
+
+  /** Chao1 over ANY `(token)` occurrence frame: one row
+    * `(n_types, f1, f2, chao1_floor)` — exact Int64 throughout. */
+  private[graft] def chao1Over(tokens: DataFrame): DataFrame =
+    tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("d"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("d").as("n_types"), col("f1"), col("f2"),
+        expr("""CAST(CASE WHEN f2 > 0 THEN d + (f1 * f1) DIV (2 * f2)
+                |     ELSE d + (f1 * (f1 - 1)) DIV 2 END AS BIGINT)"""
+          .stripMargin).as("chao1_floor"))
+
+  val q282 = Q("q282_chao1_richness",
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM t WHERE token <> '' GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS d,
+      |             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |             CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |      FROM tc)
+      |SELECT d AS n_types, f1, f2,
+      |       CAST(CASE WHEN f2 > 0 THEN d + (f1 * f1) // (2 * f2)
+      |            ELSE d + (f1 * (f1 - 1)) // 2 END AS BIGINT) AS chao1_floor
+      |FROM m""".stripMargin) { (s, dir) =>
+    chao1Over(Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= ""))
+  }
+
+  val all: Seq[Q] = Seq(q281, q282)
+}
