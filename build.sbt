@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms = Xmx: growing a large heap through repeated full GCs taxed the
+  // FIRST heavy query ~300 s at 10× data (SCALE.md diagnosis #2/#3 —
+  // q104 cold-first 423 s vs 97 s warm, identical plan); a benchmark JVM
+  // should own its heap from the start
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

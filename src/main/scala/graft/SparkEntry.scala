@@ -64,7 +64,8 @@ object SparkEntry {
       operators.TierNinetySeven.all ++ operators.TierNinetyEight.all ++
       operators.TierNinetyNine.all ++ operators.TierHundred.all ++
       operators.TierHundredOne.all ++ operators.TierHundredTwo.all ++
-      operators.TierHundredThree.all
+      operators.TierHundredThree.all ++ operators.TierHundredFour.all ++
+      operators.TierHundredFive.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q07 exercises the spine of the reference: scan, projection, event-time

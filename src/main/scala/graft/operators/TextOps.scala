@@ -151,4 +151,59 @@ object TextOps {
     tokid.groupBy("doc_id").agg(
       array_sort(collect_list(col("tid"))).as("tids"),
       count(lit(1)).as("n"))
+
+  /** PPJoin prefix-filtered candidate pairs at J ≥ num/den over per-doc
+    * RAREST-FIRST sorted dense-id set arrays `(doc_id, sids, n)` — the
+    * q28 machinery parameterized by threshold (round 15: the 10× scale
+    * probe measured q23's unfiltered token self-join at 899 s where this
+    * plan reads minutes; Σdf² row explosions never reach a shuffle here).
+    *
+    * Completeness: J ≥ t forces a shared element into each side's
+    * `n − ⌈t·n⌉ + 1` rarest ids (prefix filter, lossless); the join
+    * predicate then applies the length filter
+    * (`den·min ≥ num·max`), the POSITIONAL filter (at the first shared
+    * element the remaining overlap is capped by `min(na−pos_a, nb−pos_b)`,
+    * which must reach `⌈num(na+nb)/(num+den)⌉`), and first-shared-element
+    * dedup (no earlier shared prefix id — disjoint earlier slices ⇒ each
+    * pair surfaces exactly once, no distinct shuffle). All integer
+    * compares, evaluated inside the join, short-circuiting before the
+    * slice residual allocates. */
+  def ppjoinCandidates(arrs: DataFrame, num: Int, den: Int): DataFrame = {
+    val prefix = arrs
+      .select(col("doc_id"), col("n"),
+        expr(s"slice(sids, 1, cast(n - floor(($num * n + ${den - 1}) / $den) + 1 as int))")
+          .as("pre"))
+      .select(col("doc_id"), col("n"), col("pre"),
+        posexplode(col("pre")).as(Seq("pos", "sid")))
+    val xp = prefix.select(col("doc_id").as("doc_a"), col("n").as("na0"),
+      col("pre").as("pa"), col("pos").as("pos_a"), col("sid"))
+    val yp = prefix.select(col("doc_id").as("doc_b"), col("n").as("nb0"),
+      col("pre").as("pb"), col("pos").as("pos_b"), col("sid").as("sid_b"))
+    xp.join(yp,
+        col("sid") === col("sid_b") && col("doc_a") < col("doc_b")
+          && col("na0") * den >= col("nb0") * num
+          && col("nb0") * den >= col("na0") * num
+          && least(col("na0") - col("pos_a"), col("nb0") - col("pos_b"))
+             * (num + den) >= (col("na0") + col("nb0")) * num
+          && !arrays_overlap(
+            slice(col("pa"), lit(1), col("pos_a")),
+            slice(col("pb"), lit(1), col("pos_b"))))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[tokenArrays]] with RAREST-FIRST ids built in: ranks the vocabulary
+    * by (df, token) — [[Cumulative.rowNumber]]'s two-pass rank, never a
+    * global window — and returns `(doc_id, sids, n)` ready for
+    * [[ppjoinCandidates]]. The vocab join is left to AQE (broadcast when
+    * the dictionary is small, shuffle when it is corpus-sized). */
+  def rarestFirstArrays(t: DataFrame): DataFrame = {
+    val sv = Cumulative.rowNumber(t.sparkSession,
+        t.groupBy("token").agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("token")), "sid")
+      .select("token", "sid")
+    t.join(sv, "token")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("sid"))).as("sids"),
+        count(lit(1)).as("n"))
+  }
 }

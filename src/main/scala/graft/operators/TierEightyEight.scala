@@ -84,14 +84,16 @@ object TierEightyEight {
           .withColumn("i", expr("cast(bit_count(ma & mb) as bigint)")).persist()
         (truth.count(), cand.count(), cand.filter(isTrue).count())
       } else {
-        val sz = tokid.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val ta = tokid.select(col("doc_id").as("doc_a"), col("tid"))
-        val tb = tokid.select(col("doc_id").as("doc_b"), col("tid"))
-        val truth = ta.join(tb, ta("tid") === tb("tid")
-            && col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
-          .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-          .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        // truth via the PPJoin prefix-filtered plan (round 15 — complete
+        // by the prefix-filter argument, same isTrue verify; the previous
+        // unfiltered token self-join was the 10× probe's worst entry)
+        val arrs = TextOps.rarestFirstArrays(t).persist()
+        val truth = TextOps.ppjoinCandidates(arrs, 3, 5)
+          .join(arrs.select(col("doc_id").as("doc_a"), col("sids").as("sa"),
+            col("n").as("na")), "doc_a")
+          .join(arrs.select(col("doc_id").as("doc_b"), col("sids").as("sb"),
+            col("n").as("nb")), "doc_b")
+          .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
           .filter(isTrue).select("doc_a", "doc_b").persist()
         val postings = bkeys.select(col("doc_id"), col("ks"),
           posexplode(col("ks")).as(Seq("band", "bkey"))).persist()

@@ -196,8 +196,14 @@ object TierSixteen {
     val eMap = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
     val eSurv = eMap.groupBy("h").agg(min("doc_id").as("e_surv"))
     val docToE = eMap.join(eSurv, "h").select("doc_id", "e_surv")
+    // persisted like q104's: the detector and the Components node set
+    // each materialize this frame several times — unpersisted, the
+    // sha2-collapse lineage re-executes through every internal pin
+    // (the 10× scale probe measured q114 at 4.4× q104 on identical
+    // machinery before this line; SCALE.md diagnosis #2)
     val distinctDocs = docs.join(
-      eSurv.select(col("e_surv").as("doc_id")), Seq("doc_id"), "left_semi")
+        eSurv.select(col("e_surv").as("doc_id")), Seq("doc_id"), "left_semi")
+      .persist()
     val labeled = Dedup.clusters(distinctDocs)
       .withColumnRenamed("doc_id", "e_surv")
     docToE.join(labeled, "e_surv")
