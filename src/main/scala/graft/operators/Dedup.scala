@@ -136,13 +136,18 @@ object Dedup {
     * round-7 leak class stays closed structurally). */
   def artifacts(docs: DataFrame): Artifacts = {
     val pins = new Pins
-    val pairs = pins(TierFour.minhashPairs(
-      TextOps.tokOf(docs.select("doc_id", "text")), pins))
+    // ONE corpus tokenize + vocabulary rank feeds both the detector and
+    // the classifier scores (r15 — the two builds ranked the identical
+    // dictionary independently; DedupArtifactsSpec pins both members
+    // against their self-training twins bit for bit)
+    val t = pins(TextOps.tokOf(docs.select("doc_id", "text")))
+    val v = TextOps.vocab(t, Some(pins))
+    val pairs = pins(TierFour.minhashPairsOver(t, v, pins))
     val labels = pins(Components.connected(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("id").as("doc_id"), col("lbl").as("cluster")))
-    val scores = pins(TierEleven.classifierScoresOf(docs, Some(pins)))
+    val scores = pins(TierEleven.classifierScoresOf(docs, Some(pins), Some(v)))
     Artifacts(pairs, labels, scores, () => {
       pins.release()
       org.apache.spark.sql.GraftSqlBridge.releaseLeaves(labels)
@@ -192,6 +197,13 @@ object Dedup {
   def clusterPurity(docs: DataFrame, a: Artifacts): DataFrame =
     TierHundred.purityOver(labOf(a),
       docs.select(col("doc_id").as("id"), col("source").as("src")))
+
+  /** q288's cluster-size log₂ bands from a shared build — `labels` IS
+    * q288's label set (the same `Components.connected` over
+    * `minhashPairs` on the full corpus — the q55/q280 argument), so the
+    * face ≡ the declared query exactly (BenchFacesSpec). */
+  def sizeBands(a: Artifacts): DataFrame =
+    TierHundredFour.sizeHistogramOver(labOf(a))
 
   /** INCREMENTAL CLUSTER MAINTENANCE — the ingest-loop composition of
     * the two incremental layers this repo already law-pins separately:

@@ -67,5 +67,7 @@ object SharedFaces {
       "q177_policy_diff" -> ((s, dir, a) =>
         Dedup.policyDiff(Tables.load(s, dir, "documents"), a)),
       "q280_cluster_purity" -> ((s, dir, a) =>
-        Dedup.clusterPurity(Tables.load(s, dir, "documents"), a)))
+        Dedup.clusterPurity(Tables.load(s, dir, "documents"), a)),
+      "q288_cluster_size_bands" -> ((s, dir, a) =>
+        Dedup.sizeBands(a)))
 }

@@ -173,13 +173,18 @@ object TierEleven {
     * the [[Dedup.artifacts]] build path; vocab-rank caches go into the
     * caller's [[Pins]] when provided. */
   private[graft] def classifierScoresOf(
-      docs: DataFrame, pins: Option[Pins] = None): DataFrame = {
+      docs: DataFrame, pins: Option[Pins] = None,
+      sharedVocab: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val vocab = Cumulative.rowNumber(s,
-        toks.select("token").distinct(), Seq(col("token")), "tid", pins = pins)
+    // a composed build (Dedup.artifacts) passes the detector's vocabulary
+    // — the identical (token, tid) rank over the same corpus dictionary
+    // (DedupArtifactsSpec pins scores ≡ the self-training q83 twin), so
+    // the corpus is tokenized + rank-shuffled once, not twice (r15)
+    val vocab = sharedVocab.getOrElse(Cumulative.rowNumber(s,
+        toks.select("token").distinct(), Seq(col("token")), "tid", pins = pins))
     // one Scala source of truth for the stand-in weights (pseudoWeights —
     // scoreCol's array and this model table must never drift); the oracle
     // SQL restates the formula as the intentional second engine

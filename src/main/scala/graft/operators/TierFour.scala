@@ -124,6 +124,17 @@ object TierFour {
     // the dedup queries embed this whole pipeline)
     val t = pins(t0)
     val v = TextOps.vocab(t, Some(pins))
+    minhashPairsOver(t, v, pins)
+  }
+
+  /** [[minhashPairs]] over a caller-prepared token relation and vocabulary
+    * — `t` must already be pinned and `v` built over `t`'s distinct tokens
+    * ([[TextOps.vocab]]). Lets a composed build ([[Dedup.artifacts]])
+    * share ONE corpus tokenize + vocabulary rank across the detector and
+    * the classifier scores instead of ranking the same dictionary twice
+    * (r15). */
+  private[operators] def minhashPairsOver(t: DataFrame, v: DataFrame,
+      pins: Pins): DataFrame = {
     val tokid = pins(TextOps.tokid(t, v)) // feeds signatures AND verification
     val bkeys = bandKeys(tokid)
     def selfJoinPairs(postings: DataFrame,

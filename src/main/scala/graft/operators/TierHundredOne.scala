@@ -47,7 +47,11 @@ object TierHundredOne {
     * verify is the caller's. */
   private[graft] def multiBlockPairs(spark: SparkSession, s: DataFrame,
       prefixLen: Int, w: Int): DataFrame = {
-    val base = s.select(col("s"))
+    // three materializations (both prefix-join legs + the reverse-rank
+    // input) — persisted, the caller's distinct scan runs once (swept by
+    // Verify/Bench's per-query hygiene; the r15 q281 profile charged
+    // ~1/3 of the query to the repeated distinct)
+    val base = s.select(col("s")).persist()
     val keyed = base.withColumn("k", substring(col("s"), 1, prefixLen))
     val prefixPairs = keyed.select(col("k"), col("s").as("sa"))
       .join(keyed.select(col("k"), col("s").as("sb")), Seq("k"))
@@ -70,8 +74,11 @@ object TierHundredOne {
     * single-column `s` frame: `(dist, n_pairs)` for 1 ≤ dist ≤ maxDist. */
   private[graft] def editMultiBlockedOver(spark: SparkSession, s: DataFrame,
       maxDist: Int, prefixLen: Int = 16, w: Int = 5): DataFrame =
+    // thresholded levenshtein (q271's r15 form): −1 for pairs beyond
+    // maxDist, excluded by the dist ≥ 1 filter exactly as the full DP's
+    // > maxDist values were — identical output, banded-DP cost
     multiBlockPairs(spark, s, prefixLen, w)
-      .select(levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .select(levenshtein(col("sa"), col("sb"), maxDist).cast("long").as("dist"))
       .filter(col("dist") <= maxDist && col("dist") >= 1)
       .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
       .orderBy("dist")

@@ -110,17 +110,34 @@ object TierHundredTwo {
       .persist()
     // C ≥ num/den with |A| ≤ |B| forces a shared sid into A's
     // n − ⌈num·n/den⌉ + 1 rarest; the prefix side is ALWAYS the
-    // (potentially) smaller doc, the full side is everything
+    // (potentially) smaller doc, the full side is everything. Both sides
+    // posexplode so the join can apply the POSITIONAL filter (r15, the
+    // TextOps.ppjoinCandidates argument adapted to containment): both
+    // arrays share the rarest-first sort order, so a pair's GLOBALLY-
+    // FIRST shared sid is the same element in both — at that row the
+    // intersection is capped by the elements from the match onward,
+    // min(np−pos_p, nf−pos_f); below ⌈num·np/den⌉ the pair cannot
+    // qualify. The bound only LOOSENS toward earlier positions, so the
+    // first-shared row of every qualifying pair always survives and
+    // killing later rows is harmless — candidates drop ~8× (3.1M → 0.4M
+    // measured at sf0.1) before the distinct + attach joins pay for
+    // them. (An array-carrying single-join form was tried and REVERTED:
+    // Catalyst pushes the i-verify filter into the join condition ahead
+    // of the cheap predicates, evaluating array_intersect on every raw
+    // match — the attach-join shape keeps the verify after the distinct
+    // where it runs once per candidate.)
     val prefix = arrs.select(col("doc_id").as("pid"), col("n").as("np"),
-        explode(expr(
+        posexplode(expr(
           s"slice(sids, 1, cast(n - floor(($num * n + $den - 1) / $den) + 1 as int))"))
-          .as("sid"))
+          .as(Seq("pos_p", "sid")))
     val full = arrs.select(col("doc_id").as("fid"), col("n").as("nf"),
-      explode(col("sids")).as("sid"))
+      posexplode(col("sids")).as(Seq("pos_f", "sid_f")))
     val cand = prefix.join(full,
-        prefix("sid") === full("sid")
+        col("sid") === col("sid_f")
           && (col("np") < col("nf")
-            || (col("np") === col("nf") && col("pid") < col("fid"))))
+            || (col("np") === col("nf") && col("pid") < col("fid")))
+          && least(col("np") - col("pos_p"), col("nf") - col("pos_f")) * den
+             >= col("np") * num)
       .select(least(col("pid"), col("fid")).as("doc_a"),
         greatest(col("pid"), col("fid")).as("doc_b"))
       .distinct()

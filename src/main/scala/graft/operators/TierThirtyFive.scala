@@ -75,7 +75,12 @@ object TierThirtyFive {
        |         row_number() OVER (PARTITION BY c ORDER BY score DESC, cand ASC) AS rk
        |  FROM sc) WHERE rk <= $TopRecs
        |ORDER BY cust, score DESC, supp""".stripMargin) { (s, dir) =>
-    val cs = csOf(s, dir)
+    // cs feeds FOUR materializations (both salted self-join legs, the
+    // scoring join, the anti-join) — unpersisted, the orders⋈lineitem
+    // join + distinct ran four times (8 base scans in the r15 plan
+    // audit; the single heaviest bench entry at 13.2 s). Persisted like
+    // q104's survivor frame; swept by Verify/Bench's per-query hygiene.
+    val cs = csOf(s, dir).persist()
     // whale-customer guard: the c-keyed self-join's d² pair rows would
     // land in one task — salt it (pair set identical by construction;
     // TierThirtyFiveSpec pins both the plan and the equality)

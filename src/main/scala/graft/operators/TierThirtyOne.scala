@@ -48,8 +48,12 @@ object TierThirtyOne {
        |ORDER BY shared DESC, s_a, s_b LIMIT $TopK""".stripMargin) { (s, dir) =>
     val orders = Tables.load(s, dir, "orders")
     val lineitem = Tables.load(s, dir, "lineitem")
+    // both salted self-join legs re-materialize cs — persisted, the
+    // orders⋈lineitem join + distinct runs once (q154's r15 fix; swept
+    // by Verify/Bench's per-query hygiene)
     val cs = orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+      .persist()
     // whale-customer guard: salt the c-keyed self-join (q154's guard);
     // the < filter keeps each unordered pair once
     Skew.saltedCoPairs(cs, col("c"), col("su"))

@@ -39,11 +39,22 @@ object Warehouse {
     * the planner declines the bucketed scan when the keys only partially
     * overlap, so bucket by the FULL join key set of the intended probe. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-      bucketCol: String, moreCols: String*): Unit =
-    df.write.mode("overwrite")
+      bucketCol: String, moreCols: String*): Unit = {
+    import org.apache.spark.sql.functions.col
+    // repartition by the bucket keys first: `HashPartitioning` and the
+    // bucket id share the same murmur3+pmod, so each task holds exactly
+    // its own bucket and writes ONE file — without it every input task
+    // writes a file per bucket it touches (measured r15: a 32-bucket
+    // SigIndex build left 192 postings files; small files cost the write
+    // AND every later bucket-pruned probe — guide §6). Callers that are
+    // already partitioned this way (compactBucketed) collapse the extra
+    // Exchange via CollapseRepartition.
+    df.repartition(buckets, (bucketCol +: moreCols).map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, bucketCol, moreCols: _*).sortBy(bucketCol, moreCols: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Append rows to an existing bucketed table. The bucket spec MUST match
     * the original [[writeBucketed]] (same count + columns — Spark refuses

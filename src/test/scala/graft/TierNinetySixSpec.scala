@@ -47,6 +47,17 @@ class TierNinetySixSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
 
+  test("editBlockedOver: in-block pairs beyond maxDist are excluded (thresholded-DP −1 path)") {
+    // the r15 thresholded levenshtein returns −1 past maxDist; the
+    // fixture's customer blocks never exceed dist 2 (only the last two
+    // name chars vary), so this pins the exclusion explicitly: one block
+    // holding a dist-1 pair AND a dist-4 pair must report only the former
+    val ks = Seq(("x", "aaaa"), ("x", "aaab"), ("x", "zzzz")).toDF("k", "s")
+    val got = TierNinetySix.editBlockedOver(ks, maxDist = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L), s"got $got")
+  }
+
   test("q272 ≡ in-memory moment replay; arm swap negates d; constant arms declare 0") {
     // the q166/q194 arm frame, replayed with its literal hash (the
     // TierFiftyFiveSpec convention — the constants are the contract)
