@@ -80,6 +80,16 @@ object DevProbe {
       println(f"[devprobe] q58 components                         ${(System.nanoTime() - t1) / 1e9}%8.2f s")
       val keep = lbl.filter(col("id") === col("lbl")).select(col("id").as("doc_id"))
       time("q58 final semi join")(noop(distinctDocs.join(keep, Seq("doc_id"), "left_semi")))
+      val pairsP = pairs.persist()
+      println("[devprobe] q58 pair count = " + pairsP.count())
+      val res = Components.connectedWithStats(
+        distinctDocs.select(col("doc_id").as("id")),
+        pairsP.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      println(s"[devprobe] q58 CC contractionRounds=${res.contractionRounds} " +
+        s"starRounds=${res.starRounds} localSolved=${res.localSolved}")
+      val t2 = System.nanoTime()
+      noop(res.labels)
+      println(f"[devprobe] q58 CC labels noop (pinned pairs)    ${(System.nanoTime() - t2) / 1e9}%8.2f s")
       spark.stop(); return
     }
 
