@@ -146,15 +146,84 @@ object Components {
   private def truncate(df: DataFrame): DataFrame =
     GraftSqlBridge.freshLeaf(df.localCheckpoint(true))
 
+  /** Per-task union-find node cap for [[preContractPass]]: bounds the
+    * map at ~64 MiB per task (2^22 entries × ~16 B); edges arriving
+    * after the cap pass through raw — correctness never depends on the
+    * cap, only the reduction ratio does. */
+  private[graft] val PreContractNodeCap = 1 << 22
+
+  /** MAP-SIDE PRE-CONTRACTION (r15, guide §2.3 "aggregate before you
+    * shuffle" applied to connectivity): one pass of per-partition
+    * union-find over the canonical edges, emitting each partition's
+    * spanning forest — ≤ (distinct nodes in the partition) − 1 edges
+    * instead of every edge. The union of per-partition spanning forests
+    * has exactly the original's connected components (a forest preserves
+    * the connectivity of the edges it absorbed; pass-through edges are
+    * kept verbatim), so every downstream fixpoint — whose result, the
+    * component-min labeling, is already partitioning-invariant — is
+    * unchanged while the first distributed round's input drops from |E|
+    * to ~|V| per partition (measured at sf0.1: the q58-family pair graph
+    * is 6.76 M edges over ≤10 k nodes — the checkpoint + hash-min round
+    * over it was the single largest block of every dedup recomposition).
+    * Emitted edges are canonical by construction: unions root at the
+    * MIN, so find(x) < x for every non-root.
+    *
+    * Memory: the per-task map is bounded by [[PreContractNodeCap]]
+    * entries; past the cap remaining edges stream through untouched
+    * (an adversarially diffuse partition degrades to a partial
+    * reduction, never to an error). ComponentsSpec pins
+    * preContract-on ≡ off on paths and random graphs. */
+  private def preContractPass(canon: DataFrame): DataFrame = {
+    val s = canon.sparkSession
+    import s.implicits._
+    canon.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val passThrough = it.flatMap { case (a, b) =>
+          if (parent.size < PreContractNodeCap) {
+            parent.getOrElseUpdate(a, a)
+            parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            Iterator.empty
+          } else Iterator.single((a, b))
+        }
+        // forest emission AFTER the input is exhausted (++'s right operand
+        // is by-name); keys materialized first — find() path-compresses,
+        // and mutating a LongMap under its own keysIterator is undefined
+        passThrough ++ {
+          val keys = parent.keys.toArray
+          keys.iterator.flatMap { x =>
+            val r = find(x)
+            if (r != x) Iterator.single((r, x)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("u", "v")
+  }
+
   private[graft] def connectedWithStats(
       nodes: DataFrame, edges: DataFrame, maxRounds: Int = 100,
-      localEdgeThreshold: Long = DefaultLocalEdgeThreshold): Result = {
+      localEdgeThreshold: Long = DefaultLocalEdgeThreshold,
+      preContract: Boolean = true): Result = {
     // active contracted edge set, canonical (u < v); materializing this
-    // runs the upstream detector exactly once
-    var cur = truncate(edges
+    // runs the upstream detector exactly once — through the map-side
+    // pre-contraction pass by default (preContract = false is the
+    // spec-only switch that keeps the pathological-path star-phase law
+    // testable, the localEdgeThreshold = 0 convention)
+    val canon = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .filter(col("u") =!= col("v")))
+      .filter(col("u") =!= col("v"))
+    var cur = truncate(if (preContract) preContractPass(canon) else canon)
     // node -> super-node pointer, composed across rounds
     var mapping = truncate(nodes.select(col("id"), col("id").as("lbl")))
     var rounds = 0

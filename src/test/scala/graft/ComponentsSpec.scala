@@ -62,11 +62,14 @@ class ComponentsSpec extends SparkSpec {
     // it to the large/small-star phase, which finishes in ≈log n rounds.
     // localEdgeThreshold=0 forces the fully-distributed path — with the
     // default endgame threshold this graph would be solved locally.
+    // preContract=false keeps the star law testable (r15): the map-side
+    // pre-contraction collapses each partition's path segment outright,
+    // leaving a #partitions-node chain that never needs the star phase.
     val n = 10000L
     val res = Components.connectedWithStats(
       spark.range(n).select(col("id")),
       spark.range(n - 1).select(col("id").as("src"), (col("id") + 1L).as("dst")),
-      localEdgeThreshold = 0L)
+      localEdgeThreshold = 0L, preContract = false)
     assert(res.starRounds > 0, "a path must route through the star phase")
     assert(res.contractionRounds <= 4,
       s"stall detection should fire within two slow rounds on a path, ran ${res.contractionRounds} contraction rounds")
@@ -116,6 +119,33 @@ class ComponentsSpec extends SparkSpec {
       assert(got == expected, s"seed $seed diverged")
       assert(!res.localSolved, "threshold 0 must keep the solve distributed")
       org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+    }
+  }
+
+  test("map-side pre-contraction: on ≡ off (labels), path and random graphs") {
+    // r15: the per-partition spanning-forest pass must never change the
+    // labeling — only the first distributed round's input volume. Path
+    // (the shape pre-contraction helps most) + random multi-component
+    // graphs, both compared label-for-label against preContract=false.
+    val n = 5000L
+    val nodes = spark.range(n).select(col("id"))
+    val pathEdges = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+    def labelsOf(pre: Boolean): Map[Long, Long] = {
+      val res = Components.connectedWithStats(nodes, pathEdges, preContract = pre)
+      val got = res.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+      got
+    }
+    assert(labelsOf(true) == labelsOf(false), "pre-contraction changed the path labeling")
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.zip(Gen.chooseNum(0L, 59L), Gen.chooseNum(0L, 59L))
+    for (seed <- 30 until 33) {
+      val edges = (0 until 80).flatMap(i =>
+        edgeGen.apply(Gen.Parameters.default, Seed(seed * 1000L + i)))
+      val expected = unionFind(60, edges)
+      assert(run(60, edges) == expected, s"seed $seed diverged (preContract on)")
     }
   }
 
