@@ -59,6 +59,33 @@ object DevProbe {
         .filter(col("dist") <= 2 && col("dist") >= 1)
         .groupBy("dist").agg(count(lit(1)).as("n_pairs"))))
 
+    // ---- a01-at-scale bisect: pairs materialization vs CC pre/post contraction ----
+    if (args.length > 1 && args(1) == "cc") {
+      import graft.operators.{Components, Pins, TextOps, TierFour}
+      val docs = Tables.load(spark, sfDir, "documents")
+      val pins = new Pins
+      val t = pins(TextOps.tokOf(docs.select("doc_id", "text")))
+      val v = TextOps.vocab(t, Some(pins))
+      val pairs = pins(TierFour.minhashPairs(t, pins))
+      val t0 = System.nanoTime()
+      noop(pairs)
+      println(f"[devprobe] a01 pairs noop (cold)               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println("[devprobe] pairs rows = " + pairs.count())
+      val ids = docs.select(col("doc_id").as("id"))
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      for (pre <- Seq(true, false)) {
+        val t1 = System.nanoTime()
+        val res = Components.connectedWithStats(ids, e, preContract = pre)
+        noop(res.labels)
+        println(f"[devprobe] CC preContract=$pre%-5s               ${(System.nanoTime() - t1) / 1e9}%8.2f s  rounds=${res.contractionRounds}")
+        org.apache.spark.sql.GraftSqlBridge.releaseLeaf(res.labels)
+      }
+      val t2 = System.nanoTime()
+      noop(graft.operators.TierEleven.classifierScoresOf(docs, Some(pins), Some(v)))
+      println(f"[devprobe] a01 scores (shared vocab)            ${(System.nanoTime() - t2) / 1e9}%8.2f s")
+      spark.stop(); return
+    }
+
     // ---- q58 decomposition (dedup apply: exact → minhash pairs → CC → semi) ----
     if (args.length > 1 && args(1) == "q58") {
       import graft.operators.{Components, Dedup, Pins, TextOps, TierFour}
