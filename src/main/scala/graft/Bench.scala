@@ -18,8 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that share a detector — the MinHash dedup reports over
   * [[graft.operators.Dedup.artifacts]] and the embedding near-dup-graph
   * consumers over [[graft.operators.TierNineteen.celledArtifacts]] —
+  * — plus the bigram-shingle set-similarity family over
+  * [[graft.operators.TierHundredTwo.BigramArtifacts]] (r15) —
   * are measured the way a production pipeline runs them: the shared
-  * build is timed ONCE per pass as its own entry (`a01_…`/`a02_…`,
+  * build is timed ONCE per pass as its own entry (`a01_…`/`a02_…`/`a03_…`,
   * included in the total), and each consumer runs through its extracted
   * face from [[graft.operators.SharedFaces]] (BenchFacesSpec pins every
   * face ≡ its declared query bit for bit, so the measured plans are the
@@ -89,7 +91,10 @@ object Bench {
       if (sharedMode) operators.SharedFaces.dedup.filter(p => selected(p._1)) else Nil
     val celledFaces =
       if (sharedMode) operators.SharedFaces.celled.filter(p => selected(p._1)) else Nil
-    val faceNames = (dedupFaces.map(_._1) ++ celledFaces.map(_._1)).toSet
+    val bigramFaces =
+      if (sharedMode) operators.SharedFaces.bigram.filter(p => selected(p._1)) else Nil
+    val faceNames = (dedupFaces.map(_._1) ++ celledFaces.map(_._1) ++
+      bigramFaces.map(_._1)).toSet
     val plain = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => selected(n) && !faceNames(n) }
 
@@ -146,6 +151,30 @@ object Bench {
           out += "a02_celled_artifacts_build" -> tBuild
         val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
         celledSel.foreach { case (n, f) =>
+          out += n -> execFace(n, keep)(f(spark, sfDir, art))
+        }
+        if (art != null) art.release()
+      }
+      val bigramSel = bigramFaces.filter(p => sub(p._1))
+      if (bigramSel.nonEmpty || (bigramFaces.nonEmpty && sub("a03_bigram_artifacts_build"))) {
+        deepClean()
+        var art: operators.TierHundredTwo.BigramArtifacts = null
+        val tBuild = {
+          val t0 = System.nanoTime()
+          try {
+            art = operators.TierHundredTwo.bigramArtifacts(
+              Tables.load(spark, sfDir, "documents"))
+            art.warm()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] a03_bigram_artifacts_build failed: ${e.getMessage}")
+            -1.0
+          }
+        }
+        if (sub("a03_bigram_artifacts_build"))
+          out += "a03_bigram_artifacts_build" -> tBuild
+        val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        bigramSel.foreach { case (n, f) =>
           out += n -> execFace(n, keep)(f(spark, sfDir, art))
         }
         if (art != null) art.release()

@@ -70,4 +70,22 @@ object SharedFaces {
         Dedup.clusterPurity(Tables.load(s, dir, "documents"), a)),
       "q288_cluster_size_bands" -> ((s, dir, a) =>
         Dedup.sizeBands(a)))
+
+  /** Consumers of the bigram-shingle working set
+    * ([[TierHundredTwo.BigramArtifacts]], r15): the distinct
+    * `(doc_id, shingle)` frame plus the rarest-first sorted-sid arrays
+    * q28 and q284 both build, shingled once; q283/q290 read the shingle
+    * frame alone. */
+  val bigram: Seq[(String, (SparkSession, String, TierHundredTwo.BigramArtifacts) => DataFrame)] =
+    Seq(
+      "q28_ngram_jaccard" -> ((s, dir, a) =>
+        TierFour.ngramJaccardOverArrs(a.arrs)._2),
+      "q283_bigram_novelty" -> ((s, dir, a) =>
+        TierHundredTwo.noveltyOver(a.sh)),
+      "q284_containment_pairs" -> ((s, dir, a) =>
+        TierHundredTwo.containmentOverArrs(a.arrs, num = 9, den = 10)),
+      "q290_vocab_growth" -> ((s, dir, a) =>
+        TierHundredFive.growthOver(a.sh.select(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("shingle").as("token")))))
 }

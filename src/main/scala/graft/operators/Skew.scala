@@ -58,6 +58,20 @@ object Skew {
       .select(col("k"), col("ia"), col("ib"))
   }
 
+  /** [[saltedCoPairs]] restricted to UNORDERED pairs — `ia < ib` only,
+    * half the rows. When the downstream per-pair aggregate is symmetric
+    * (a shared-count is the same in both directions — q154/q146/q182),
+    * aggregate the half and mirror the AGGREGATED frame (pair-count-sized)
+    * instead of feeding both directions (Σd²-sized) through the
+    * aggregation: same result, half the aggregation input (guide §2
+    * "shuffle fewer bytes"). Identical to
+    * `saltedCoPairs(df, key, item, salts).filter(ia < ib)` by
+    * construction (ScaleTechniqueSpec pins the equality).
+    */
+  def saltedCoPairsHalf(df: DataFrame, key: Column, item: Column,
+      salts: Int = 8): DataFrame =
+    saltedCoPairs(df, key, item, salts).filter(col("ia") < col("ib"))
+
   /** The skew DIAGNOSTIC behind the salting decisions (q202's library
     * face): one row of shuffle-planning facts for `df` keyed by `key` —
     * `(n_keys, total_rows, max_cnt, mean_cnt, max_mean_ppm, top1_ppm,

@@ -206,4 +206,21 @@ object TextOps {
       .agg(array_sort(collect_list(col("sid"))).as("sids"),
         count(lit(1)).as("n"))
   }
+
+  /** [[rarestFirstArrays]] for a `(doc_id, shingle)` frame — the shared
+    * sh → (doc_id, sids, n) builder of the bigram-shingle set-similarity
+    * family (q28's Jaccard and q284's containment build the IDENTICAL
+    * frame: same (df, shingle) rank, same sorted-sid arrays). The shingle
+    * dictionary rank is broadcast — corpus-bounded vocabulary, KB–MB at
+    * any corpus size, the q28 convention. */
+  def shingleArrays(sh: DataFrame): DataFrame = {
+    val sv = Cumulative.rowNumber(sh.sparkSession,
+        sh.groupBy("shingle").agg(count(lit(1)).as("df")),
+        Seq(col("df"), col("shingle")), "sid")
+      .select("shingle", "sid")
+    sh.join(broadcast(sv), "shingle")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("sid"))).as("sids"),
+        count(lit(1)).as("n"))
+  }
 }

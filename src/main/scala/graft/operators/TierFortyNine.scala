@@ -46,11 +46,19 @@ object TierFortyNine {
       // pinned: feeds the degree count and both pair sides
     val deg = cs.groupBy(col("su").as("ds")).agg(count(lit(1)).as("n"))
     // whale-customer guard: salt the c-keyed self-join (q154's guard;
-    // pair set identical by construction)
-    val out = Skew.saltedCoPairs(cs, col("c"), col("su"))
+    // pair set identical by construction). `both` is symmetric, so only
+    // ia < ib pairs feed the aggregation (half the Σd² rows); the support
+    // floor applies to the HALF (same count both directions) and the
+    // surviving pair-count-sized frame is mirrored to recover (ante, cons)
+    // in both directions.
+    val pairHalf = pins(Skew.saltedCoPairsHalf(cs, col("c"), col("su"))
       .groupBy(col("ia").as("ante"), col("ib").as("cons"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= MinSupport)
+      .filter(col("support") >= MinSupport))
+      // pinned: feeds both mirror legs
+    val out = pairHalf
+      .unionByName(pairHalf.select(col("cons").as("ante"),
+        col("ante").as("cons"), col("support")))
       .join(broadcast(deg), col("ds") === col("ante"))
       .select(col("ante"), col("cons"), col("support"),
         expr("(support * 1000000) div n").as("conf_ppm"))

@@ -352,18 +352,19 @@ object TierFour {
           .as("shingle"))
       .distinct()
       .persist() // feeds the shingle-df rank AND the sid join — one corpus pass, not two
-    // dense shingle ids, rarest-first (global order shared by all docs) —
-    // distributed two-pass rank (Cumulative.rowNumber): the old
-    // row_number() OVER (ORDER BY df, shingle) was a single-partition sort
-    // of the whole shingle vocabulary
-    val sv = Cumulative.rowNumber(s,
-        sh.groupBy("shingle").agg(count(lit(1)).as("df")),
-        Seq(col("df"), col("shingle")), "sid")
-      .select("shingle", "sid")
-    val arrs = sh.join(broadcast(sv), "shingle")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("sid"))).as("sids"), count(lit(1)).as("n"))
-      .persist()
+    // dense shingle ids rarest-first + sorted-sid arrays — the shared
+    // sh → arrs builder (TextOps.shingleArrays: two-pass rank, never a
+    // single-partition window; same frame q284 builds)
+    val arrs = TextOps.shingleArrays(sh).persist()
+    ngramJaccardOverArrs(arrs)
+  }
+
+  /** q28's candidate + verify stages over prebuilt rarest-first arrays —
+    * the extracted face the shared-build bench sweep drives with
+    * [[TierHundredTwo.BigramArtifacts.arrs]] (BenchFacesSpec pins face ≡
+    * declared query). */
+  private[graft] def ngramJaccardOverArrs(
+      arrs: DataFrame): (DataFrame, DataFrame) = {
     // prefix-filter candidates: share one of the first n−⌈4n/5⌉+1 rarest
     // sids. posexplode keeps the position and the prefix slice itself, so
     // the join predicate can demand "no EARLIER shared prefix element"

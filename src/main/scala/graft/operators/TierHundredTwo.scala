@@ -93,21 +93,44 @@ object TierHundredTwo {
     noveltyOver(bigramsOf(Tables.load(s, dir, "documents")))
   }
 
+  /** Build-once shared working set for the bigram-shingle family
+    * (VERDICT r12 #1's amortization pattern, extended here in r15):
+    * q28 (Jaccard), q283 (novelty), q284 (containment) and q290 (vocab
+    * growth) all start from the SAME distinct `(doc_id, shingle)` frame,
+    * and q28/q284 additionally build the identical rarest-first
+    * sorted-sid arrays. A production corpus pipeline shingles once;
+    * `graft.Bench` times this build as its own `a03_…` entry and each
+    * consumer through its face (BenchFacesSpec pins face ≡ declared
+    * query). `Verify` stays self-contained per query. */
+  case class BigramArtifacts(sh: DataFrame, arrs: DataFrame) {
+    /** Materialize both members so the full build cost lands in the
+      * build entry and none of it on the first face. */
+    def warm(): Unit =
+      Seq(sh, arrs).foreach(_.write.format("noop").mode("overwrite").save())
+    def release(): Unit = { arrs.unpersist(false); sh.unpersist(false) }
+  }
+
+  def bigramArtifacts(docs: DataFrame): BigramArtifacts = {
+    val sh = bigramsOf(docs).persist()
+    val arrs = TextOps.shingleArrays(sh).persist()
+    BigramArtifacts(sh, arrs)
+  }
+
   /** Containment pairs over ANY `(doc_id, shingle)` frame at
     * `C ≥ num/den`: `(doc_a, doc_b, containment_ppm)`, exact-integer
     * qualification, asymmetric prefix-filtered candidates. */
   private[graft] def containmentOver(s: SparkSession, sh0: DataFrame,
       num: Int, den: Int): DataFrame = {
     val sh = sh0.persist() // feeds the df rank AND the sid join
-    val sv = Cumulative.rowNumber(s,
-        sh.groupBy("shingle").agg(count(lit(1)).as("df")),
-        Seq(col("df"), col("shingle")), "sid")
-      .select("shingle", "sid")
-    val arrs = sh.join(broadcast(sv), "shingle")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("sid"))).as("sids"),
-        count(lit(1)).as("n"))
-      .persist()
+    val arrs = TextOps.shingleArrays(sh).persist()
+    containmentOverArrs(arrs, num, den)
+  }
+
+  /** [[containmentOver]]'s candidate + verify stages over prebuilt
+    * rarest-first arrays — the extracted face the shared-build bench
+    * sweep drives with [[BigramArtifacts.arrs]]. */
+  private[graft] def containmentOverArrs(arrs: DataFrame,
+      num: Int, den: Int): DataFrame = {
     // C ≥ num/den with |A| ≤ |B| forces a shared sid into A's
     // n − ⌈num·n/den⌉ + 1 rarest; the prefix side is ALWAYS the
     // (potentially) smaller doc, the full side is everything. Both sides

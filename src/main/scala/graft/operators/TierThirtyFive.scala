@@ -83,18 +83,30 @@ object TierThirtyFive {
     val cs = csOf(s, dir).persist()
     // whale-customer guard: the c-keyed self-join's d² pair rows would
     // land in one task — salt it (pair set identical by construction;
-    // TierThirtyFiveSpec pins both the plan and the equality)
-    val w = Skew.saltedCoPairs(cs, col("c"), col("su"))
+    // TierThirtyFiveSpec pins both the plan and the equality). The
+    // shared-count is symmetric, so only ia < ib pairs feed the
+    // aggregation (half the Σd² rows) and the AGGREGATED frame —
+    // pair-count-sized, not Σd²-sized — is mirrored to recover both
+    // directions before the per-s_a neighbor cap.
+    val wallHalf = Skew.saltedCoPairsHalf(cs, col("c"), col("su"))
       .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
       .agg(count(lit(1)).as("shared"))
+      .persist() // feeds both mirror legs; swept per-query like cs
+    val w = wallHalf
+      .unionByName(wallHalf.select(col("s_b").as("s_a"),
+        col("s_a").as("s_b"), col("shared")))
       .withColumn("nrk", row_number().over(
         Window.partitionBy("s_a").orderBy(col("shared").desc, col("s_b"))))
       .filter(col("nrk") <= NeighborCap).drop("nrk")
+    // anti-join AFTER the (c, cand) aggregation: the already-buys filter
+    // key IS the group key, so dropping groups post-agg ≡ dropping their
+    // rows pre-agg — and the anti's shuffled+sorted side shrinks from the
+    // |cs|·NeighborCap scoring stream to the aggregated (c, cand) frame
     val sc = cs.join(broadcast(w), col("su") === col("s_a"))
-      .join(cs.select(col("c").as("oc"), col("su").as("os")),
-        col("oc") === col("c") && col("os") === col("s_b"), "left_anti")
       .groupBy(col("c"), col("s_b").as("cand"))
       .agg(sum("shared").as("score"))
+      .join(cs.select(col("c").as("oc"), col("su").as("os")),
+        col("oc") === col("c") && col("os") === col("cand"), "left_anti")
     sc.withColumn("rk", row_number().over(
         Window.partitionBy("c").orderBy(col("score").desc, col("cand"))))
       .filter(col("rk") <= TopRecs)

@@ -55,9 +55,8 @@ object TierThirtyOne {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
       .persist()
     // whale-customer guard: salt the c-keyed self-join (q154's guard);
-    // the < filter keeps each unordered pair once
-    Skew.saltedCoPairs(cs, col("c"), col("su"))
-      .filter(col("ia") < col("ib"))
+    // the half variant keeps each unordered pair once
+    Skew.saltedCoPairsHalf(cs, col("c"), col("su"))
       .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
       .agg(count(lit(1)).as("shared"))
       .orderBy(desc("shared"), col("s_a"), col("s_b"))

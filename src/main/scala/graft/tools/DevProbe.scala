@@ -120,6 +120,81 @@ object DevProbe {
       spark.stop(); return
     }
 
+    // ---- q154 decomposition (co-purchase recs: cs → salted pairs → cap → score) ----
+    // Stages persist, so each is timed on its FIRST materialization (cold
+    // stage over warm upstream caches) — time()'s warm-second protocol
+    // would just read the cache back.
+    if (args.length > 1 && args(1) == "q154") {
+      import graft.operators.Skew
+      import org.apache.spark.sql.expressions.Window
+      def timeCold(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"[devprobe] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val cs = Tables.load(spark, sfDir, "orders")
+        .join(Tables.load(spark, sfDir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("su")).distinct()
+        .persist()
+      timeCold("q154 cs build (orders⋈lineitem distinct)")(noop(cs))
+      println("[devprobe] cs rows = " + cs.count())
+      val pairsRaw = Skew.saltedCoPairs(cs, col("c"), col("su"))
+      timeCold("q154 salted pair rows (count)")(
+        println("[devprobe] pair rows = " + pairsRaw.count()))
+      // full-direction aggregation (pre-r15 shape) vs half + mirror
+      time("q154 wall agg FULL (both directions)")(noop(pairsRaw
+        .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
+        .agg(count(lit(1)).as("shared"))))
+      time("q154 wall agg HALF (ia<ib)")(noop(
+        Skew.saltedCoPairsHalf(cs, col("c"), col("su"))
+          .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
+          .agg(count(lit(1)).as("shared"))))
+      val wall = pairsRaw
+        .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
+        .agg(count(lit(1)).as("shared")).persist()
+      timeCold("q154 wall (salted pairs + groupBy)")(noop(wall))
+      println("[devprobe] wall rows = " + wall.count())
+      val w = wall.withColumn("nrk", row_number().over(
+          Window.partitionBy("s_a").orderBy(col("shared").desc, col("s_b"))))
+        .filter(col("nrk") <= 32).drop("nrk").persist()
+      timeCold("q154 neighbor cap window")(noop(w))
+      // anti-before-agg (pre-r15 shape) vs agg-before-anti, warm, NEITHER
+      // persisted first (a persisted same-plan twin would satisfy the
+      // other's cache lookup and time a cache read)
+      time("q154 scoring ANTI-then-AGG")(noop(
+        cs.join(broadcast(w), col("su") === col("s_a"))
+          .join(cs.select(col("c").as("oc"), col("su").as("os")),
+            col("oc") === col("c") && col("os") === col("s_b"), "left_anti")
+          .groupBy(col("c"), col("s_b").as("cand"))
+          .agg(sum("shared").as("score"))))
+      time("q154 scoring AGG-then-ANTI")(noop(
+        cs.join(broadcast(w), col("su") === col("s_a"))
+          .groupBy(col("c"), col("s_b").as("cand"))
+          .agg(sum("shared").as("score"))
+          .join(cs.select(col("c").as("oc"), col("su").as("os")),
+            col("oc") === col("c") && col("os") === col("cand"), "left_anti")))
+      val sc = cs.join(broadcast(w), col("su") === col("s_a"))
+        .join(cs.select(col("c").as("oc"), col("su").as("os")),
+          col("oc") === col("c") && col("os") === col("s_b"), "left_anti")
+        .groupBy(col("c"), col("s_b").as("cand"))
+        .agg(sum("shared").as("score")).persist()
+      timeCold("q154 scoring join + anti + agg (persist)")(noop(sc))
+      println("[devprobe] sc rows = " + sc.count())
+      timeCold("q154 top-3 window + orderBy (cold)")(noop(
+        sc.withColumn("rk", row_number().over(
+            Window.partitionBy("c").orderBy(col("score").desc, col("cand"))))
+          .filter(col("rk") <= 3)
+          .select(col("c").as("cust"), col("cand").as("supp"), col("score"))
+          .orderBy(col("cust"), col("score").desc, col("supp"))))
+      time("q154 top-3 window + orderBy (warm)")(noop(
+        sc.withColumn("rk", row_number().over(
+            Window.partitionBy("c").orderBy(col("score").desc, col("cand"))))
+          .filter(col("rk") <= 3)
+          .select(col("c").as("cust"), col("cand").as("supp"), col("score"))
+          .orderBy(col("cust"), col("score").desc, col("supp"))))
+      spark.stop(); return
+    }
+
     // ---- q284 decomposition ----
     {
       import graft.operators.TierHundredTwo

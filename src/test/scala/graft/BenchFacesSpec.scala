@@ -66,4 +66,25 @@ class BenchFacesSpec extends SparkSpec {
     operators.Release.sweep(spark)
     tidy(before)
   }
+
+  test("every bigram bench face ≡ its declared query (content-exact)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val art = operators.TierHundredTwo.bigramArtifacts(
+      Tables.load(spark, sf, "documents"))
+    art.warm()
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    for ((name, face) <- SharedFaces.bigram) {
+      val got = rows(face(spark, sf, art))
+      Cumulative.releaseAll()
+      val expected = rows(SparkEntry.queries(name)(spark, sf))
+      Cumulative.releaseAll()
+      assert(got == expected, s"$name: bench face must equal the declared query")
+      assert(got.nonEmpty, s"$name must be non-degenerate on the fixture")
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, r) => if (!keep(id) && !before(id)) r.unpersist(blocking = false) }
+    }
+    art.release()
+    operators.Release.sweep(spark)
+    tidy(before)
+  }
 }

@@ -110,6 +110,27 @@ class ScaleTechniqueSpec extends SparkSpec {
     assert(whaleSalts > 1, "whale items must spread across salts")
   }
 
+  test("half co-pairs + post-agg mirror ≡ full co-pair aggregation (q154/q182 rewrite)") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (0L, i.toLong)) ++
+      Seq((1L, 1L), (1L, 2L), (2L, 9L))).toDF("c", "su")
+    // the r15 rewrite: the shared-count is symmetric, so aggregate the
+    // ia < ib half (half the Σd² aggregation input) and mirror the
+    // AGGREGATED pair-count-sized frame
+    val full = Skew.saltedCoPairs(df, col("c"), col("su"))
+      .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
+      .agg(count(lit(1)).as("shared")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val half = Skew.saltedCoPairsHalf(df, col("c"), col("su"))
+      .groupBy(col("ia").as("s_a"), col("ib").as("s_b"))
+      .agg(count(lit(1)).as("shared"))
+    val mirrored = half.unionByName(half.select(col("s_b").as("s_a"),
+        col("s_a").as("s_b"), col("shared"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mirrored == full, "mirror of the half aggregation must equal the full aggregation")
+    assert(half.filter(col("s_a") >= col("s_b")).count() == 0, "half emits ia < ib only")
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val events = Tables.load(spark, sf, "events")
     // partition-id salting needs the input spread over partitions — the
